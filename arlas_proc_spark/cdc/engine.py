@@ -1,0 +1,108 @@
+"""CdcEngine — the end-to-end ingest path.
+
+feed (ordered change events) → prepare (normalize lang + sha256 content,
+vectorized pandas/Arrow UDFs) → LakeTable.merge_batch (dedup by
+(key, commit), deterministic LWW by seq, schema evolution, exactly-once
+copy-on-write MERGE).
+
+Reference analog of the whole path: the ARLAS batch pipeline
+``readFromCsv → asArlasFormattedData → process(transformers) →
+writeToElasticsearch`` (``/root/reference/README.md:193-404``,
+``sql/WritableDataFrame.scala:83-86``), recast as CDC replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from arlas_proc_spark.functions.content import with_content_hash, with_normalized_lang
+from arlas_proc_spark.lake.table import LakeTable
+
+KEY_COLS = ["repo", "path"]
+SEQ_COL = "seq"
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), False),
+    T.StructField("ts_s", T.LongType(), False),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+])
+
+TABLE_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), True),
+    T.StructField("seq", T.LongType(), True),
+    T.StructField("ts_s", T.LongType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("content_sha256", T.StringType(), True),
+])
+
+
+def prepare_events(events: DataFrame, *, vectorized: bool = True,
+                   normalize: bool = False) -> DataFrame:
+    """Row-level transforms before merge, all Arrow-vectorized.
+
+    ``normalize=False`` by default: the correctness oracle compares raw
+    lang; pipelines wanting canonical tags opt in.
+    """
+    out = with_content_hash(events, vectorized=vectorized)
+    if normalize:
+        out = with_normalized_lang(out)
+    return out
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, table_path: str, *,
+                 n_buckets: int = 16, vectorized_udfs: bool = True,
+                 collect_metrics: bool = True):
+        self.spark = spark
+        self.vectorized = vectorized_udfs
+        self.collect_metrics = collect_metrics
+        if LakeTable.exists(spark, table_path):
+            self.table = LakeTable(spark, table_path)
+        else:
+            self.table = LakeTable.create(
+                spark, table_path, TABLE_SCHEMA, KEY_COLS, SEQ_COL,
+                n_buckets=n_buckets)
+
+    def apply_batch(self, events: DataFrame, batch_id: int | str) -> dict:
+        """Prepare + merge one micro-batch; exactly-once per batch_id."""
+        prepared = prepare_events(events, vectorized=self.vectorized)
+        return self.table.merge_batch(
+            prepared, batch_id, collect_metrics=self.collect_metrics)
+
+    def replay(self, events: DataFrame, batch_id: str = "replay-0") -> dict:
+        """Full-log batch replay (bootstrap): one big merge. For an empty
+        table this is the fastest convergence path — a single global LWW
+        pass, no per-batch read-modify-write."""
+        return self.apply_batch(events, batch_id)
+
+    def state(self) -> DataFrame:
+        return self.table.read()
+
+    def lineage(self) -> list[dict]:
+        return self.table.lineage()
+
+
+def lww_resolve(events: DataFrame, key_cols: list[str] = KEY_COLS,
+                seq_col: str = SEQ_COL, op_col: str = "op",
+                delete_value: str = "delete") -> DataFrame:
+    """Pure-expression last-writer-wins over a change feed (no table):
+    the batch oracle the replay-to-convergence test uses, and a reusable
+    operator (deterministic version of the reference's ``dropDuplicates``,
+    ``tools/DataFrameFormatter.scala:47-49``)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col("commit").desc())
+    return (events.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .where(F.col(op_col) != delete_value)
+            .drop("_rn", op_col))

@@ -1,0 +1,2 @@
+from arlas_proc_spark.lake.schema_evolution import align_to_schema, evolve_schema  # noqa: F401
+from arlas_proc_spark.lake.table import LakeTable  # noqa: F401

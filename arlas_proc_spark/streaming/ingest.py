@@ -1,0 +1,88 @@
+"""Structured Streaming binlog/WAL tail → exactly-once lake upsert.
+
+Pipeline::
+
+    readStream (file source tailing the WAL segment dir, ordered discovery)
+      → event-time watermark + dropDuplicatesWithinWatermark(repo,path,commit)
+      → foreachBatch(batch_id, df):
+            CdcEngine.apply_batch(df, batch_id)   # MERGE, LWW, evolution
+
+Exactly-once is the composition of three idempotence layers:
+1. Spark's checkpointed offset log re-delivers a micro-batch with the SAME
+   batch_id after a crash;
+2. the lake ledger (stored in the same atomic snapshot commit as the data)
+   skips batch_ids it already committed;
+3. the MERGE itself is keyed + LWW, so even a forced re-apply converges.
+
+Reference analog: the idempotent Elasticsearch doc-id upsert
+(``sql/WritableDataFrame.scala:83-86``) — the reference gets replay safety
+from deterministic doc ids; we get it transactionally.
+
+The watermark-dedup stage bounds state: with events carrying event-time
+``ts_s``, duplicates arriving within the watermark horizon are dropped
+stream-side (reference analog: ``DataFrameFormatter.withNoDuplicates``,
+``tools/DataFrameFormatter.scala:47-49``); anything older is still handled
+by the merge's (key, commit) dedup + LWW, so correctness never depends on
+the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arlas_proc_spark.cdc.engine import EVENT_SCHEMA, CdcEngine
+from arlas_proc_spark.sources.readers import read_stream_parquet
+
+
+class StreamingIngest:
+    def __init__(self, spark: SparkSession, table_path: str, *,
+                 n_buckets: int = 16, watermark: str = "1 hour",
+                 stream_dedup: bool = True, collect_metrics: bool = True):
+        self.spark = spark
+        self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
+                                collect_metrics=collect_metrics)
+        self.watermark = watermark
+        self.stream_dedup = stream_dedup
+
+    def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+        raw = read_stream_parquet(self.spark, wal_dir, EVENT_SCHEMA,
+                                  max_files_per_trigger=max_files_per_trigger)
+        if not self.stream_dedup:
+            return raw
+        with_time = raw.withColumn("_event_time",
+                                   F.timestamp_seconds(F.col("ts_s")))
+        deduped = (with_time.withWatermark("_event_time", self.watermark)
+                   .dropDuplicatesWithinWatermark(["repo", "path", "commit"]))
+        return deduped.drop("_event_time")
+
+    def start(self, wal_dir: str, checkpoint_dir: str, *,
+              max_files_per_trigger: int = 1, available_now: bool = True):
+        """Start the ingest query. ``available_now=True`` processes the
+        backlog then stops (the replay mode the tests/bench use);
+        ``False`` runs continuously tailing the WAL."""
+        events = self.events_stream(wal_dir, max_files_per_trigger)
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.engine.apply_batch(batch_df, batch_id)
+
+        writer = (events.writeStream
+                  .foreachBatch(_apply)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, wal_dir: str, checkpoint_dir: str, *,
+                          max_files_per_trigger: int = 1,
+                          timeout_s: int = 600) -> None:
+        q = self.start(wal_dir, checkpoint_dir,
+                       max_files_per_trigger=max_files_per_trigger,
+                       available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+
+    def state(self) -> DataFrame:
+        return self.engine.state()

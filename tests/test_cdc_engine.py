@@ -1,0 +1,108 @@
+"""Replay-to-convergence: the engine's final state equals the independent
+DuckDB oracle (final-state equality + per-row sha256 + LWW order), under
+batching, duplicate delivery, and re-application (idempotence)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from arlas_proc_spark.cdc.engine import CdcEngine, lww_resolve
+from arlas_proc_spark.sources.changefeed import changefeed_df, final_state_sql
+
+N = 3000
+
+
+def _oracle(n):
+    df = duckdb.sql(final_state_sql(n, dialect="duckdb")).fetchdf()
+    return {
+        (r.repo, r.path): (r.commit, int(r.seq), r.lang, r.content, r.content_sha256)
+        for r in df.itertuples()
+    }
+
+
+def _engine_state(engine):
+    return {
+        (r.repo, r.path): (r.commit, r.seq, r.lang, r.content, r.content_sha256)
+        for r in engine.state().collect()
+    }
+
+
+def test_single_replay_converges(spark, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    feed = changefeed_df(spark, N)
+    engine.replay(feed)
+    assert _engine_state(engine) == _oracle(N)
+
+
+def test_batched_replay_converges_same(spark, tmp_path):
+    """Apply the log in 5 ordered micro-batches → identical final state."""
+    engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    feed = changefeed_df(spark, N)
+    sz = N // 5
+    for b in range(5):
+        part = feed.where((feed.seq >= b * sz) & (feed.seq < (b + 1) * sz))
+        engine.apply_batch(part, b)
+    assert _engine_state(engine) == _oracle(N)
+
+
+def test_out_of_order_batches_converge(spark, tmp_path):
+    """Batches applied out of arrival order still converge (LWW by seq,
+    not arrival)."""
+    engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    feed = changefeed_df(spark, N)
+    sz = N // 5
+    for b in [2, 0, 4, 1, 3]:
+        part = feed.where((feed.seq >= b * sz) & (feed.seq < (b + 1) * sz))
+        engine.apply_batch(part, b)
+    assert _engine_state(engine) == _oracle(N)
+
+
+def test_reapplied_batch_is_idempotent(spark, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    feed = changefeed_df(spark, N)
+    engine.apply_batch(feed.where("seq < 1500"), 0)
+    engine.apply_batch(feed.where("seq >= 1500"), 1)
+    state1 = _engine_state(engine)
+    # redeliver both batches (restart-after-crash scenario)
+    engine.apply_batch(feed.where("seq < 1500"), 0)
+    engine.apply_batch(feed.where("seq >= 1500"), 1)
+    assert _engine_state(engine) == state1 == _oracle(N)
+
+
+def test_parallelism_invariance(spark, tmp_path):
+    """Same result regardless of partitioning (reference analog:
+    HmmProcessorTest order/chunking invariance :90-120)."""
+    e1 = CdcEngine(spark, str(tmp_path / "t1"), n_buckets=4)
+    e2 = CdcEngine(spark, str(tmp_path / "t2"), n_buckets=16)
+    feed = changefeed_df(spark, N)
+    e1.replay(feed.repartition(1))
+    e2.replay(feed.repartition(13))
+    assert _engine_state(e1) == _engine_state(e2) == _oracle(N)
+
+
+def test_lineage_metrics_recorded(spark, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "t"))
+    feed = changefeed_df(spark, 500)
+    engine.apply_batch(feed, 0)
+    lin = engine.lineage()
+    assert len(lin) == 1
+    m = lin[0]
+    assert m["batch_id"] == "0"
+    assert m["rows_upserted"] > 0 and m["buckets_touched"] > 0 and m["wall_s"] >= 0
+
+
+def test_lww_resolve_matches_oracle(spark):
+    got = lww_resolve(changefeed_df(spark, N)).select(
+        "repo", "path", "commit", "seq").collect()
+    oracle = _oracle(N)
+    assert {(r.repo, r.path): (r.commit, r.seq) for r in got} == \
+        {k: (v[0], v[1]) for k, v in oracle.items()}
+
+
+@pytest.mark.parametrize("vectorized", [True, False])
+def test_vectorized_and_jvm_hash_agree(spark, tmp_path, vectorized):
+    engine = CdcEngine(spark, str(tmp_path / f"t{vectorized}"),
+                       vectorized_udfs=vectorized)
+    engine.replay(changefeed_df(spark, 300))
+    assert _engine_state(engine) == _oracle(300)

@@ -1,0 +1,172 @@
+"""LakeTable: snapshot commits, merge semantics, schema evolution,
+exactly-once ledger, bucket copy-on-write."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from arlas_proc_spark.lake.schema_evolution import (
+    SchemaEvolutionError,
+    align_to_schema,
+    evolve_schema,
+)
+from arlas_proc_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), True),
+    T.StructField("seq", T.LongType(), True),
+    T.StructField("content", T.StringType(), True),
+])
+
+
+def _ev(seq, op, repo, path, commit, content):
+    return (seq, op, repo, path, commit, content)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, commit string, content string"
+    ).select("repo", "path", "commit", "seq", "content", "op")
+
+
+def test_merge_upsert_delete_lww(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], "seq", n_buckets=4)
+    b1 = _batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+        _ev(2, "insert", "r1", "b.py", "c2", "v1"),
+        _ev(3, "update", "r1", "a.py", "c3", "v2"),   # LWW inside batch
+    ])
+    m1 = t.merge_batch(b1, 0)
+    assert m1["rows_upserted"] == 2
+    state = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert state == {("r1", "a.py"): "v2", ("r1", "b.py"): "v1"}
+
+    b2 = _batch(spark, [
+        _ev(4, "delete", "r1", "b.py", "c4", None),
+        _ev(5, "update", "r1", "a.py", "c5", "v3"),
+        _ev(0, "update", "r1", "a.py", "c0", "stale"),  # older than table row: loses
+    ])
+    m2 = t.merge_batch(b2, 1)
+    assert m2["rows_deleted"] == 1
+    state = {(r.repo, r.path): (r.content, r.seq) for r in t.read().collect()}
+    assert state == {("r1", "a.py"): ("v3", 5)}
+
+
+def test_merge_stale_event_loses_to_table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], "seq")
+    t.merge_batch(_batch(spark, [_ev(10, "insert", "r", "x", "c10", "new")]), 0)
+    # a replayed older event must NOT overwrite the newer table row
+    t.merge_batch(_batch(spark, [_ev(3, "update", "r", "x", "c3", "old")]), 1)
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].content == "new" and rows[0].seq == 10
+
+
+def test_exactly_once_ledger(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], "seq")
+    b = _batch(spark, [_ev(1, "insert", "r", "x", "c1", "v1")])
+    t.merge_batch(b, 7)
+    v_after = t.snapshot()["version"]
+    # redelivery of the same batch id: no-op, no new snapshot
+    res = t.merge_batch(_batch(spark, [_ev(99, "update", "r", "x", "c9", "EVIL")]), 7)
+    assert res.get("skipped") is True
+    assert t.snapshot()["version"] == v_after
+    assert t.read().collect()[0].content == "v1"
+
+
+def test_dedup_by_key_commit(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], "seq")
+    # at-least-once delivery: same event twice in one batch
+    b = _batch(spark, [
+        _ev(1, "insert", "r", "x", "c1", "v1"),
+        _ev(1, "insert", "r", "x", "c1", "v1"),
+    ])
+    m = t.merge_batch(b, 0)
+    assert m["rows_upserted"] == 1
+    assert t.read().count() == 1
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], "seq")
+    t.merge_batch(_batch(spark, [_ev(1, "insert", "r", "x", "c1", "v1")]), 0)
+    # batch 2 carries a NEW column (size) and the merge must evolve the table
+    b2 = spark.createDataFrame(
+        [(2, "update", "r", "y", "c2", "v2", 123)],
+        "seq long, op string, repo string, path string, commit string, content string, size int")
+    t.merge_batch(b2, 1)
+    schema = {f.name: f.dataType.typeName() for f in t.schema.fields}
+    assert schema["size"] == "integer"
+    rows = {r.path: r for r in t.read().collect()}
+    assert rows["y"].size == 123
+    assert rows["x"].size is None  # old rows null-fill, never rewritten
+    # batch 3 widens size to long
+    b3 = spark.createDataFrame(
+        [(3, "update", "r", "z", "c3", "v3", 2**40)],
+        "seq long, op string, repo string, path string, commit string, content string, size long")
+    t.merge_batch(b3, 2)
+    schema = {f.name: f.dataType.typeName() for f in t.schema.fields}
+    assert schema["size"] == "long"
+    rows = {r.path: r for r in t.read().collect()}
+    assert rows["z"].size == 2**40 and rows["y"].size == 123
+
+
+def test_incompatible_evolution_raises():
+    a = T.StructType([T.StructField("x", T.StringType())])
+    b = T.StructType([T.StructField("x", T.LongType())])
+    with pytest.raises(SchemaEvolutionError):
+        evolve_schema(a, b)
+
+
+def test_evolve_schema_pure():
+    a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.StringType())])
+    b = T.StructType([T.StructField("x", T.LongType()), T.StructField("z", T.DoubleType())])
+    out, changed = evolve_schema(a, b)
+    assert changed
+    assert [f.name for f in out.fields] == ["x", "y", "z"]
+    assert out["x"].dataType.typeName() == "long"
+
+
+def test_align_to_schema(spark):
+    df = spark.createDataFrame([(1, "a")], "x int, y string")
+    target = T.StructType([
+        T.StructField("x", T.LongType()), T.StructField("y", T.StringType()),
+        T.StructField("z", T.DoubleType())])
+    out = align_to_schema(df, target)
+    assert [f.dataType.typeName() for f in out.schema.fields] == ["long", "string", "double"]
+    r = out.collect()[0]
+    assert r.x == 1 and r.z is None
+
+
+def test_copy_on_write_touches_only_batch_buckets(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], "seq", n_buckets=8)
+    rows = [_ev(i, "insert", "r", f"f{i}.py", f"c{i}", f"v{i}") for i in range(40)]
+    t.merge_batch(_batch(spark, rows), 0)
+    snap1 = t.snapshot()
+    files_before = {b: [e["file"] for e in fs] for b, fs in snap1["buckets"].items()}
+    # single-key batch → exactly one bucket's file list changes
+    t.merge_batch(_batch(spark, [_ev(100, "update", "r", "f0.py", "cx", "NEW")]), 1)
+    snap2 = t.snapshot()
+    changed = [b for b in snap2["buckets"]
+               if [e["file"] for e in snap2["buckets"][b]] != files_before.get(b, [])]
+    assert len(changed) == 1
+    assert t.read().where("path = 'f0.py'").collect()[0].content == "NEW"
+    assert t.read().count() == 40
+
+
+def test_snapshot_commit_is_atomic_and_versioned(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], "seq")
+    t.merge_batch(_batch(spark, [_ev(1, "insert", "r", "x", "c1", "v")]), 0)
+    meta = os.path.join(str(tmp_path / "t"), "meta")
+    versions = sorted(f for f in os.listdir(meta) if f.startswith("v"))
+    assert versions == ["v0000000000.json", "v0000000001.json"]
+    with open(os.path.join(meta, "CURRENT")) as f:
+        assert f.read().strip() == "v0000000001.json"
+    # time travel: old snapshot still readable
+    with open(os.path.join(meta, "v0000000000.json")) as f:
+        old = json.load(f)
+    assert t.read(snapshot=old).count() == 0

@@ -1,0 +1,75 @@
+"""Streaming ingest: WAL tail → convergent state; kill/resume from
+checkpoint; stream-side dedup."""
+
+from __future__ import annotations
+
+import duckdb
+
+from arlas_proc_spark.sources.changefeed import (
+    changefeed_df,
+    final_state_sql,
+    write_changefeed_batches,
+)
+from arlas_proc_spark.streaming.ingest import StreamingIngest
+
+N = 2000
+
+
+def _oracle(n):
+    df = duckdb.sql(final_state_sql(n, dialect="duckdb")).fetchdf()
+    return {(r.repo, r.path): (int(r.seq), r.content_sha256) for r in df.itertuples()}
+
+
+def _state(ing):
+    return {(r.repo, r.path): (r.seq, r.content_sha256)
+            for r in ing.state().collect()}
+
+
+def test_stream_replay_converges(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, N, n_batches=4)
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=8,
+                          collect_metrics=False)
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert _state(ing) == _oracle(N)
+    # lineage recorded one entry per micro-batch
+    assert len(ing.engine.lineage()) >= 4
+
+
+def test_stream_kill_and_resume(spark, tmp_path):
+    """Process half the WAL, 'crash', resume from checkpoint → converges,
+    and already-committed batches are skipped (exactly-once)."""
+    wal = str(tmp_path / "wal")
+    ckpt = str(tmp_path / "ckpt")
+    write_changefeed_batches(spark, wal, N, n_batches=6)
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=8,
+                          collect_metrics=False)
+    # first run: stop after ~half the files
+    q = ing.start(wal, ckpt, max_files_per_trigger=1, available_now=True)
+    import time
+    while q.isActive and len(ing.engine.table.snapshot()["ledger"]["recent"]) < 3:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+    committed_first = set(ing.engine.table.committed_batch_ids())
+    assert committed_first  # made some progress
+
+    # resume: a fresh ingest over the same checkpoint + table
+    ing2 = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=8,
+                           collect_metrics=False)
+    ing2.run_to_completion(wal, ckpt, max_files_per_trigger=1)
+    assert _state(ing2) == _oracle(N)
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
+    """The feed carries duplicate rows (at-least-once); streaming dedup +
+    merge dedup yield exactly-once effects."""
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, 500, n_batches=2)
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4)
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    assert _state(ing) == _oracle(500)
+    # upsert counts reflect deduped keys, not raw feed rows
+    total_upserts = sum(m.get("rows_upserted", 0) for m in ing.engine.lineage())
+    n_keys_touched = changefeed_df(spark, 500).select("repo", "path").distinct().count()
+    assert total_upserts <= 500 and total_upserts >= n_keys_touched * 0.5
