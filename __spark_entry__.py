@@ -1,38 +1,620 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship CDC query; `queries()` exposes one entry
+per implemented operator (SURVEY.md §2 + training-data ops); `oracle_sql()`
+gives the DuckDB-equivalent SQL (tables region nation customer supplier
+part orders lineitem events documents embeddings are pre-registered views).
+
+Every aggregate/computed column is aliased identically on both sides;
+floating aggregates are rounded on both sides so value-hashes match.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arlas_proc_spark.cdc.engine import CdcEngine, lww_resolve, prepare_events
+from arlas_proc_spark.cdc.salting import salted_agg
+from arlas_proc_spark.operators.ann import cosine_topk, cosine_topk_bucketed
+from arlas_proc_spark.operators.dedup_fuzzy import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from arlas_proc_spark.operators.fragments import (
+    with_flow_fragments,
+    with_visibility_change,
+)
+from arlas_proc_spark.operators.hmm import with_hmm_states
+from arlas_proc_spark.operators.multimodal import (
+    deterministic_fake_decoder,
+    extract_features,
+    make_media_df,
+)
+from arlas_proc_spark.operators.outliers import with_local_outliers
+from arlas_proc_spark.operators.resample import with_sample_id
+from arlas_proc_spark.operators.sessionize import (
+    with_gap_sessions,
+    with_state_change_boundaries,
+)
+from arlas_proc_spark.operators.summarize import (
+    summarize_groups,
+    top1_by_count,
+    weighted_avg,
+)
+from arlas_proc_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_text_stats,
+)
+from arlas_proc_spark.sources.changefeed import changefeed_df, changefeed_sql, final_state_sql
+
+N_FEED = 4000  # event count for the self-generated CDC feed queries
+
+# ---------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with epoch-seconds column `es` (parity: floor(epoch(ts)))."""
+    return _t(spark, sf_dir, "events").withColumn(
+        "es", F.unix_timestamp("ts"))
+
+
+_EV = ("(SELECT event_id, user_id, event_type, value, "
+       "CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)")
+
+# DuckDB token/shingle snippets (documents.text)
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, greatest(len({_TOKS}) - 2, 0)), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+)
+
+# ----------------------------------------------------------------- queries
+
+
+def q_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changefeed_df(spark, N_FEED)
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # at-least-once feed → exactly-once event set (dup rows are identical)
+    return changefeed_df(spark, N_FEED).dropDuplicates(["repo", "path", "commit"])
+
+
+def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = changefeed_df(spark, N_FEED)
+    return prepare_events(lww_resolve(feed)).select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content", "content_sha256")
+
+
+def q_cdc_lake_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: replay the feed through the snapshot lake table
+    (MERGE, tombstones, ledger) and read the final state back."""
+    tmp = tempfile.mkdtemp(prefix="arlas_lake_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8, collect_metrics=False)
+    engine.replay(changefeed_df(spark, N_FEED))
+    return engine.state().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content", "content_sha256")
+
+
+def q_cdc_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo final-state rollup via the skew-safe two-phase salted agg."""
+    final = lww_resolve(changefeed_df(spark, N_FEED))
+    return salted_agg(final, ["repo"],
+                      {"n_files": ("count", "path"), "max_seq": ("max", "seq")},
+                      n_salts=16, salt_from=["path"])
+
+
+def q_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sess = with_gap_sessions(ev, "user_id", "es", gap=1800)
+    return sess.groupBy("session_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").alias("t_start"),
+        F.max("es").alias("t_end"))
+
+
+def q_state_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    b = with_state_change_boundaries(ev, "user_id", "es", "event_type")
+    return b.groupBy("user_id").agg(
+        F.sum(F.col("is_boundary").cast("long")).alias("n_state_changes"))
+
+
+def q_flow_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    fr = with_flow_fragments(ev, "user_id", "es", value_cols=["value"])
+    return fr.select(
+        "user_id", "track_id", "ts_start", "ts_end", "duration",
+        F.round("value_delta", 6).alias("value_delta"),
+        F.round("value_avg", 6).alias("value_avg"))
+
+
+def q_visibility_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return with_visibility_change(ev, "user_id", "es", gap=1800).select(
+        "event_id", "user_id", "visibility_change")
+
+
+def q_fragment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional group collapse: per user, all 'error' events fold into
+    one summary row; everything else passes through."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "value")
+    out = summarize_groups(
+        ev, "user_id",
+        condition=F.col("event_type") == "error",
+        aggs={
+            "event_id": F.lit(None).cast("long"),
+            "event_type": F.lit("error_summary"),
+            "value": F.round(F.sum("value"), 6),
+            "n_collapsed": F.count(F.lit(1)),
+        },
+    )
+    return out.select(
+        "user_id", "event_id", "event_type",
+        F.round("value", 6).alias("value"),
+        F.coalesce("n_collapsed", F.lit(1)).alias("n_collapsed"))
+
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top1_by_count(_events(spark, sf_dir), "user_id", "event_type",
+                         out_col="mode_event_type")
+
+
+def q_duration_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    dur = ev.withColumn("dur", F.col("es") - F.lag("es", 1).over(w)) \
+            .where(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return dur.groupBy("user_id").agg(
+        F.round(weighted_avg("value", "dur"), 6).alias("w_avg_value"),
+        F.sum("dur").alias("total_dur"))
+
+
+def q_time_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "partition_day", F.date_format("ts", "yyyyMMdd").cast("int"))
+    return ev.groupBy("partition_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"],
+                     {"n": ("count", "event_id"), "sum_value": ("sum", "value")},
+                     n_salts=16)
+    return out.select("event_type", "n", F.round("sum_value", 4).alias("sum_value"))
+
+
+def q_resample_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = with_sample_id(ev, "user_id", "es", sampling=3600.0)
+    return s.groupBy("sample_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+def q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = with_local_outliers(ev, "user_id", "es", "value", k=2, threshold=10.0)
+    return out.select("event_id", "user_id", "value", "is_outlier")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c = (_t(spark, sf_dir, x) for x in ("lineitem", "orders", "customer"))
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    rev = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy("p_brand")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("p_brand").asc())
+    return rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "punct_ratio", "quality_score")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "prefix", F.substring("text", 1, 30))
+    return exact_duplicates(d, "doc_id", "prefix")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", k=4)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                             k=4, bands=2)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.where(F.col("vec_id") < 20), "vec_id", "embedding",
+                       k=3, round_to=2)
+
+
+def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bucketed(e, e.where(F.col("vec_id") < 20), "vec_id",
+                                "embedding", k=3, d=4, round_to=2)
+
+
+# ------------------------------------------- non-SQL-expressible (rows-only)
+
+
+def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    states = with_hmm_states(ev, "user_id", "es", "value", chunk_size=2000)
+    return states.groupBy("user_id", "hmm_state").agg(
+        F.count(F.lit(1)).alias("n")).orderBy("user_id", "hmm_state")
+
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                             prefix_bits=8)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_df(spark, n=64)
+    return extract_features(media, decoder=deterministic_fake_decoder) \
+        .select("media_id", "media_type", "payload_sha256")
+
+
+# -------------------------------------------------------------- the contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: replay the CDC feed, resolve LWW, hash content."""
+    return q_cdc_lww_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_feed": q_cdc_feed,
+        "cdc_dedup": q_cdc_dedup,
+        "cdc_lww_final_state": q_cdc_lww_final_state,
+        "cdc_lake_replay": q_cdc_lake_replay,
+        "cdc_repo_stats": q_cdc_repo_stats,
+        "gap_sessions": q_gap_sessions,
+        "state_boundaries": q_state_boundaries,
+        "flow_fragments": q_flow_fragments,
+        "visibility_change": q_visibility_change,
+        "fragment_summary": q_fragment_summary,
+        "mode_event_type": q_mode_event_type,
+        "duration_weighted_value": q_duration_weighted_value,
+        "time_partition_counts": q_time_partition_counts,
+        "salted_event_stats": q_salted_event_stats,
+        "resample_buckets": q_resample_buckets,
+        "hampel_outliers": q_hampel_outliers,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_brands_by_revenue": q_top_brands_by_revenue,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_bucketed": q_embedding_ann_bucketed,
+        # rows-only (non-SQL-expressible: stateful/iterative/binary kernels)
+        "viterbi_states": q_viterbi_states,
+        "simhash_neardups": q_simhash_neardups,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    feed = changefeed_sql(N_FEED, dialect="duckdb")
+    final = final_state_sql(N_FEED, dialect="duckdb")
+    stop_list = "['the','a','an','and','of','to','in','is','it','that']"
+    return {
+        "cdc_feed": feed,
+        "cdc_dedup": f"SELECT DISTINCT * FROM ({feed}) f",
+        "cdc_lww_final_state": final,
+        "cdc_lake_replay": final,
+        "cdc_repo_stats": f"""
+            SELECT repo, COUNT(path) AS n_files, MAX(seq) AS max_seq
+            FROM ({final}) fs GROUP BY repo""",
+        "gap_sessions": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            b AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                                  OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS nb
+                  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+            s AS (SELECT *, concat(user_id, '#', CAST(
+                      sum(nb) OVER (PARTITION BY user_id ORDER BY es
+                                    ROWS UNBOUNDED PRECEDING) AS VARCHAR)) AS session_id
+                  FROM b)
+            SELECT session_id, min(user_id) AS user_id, COUNT(*) AS n_events,
+                   MIN(es) AS t_start, MAX(es) AS t_end
+            FROM s GROUP BY session_id""",
+        "state_boundaries": f"""
+            WITH ev AS (SELECT * FROM {_EV})
+            SELECT user_id, CAST(SUM(CASE WHEN p IS NULL OR p <> event_type
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_state_changes
+            FROM (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id ORDER BY es) AS p
+                  FROM ev) x GROUP BY user_id""",
+        "flow_fragments": f"""
+            WITH ev AS (SELECT * FROM {_EV})
+            SELECT user_id,
+                   concat(user_id, '#', CAST(pts AS VARCHAR), '_', CAST(es AS VARCHAR)) AS track_id,
+                   pts AS ts_start, es AS ts_end, es - pts AS duration,
+                   round(value - pv, 6) AS value_delta,
+                   round((value + pv) / 2, 6) AS value_avg
+            FROM (SELECT user_id, es, value,
+                         lag(es) OVER w AS pts, lag(value) OVER w AS pv
+                  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)) x
+            WHERE pts IS NOT NULL""",
+        "visibility_change": f"""
+            WITH ev AS (SELECT * FROM {_EV})
+            SELECT event_id, user_id,
+                   CASE WHEN (p IS NULL OR es - p > 1800)
+                             AND (nx IS NULL OR nx - es > 1800) THEN 'appear_disappear'
+                        WHEN p IS NULL OR es - p > 1800 THEN 'appear'
+                        WHEN nx IS NULL OR nx - es > 1800 THEN 'disappear'
+                   END AS visibility_change
+            FROM (SELECT event_id, user_id, es,
+                         lag(es) OVER w AS p, lead(es) OVER w AS nx
+                  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)) x""",
+        "fragment_summary": """
+            SELECT user_id, CAST(NULL AS BIGINT) AS event_id,
+                   'error_summary' AS event_type,
+                   round(SUM(value), 6) AS value, COUNT(*) AS n_collapsed
+            FROM events WHERE event_type = 'error' GROUP BY user_id
+            UNION ALL
+            SELECT user_id, event_id, event_type, round(value, 6) AS value,
+                   1 AS n_collapsed
+            FROM events WHERE event_type <> 'error'""",
+        "mode_event_type": """
+            SELECT user_id, event_type AS mode_event_type
+            FROM (SELECT user_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY COUNT(*) DESC, event_type DESC) AS rn
+                  FROM events GROUP BY user_id, event_type) x
+            WHERE rn = 1""",
+        "duration_weighted_value": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            d AS (SELECT user_id, value,
+                         es - lag(es) OVER (PARTITION BY user_id
+                                            ORDER BY es, event_id) AS dur
+                  FROM ev)
+            SELECT user_id, round(SUM(value * dur) / SUM(dur), 6) AS w_avg_value,
+                   CAST(SUM(dur) AS BIGINT) AS total_dur
+            FROM d WHERE dur IS NOT NULL AND dur > 0 GROUP BY user_id""",
+        "time_partition_counts": """
+            SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS partition_day,
+                   COUNT(*) AS n, round(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1""",
+        "salted_event_stats": """
+            SELECT event_type, COUNT(event_id) AS n,
+                   round(SUM(value), 4) AS sum_value
+            FROM events GROUP BY event_type""",
+        "resample_buckets": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            s AS (SELECT user_id, value, concat(user_id, '#', CAST(
+                      CAST(floor((es - min(es) OVER (PARTITION BY user_id ORDER BY es
+                           ROWS UNBOUNDED PRECEDING)) / 3600.0) AS BIGINT) AS VARCHAR))
+                      AS sample_id
+                  FROM ev)
+            SELECT sample_id, min(user_id) AS user_id, COUNT(*) AS n,
+                   round(AVG(value), 6) AS avg_value
+            FROM s GROUP BY sample_id""",
+        "hampel_outliers": f"""
+            WITH ev AS (SELECT * FROM {_EV})
+            SELECT event_id, user_id, value,
+                   abs(value - med) > 10.0 AS is_outlier
+            FROM (SELECT event_id, user_id, value,
+                         list_sort(list(value) OVER (PARTITION BY user_id ORDER BY es
+                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+                             [CAST((len(list(value) OVER (PARTITION BY user_id ORDER BY es
+                                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) + 1) / 2 AS INT)]
+                             AS med
+                  FROM ev) x""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice), 2) AS sum_base_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "revenue_by_nation": """
+            SELECT n_name AS nation, r_name AS region,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name""",
+        "top_brands_by_revenue": """
+            SELECT p_brand, revenue, CAST(rank AS INT) AS rank
+            FROM (SELECT p_brand,
+                         round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                         row_number() OVER (
+                             ORDER BY round(SUM(l_extendedprice * (1 - l_discount)), 2)
+                                 DESC, p_brand ASC) AS rank
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  GROUP BY p_brand) x
+            WHERE rank <= 5""",
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0
+                         THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks)
+                         ELSE 0.0 END, 4) AS avg_token_len,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, t -> list_contains({stop_list}, lower(t))))
+                              * 1.0 / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                              * 1.0 / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+                   round(
+                     (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN len(toks) > 0
+                           THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks) ELSE 0.0 END)
+                           BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN length(text) > 0
+                           THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                * 1.0 / length(text) ELSE 0.0 END) <= 0.2
+                           THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN len(toks) > 0
+                           THEN len(list_filter(toks, t -> list_contains({stop_list}, lower(t))))
+                                * 1.0 / len(toks) ELSE 0.0 END) >= 0.01
+                           THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) d""",
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN len(toks) > 0 AND
+                        len(list_filter(toks, t -> list_contains({stop_list}, lower(t))))
+                            * 1.0 / len(toks) >= 0.02
+                        THEN 'en' ELSE 'unk' END AS lang_pred
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d""",
+        "exact_dedup_docs": """
+            SELECT sha256(prefix) AS content_key, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_dups
+            FROM (SELECT doc_id, substr(text, 1, 30) AS prefix FROM documents) d
+            GROUP BY sha256(prefix) HAVING COUNT(*) > 1""",
+        "doc_fingerprint": f"""
+            SELECT doc_id, list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min')
+                   AS fingerprint
+            FROM documents""",
+        "minhash_signatures": f"""
+            SELECT doc_id,
+                   list_aggregate(list_transform(sh, s -> md5('0|' || s)), 'min') AS m0,
+                   list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS m1,
+                   list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS m2,
+                   list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS m3
+            FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents) d""",
+        "minhash_lsh_pairs": f"""
+            WITH sig AS (
+              SELECT doc_id,
+                     list_aggregate(list_transform(sh, s -> md5('0|' || s)), 'min') AS m0,
+                     list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS m1,
+                     list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS m2,
+                     list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS m3
+              FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents) d),
+            banded AS (
+              SELECT doc_id AS _id, 0 AS _band, concat(m0, '_', m1) AS _sig FROM sig
+                WHERE concat(m0, '_', m1) <> ''
+              UNION ALL
+              SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+                WHERE concat(m2, '_', m3) <> '')
+            SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_bands_shared
+            FROM banded a JOIN banded b
+              ON a._band = b._band AND a._sig = b._sig AND a._id < b._id
+            GROUP BY a._id, b._id""",
+        "ngram_jaccard_pairs": f"""
+            WITH d AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents
+                       WHERE doc_id < 200),
+            ex AS (SELECT doc_id AS _id, unnest(sh) AS _sh FROM d),
+            sizes AS (SELECT _id, COUNT(*) AS _sz FROM ex GROUP BY _id),
+            inter AS (SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS _i
+                      FROM ex a JOIN ex b ON a._sh = b._sh AND a._id < b._id
+                      GROUP BY a._id, b._id)
+            SELECT id_a, id_b,
+                   round(_i * 1.0 / (sa._sz + sb._sz - _i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa._id = id_a
+            JOIN sizes sb ON sb._id = id_b
+            WHERE _i * 1.0 / (sa._sz + sb._sz - _i) >= 0.2""",
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 20),
+            sims AS (SELECT query_id, e.vec_id AS neighbor_id,
+                            round(list_cosine_similarity(
+                                CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 2)
+                                AS cosine
+                     FROM embeddings e CROSS JOIN q
+                     WHERE e.vec_id <> query_id)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM sims) x
+            WHERE rank <= 3""",
+        "embedding_ann_bucketed": """
+            WITH cells AS (
+              SELECT vec_id, embedding,
+                     concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS cell
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells
+                  WHERE vec_id < 20),
+            sims AS (SELECT query_id, c.vec_id AS neighbor_id,
+                            round(list_cosine_similarity(
+                                CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 2)
+                                AS cosine
+                     FROM cells c JOIN q ON c.cell = q.cell
+                     WHERE c.vec_id <> query_id)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM sims) x
+            WHERE rank <= 3""",
+    }

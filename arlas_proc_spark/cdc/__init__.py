@@ -1,2 +1,8 @@
-from arlas_proc_spark.cdc.engine import CdcEngine, EVENT_SCHEMA, prepare_events  # noqa: F401
+from arlas_proc_spark.cdc.engine import (  # noqa: F401
+    EVENT_SCHEMA,
+    CdcEngine,
+    lww_compact,
+    lww_resolve,
+    prepare_events,
+)
 from arlas_proc_spark.cdc.salting import salted_agg, with_salt  # noqa: F401

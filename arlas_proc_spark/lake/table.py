@@ -47,7 +47,6 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType
-from pyspark.sql.window import Window
 
 from arlas_proc_spark.lake.schema_evolution import align_to_schema, evolve_schema
 
@@ -164,7 +163,8 @@ class LakeTable:
     # ----------------------------------------------------------------- merge
     def merge_batch(self, batch: DataFrame, batch_id: int | str, *,
                     op_col: str = "op", delete_value: str = "delete",
-                    collect_metrics: bool = True) -> dict:
+                    collect_metrics: bool = True,
+                    assume_all_buckets: bool = False) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         Semantics (Iceberg ``MERGE INTO t USING s ON key``):
@@ -200,18 +200,14 @@ class LakeTable:
             snap["schema"] = json.loads(new_schema.json())
             table_schema = new_schema
 
-        # 2. dedup (key, commit) + LWW inside the batch (deterministic)
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.col(seq_col).desc(), F.col("commit").desc())
-        resolved = (
-            batch.dropDuplicates([*key_cols, "commit"])
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn")
-        )
-
-        # 3. touched buckets (tiny collect: ≤ n_buckets ints)
-        resolved = resolved.withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
-        touched = [r[0] for r in resolved.select(_BUCKET).distinct().collect()]
+        # 2. touched buckets (tiny aggregation: ≤ n_buckets groups, map-side
+        #    partials — no wide shuffle). Full-log replays skip the scan
+        #    entirely (assume_all_buckets): one fewer pass over the feed.
+        resolved = batch.withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
+        if assume_all_buckets:
+            touched = list(range(n_buckets))
+        else:
+            touched = [r[0] for r in resolved.select(_BUCKET).distinct().collect()]
 
         # 4. combine with existing rows (incl. delete tombstones — they must
         #    out-rank later-arriving stale inserts); new wins seq ties
@@ -234,12 +230,19 @@ class LakeTable:
             0)
         incoming = _project(resolved, F.col(op_col), 1)
         combined = existing.unionByName(incoming)
-        w2 = Window.partitionBy(*key_cols).orderBy(
-            F.col(seq_col).desc(), F.col("_is_new").desc())
-        winners = (
-            combined.withColumn("_rn", F.row_number().over(w2))
-            .where(F.col("_rn") == 1)
-        )
+        # argmax per key instead of a window sort: max(struct) with ordering
+        # fields first is a declarative aggregate — whole-stage codegen +
+        # map-side partials, so duplicate deliveries and multi-event keys
+        # collapse BEFORE the shuffle (a window would sort every partition
+        # fully; max_by is imperative and ~3x slower). Dedup by (key,commit)
+        # is subsumed: duplicate rows are identical. Order: seq desc, then
+        # commit desc, then new-over-existing (deterministic LWW, matching
+        # the replay oracle's ORDER BY seq DESC, commit DESC).
+        ord_first = [seq_col, "commit", "_is_new"]
+        ordered = ord_first + [c for c in combined.columns if c not in ord_first]
+        winners = (combined.groupBy(*key_cols)
+                   .agg(F.max(F.struct(*ordered)).alias("_w"))
+                   .select("_w.*"))
         # deletes persist as tombstone rows (compaction may drop them once
         # no lower-seq event can still arrive)
         out = winners.select(
@@ -316,6 +319,40 @@ class LakeTable:
         snap["version"] = version
         metrics = {"batch_id": str(batch_id), "overwrite": True}
         _ledger_add(snap["ledger"], str(batch_id), metrics)
+        self._commit_snapshot(snap, expected_version=version - 1)
+        return metrics
+
+    # ------------------------------------------------------------ compaction
+    def compact(self, *, max_files_per_bucket: int = 4,
+                tombstone_horizon_seq: int | None = None,
+                batch_id: str | None = None) -> dict:
+        """Rewrite fragmented buckets (more than ``max_files_per_bucket``
+        files) into one file each; optionally GC delete tombstones whose seq
+        is at/below ``tombstone_horizon_seq`` (safe once no event with a
+        lower seq can still arrive — the stream's low-watermark).
+
+        One atomic snapshot commit; untouched buckets keep their files
+        (Iceberg's rewrite_data_files semantics)."""
+        snap = self.snapshot()
+        n_buckets = snap["n_buckets"]
+        victims = [int(b) for b, fs in snap["buckets"].items()
+                   if len(fs) > max_files_per_bucket]
+        if not victims:
+            return {"compacted_buckets": 0}
+        df = self.read(victims, snapshot=snap, with_tombstones=True)
+        if tombstone_horizon_seq is not None:
+            df = df.where(~(F.coalesce(F.col(_TOMB), F.lit(False)) &
+                            (F.col(snap["seq_col"]) <= tombstone_horizon_seq)))
+        out = df.withColumn(_BUCKET, bucket_expr(snap["key_cols"], n_buckets))
+        version = snap["version"] + 1
+        schema_v = max(int(v) for v in snap["schemas"])
+        staged = self._write_bucket_files(out, version, schema_v, n_buckets)
+        for b in victims:
+            snap["buckets"][str(b)] = staged.get(b, [])
+        snap["version"] = version
+        metrics = {"compacted_buckets": len(victims),
+                   "batch_id": batch_id or f"compact-{version}"}
+        _ledger_add(snap["ledger"], metrics["batch_id"], metrics)
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 

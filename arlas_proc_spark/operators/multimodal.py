@@ -1,0 +1,111 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Spark-side contract (real and tested): media rows are
+``(id, media_type, payload binary, meta struct)``; decode / feature
+extraction run as Arrow-batched ``mapInPandas`` so each task streams
+record batches and never materializes a partition of blobs. The actual
+codec calls are STUBBED (no image/audio libs in this container) behind
+``decoder=`` hooks — ``deterministic_fake_decoder`` keeps the pipeline
+runnable + testable; plugging Pillow/librosa in production changes only
+that callable, not the plan shape.
+
+Partitioning guidance at 100 TB: blobs dominate bytes — repartition by a
+size-balanced key (e.g. pmod(hash(id), N)) BEFORE the decode stage,
+keep maxPartitionBytes low for blob tables, and project metadata columns
+without touching payload (Parquet column pruning keeps blob IO zero for
+metadata-only queries — verified in tests via ReadSchema).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),   # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+])
+
+FEATURE_DIM = 8
+
+
+def real_decoder(payload: bytes, media_type: str) -> np.ndarray:
+    """Where Pillow/torchaudio/pyav would go. Not available here."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "pass decoder=deterministic_fake_decoder or a real codec")
+
+
+def deterministic_fake_decoder(payload: bytes, media_type: str) -> np.ndarray:
+    """Stands in for decode+embed: an 8-dim feature derived from the blob's
+    sha256 — deterministic, so tests can assert exact values."""
+    h = hashlib.sha256(payload or b"").digest()
+    return (np.frombuffer(h[:FEATURE_DIM * 4], dtype=np.uint32)
+            .astype(np.float64) / 2**32)
+
+
+def make_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        mt = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
+        rows.append((i, mt, bytearray(payload),
+                     64 + i % 8 if mt == "image" else None,
+                     48 + i % 8 if mt == "image" else None,
+                     float(i % 30) if mt != "image" else None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(df: DataFrame,
+                     decoder: Callable[[bytes, str], np.ndarray] = real_decoder,
+                     batch_hint: int = 256) -> DataFrame:
+    """payload → fixed-dim feature vector via mapInPandas (Arrow batches).
+
+    Output: media_id, media_type, feature array<double>, payload_sha256.
+    The kernel sees pandas batches — one Python call per ~batch_hint rows,
+    never per row."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("payload_sha256", T.StringType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(p, t).tolist()
+                     for p, t in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "feature": feats,
+                "payload_sha256": [
+                    hashlib.sha256(bytes(p or b"")).hexdigest()
+                    for p in pdf["payload"]],
+            })
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        kernel, schema=out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Video frame-sampling *plan*: one row per frame to extract
+    (media_id, frame_t). The decode itself is the stubbed kernel; the plan
+    is pure expressions (sequence + explode)."""
+    frames = F.sequence(F.lit(0),
+                        F.floor(F.col("duration_s") / F.lit(every_s)).cast("int"))
+    return (df.where(F.col("media_type") == "video")
+            .select("media_id",
+                    F.explode(frames).alias("frame_idx"))
+            .withColumn("frame_t", F.col("frame_idx") * F.lit(every_s)))

@@ -1,0 +1,90 @@
+"""Text analysis for training-data pipelines over the documents table.
+
+All pure `pyspark.sql.functions` expressions (JVM-side, codegen'd) so they
+survive 100 TB: tokenization by regex split, quality ratios, n-gram
+shingles, language-ID heuristic, fingerprinting. The shapes mirror what a
+pretraining-data pipeline needs (dedup keys, quality filters, token
+budgets); the reference analog is the scalar-function layer of SURVEY §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arlas_proc_spark.operators.base import require_columns
+
+# tiny embedded stopword list — enough for a ratio feature and en-detection
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND
+    alpha/digit/punct boundaries — a cheap, deterministic BPE proxy."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(
+        F.split(c, r"(\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?<=[\w])(?=[^\w\s])|(?<=[^\w\s])(?=[\w]))"),
+        lambda t: t != ""))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc stats: n_chars, n_tokens, avg_token_len, stopword_ratio,
+    punct_ratio, and a composite quality score in [0,1]."""
+    require_columns(df, text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    avg_tok = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_tok >= 2) & (avg_tok <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return (df.withColumn("n_chars_calc", n_chars.cast("long"))
+              .withColumn("n_tokens", n_tok.cast("long"))
+              .withColumn("avg_token_len", F.round(avg_tok, 4).cast("double"))
+              .withColumn("stopword_ratio", F.round(stop_ratio, 4).cast("double"))
+              .withColumn("punct_ratio", F.round(punct_ratio, 4).cast("double"))
+              .withColumn("quality_score", F.round(quality, 2).cast("double")))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """N-gram-free language-ID heuristic: English if enough stopword mass,
+    else 'unk'. Deliberately simple + fully deterministic/portable."""
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.when(ratio >= 0.02, "en").otherwise("unk"))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as 'w1 w2 w3' strings (distinct)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3,
+                     out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint = lexicographic min of md5(shingle) — a
+    1-permutation MinHash; identical-content docs collide, near-identical
+    docs collide with prob ≈ Jaccard."""
+    sh = shingles(text_col, n)
+    return df.withColumn(
+        out_col,
+        F.array_min(F.transform(sh, lambda s: F.md5(s))))

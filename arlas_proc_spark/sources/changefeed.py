@@ -85,12 +85,17 @@ FROM (
 
 def changefeed_sql(n_events: int, *, n_repos: int = 50, files_per_repo: int = 200,
                    hot_pct: int = 30, dup_mod: int = 17, dialect: str = "duckdb",
-                   with_dups: bool = True) -> str:
-    """SQL producing the change feed; dialect ∈ {'spark', 'duckdb'}."""
+                   with_dups: bool = True, slices: int | None = None) -> str:
+    """SQL producing the change feed; dialect ∈ {'spark', 'duckdb'}.
+
+    ``slices`` (spark only) sets the range TVF's split count so generation
+    parallelizes WITHOUT a repartition shuffle — at 10^10 events a
+    repartition of the generated feed would be a multi-TB disk shuffle."""
     sha_fn = "sha2" if dialect == "spark" else "sha256"
     body = _body(n_events, n_repos, files_per_repo, hot_pct, dup_mod, sha_fn, with_dups)
     if dialect == "spark":
-        rng = f"(SELECT id AS seq FROM range({n_events}))"
+        rng = (f"(SELECT id AS seq FROM range(0, {n_events}, 1, {slices}))"
+               if slices else f"(SELECT id AS seq FROM range({n_events}))")
     else:
         rng = f"(SELECT range AS seq FROM range({n_events}))"
     return body.replace("__RANGE__", rng)
@@ -99,14 +104,12 @@ def changefeed_sql(n_events: int, *, n_repos: int = 50, files_per_repo: int = 20
 def changefeed_df(spark: SparkSession, n_events: int, *, n_repos: int = 50,
                   files_per_repo: int = 200, hot_pct: int = 30, dup_mod: int = 17,
                   with_dups: bool = True, parallelism: int | None = None) -> DataFrame:
-    """The change feed as a lazy Spark DataFrame (never driver-materialized)."""
+    """The change feed as a lazy Spark DataFrame (never driver-materialized).
+    ``parallelism`` maps to range-TVF slices (shuffle-free split)."""
     sql = changefeed_sql(n_events, n_repos=n_repos, files_per_repo=files_per_repo,
                          hot_pct=hot_pct, dup_mod=dup_mod, dialect="spark",
-                         with_dups=with_dups)
-    df = spark.sql(sql)
-    if parallelism:
-        df = df.repartition(parallelism)
-    return df
+                         with_dups=with_dups, slices=parallelism)
+    return spark.sql(sql)
 
 
 def final_state_sql(n_events: int, *, n_repos: int = 50, files_per_repo: int = 200,

@@ -1,0 +1,104 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = CDC ingest: replay a deterministic change feed (generated at a
+size scaled to the SF dir) through LWW resolution + vectorized hashing +
+the snapshot lake MERGE, plus representative operator queries at
+$SPARK_GRAFT_SF_DIR. Extra keys carry events/sec throughput.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_EVENTS (override feed size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arlas_proc_spark.config import build_session  # noqa: E402
+
+
+def _materialize(df) -> int:
+    """Run the full plan; cheap sink (noop) would hide row count, use count
+    via agg to keep one job."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+
+    spark = build_session(app_name="arlas_proc_spark-bench",
+                          master=f"local[{cpus}]",
+                          shuffle_partitions=cpus)
+
+    import __spark_entry__ as entry
+    from arlas_proc_spark.cdc.engine import CdcEngine, lww_resolve, prepare_events
+    from arlas_proc_spark.sources.changefeed import changefeed_df
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- CDC headline: full replay through the lake (MERGE + snapshot) ---
+    tmp = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        feed = changefeed_df(spark, n_events, parallelism=cpus * 2)
+        engine = CdcEngine(spark, f"{tmp}/table", n_buckets=cpus,
+                           collect_metrics=False)
+        t0 = time.time()
+        engine.replay(feed)
+        dt = time.time() - t0
+        timings["cdc_replay_to_lake"] = round(dt, 3)
+        extras["cdc_replay_events_per_sec"] = round(n_events / dt, 1)
+        extras["cdc_replay_events"] = n_events
+
+        # incremental merge batch (read-modify-write against existing state)
+        inc = changefeed_df(spark, n_events // 10, parallelism=cpus)
+        t0 = time.time()
+        engine.apply_batch(inc.withColumn("seq", inc.seq + n_events), "inc-1")
+        dt = time.time() - t0
+        timings["cdc_incremental_merge"] = round(dt, 3)
+        extras["cdc_incremental_events_per_sec"] = round(n_events / 10 / dt, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- pure LWW + vectorized hash (no table IO) ---
+    t0 = time.time()
+    _materialize(prepare_events(lww_resolve(changefeed_df(spark, n_events,
+                                                          parallelism=cpus * 2))))
+    timings["cdc_lww_resolve"] = round(time.time() - t0, 3)
+
+    # --- representative operator queries at the SF dir ---
+    qs = entry.queries()
+    for name in ["gap_sessions", "flow_fragments", "fragment_summary",
+                 "pricing_summary", "revenue_by_nation", "salted_event_stats",
+                 "hampel_outliers", "text_stats", "minhash_signatures",
+                 "embedding_topk", "viterbi_states"]:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "cdc_ingest_and_operator_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Mimics the driver's correctness gate: for every queries() entry with an
+oracle_sql(), run both at sf0.001 and compare row count + column names +
+values (order-insensitive), like CORRECTNESS_r{N}.json does at sf0.01."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def _normalize(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(_norm_cell(v) for v in row)
+            for row in pdf[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows)
+
+
+ORACLES = entrymod.oracle_sql()
+ALL = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    spark_df = ALL[name](spark, SF_DIR).toPandas()
+    oracle_df = ddb.execute(ORACLES[name]).fetchdf()
+    scols, srows = _normalize(spark_df)
+    ocols, orows = _normalize(oracle_df)
+    assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), \
+        f"{name}: row count {len(srows)} vs {len(orows)}"
+    if srows != orows:
+        diff = [(a, b) for a, b in zip(srows, orows) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = ALL[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,177 @@
+"""Operator unit tests with independently computed golden values
+(reference test model: golden-DataFrame equality, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arlas_proc_spark.cdc.salting import salted_agg
+from arlas_proc_spark.operators.base import ColumnContractError, require_columns
+from arlas_proc_spark.operators.dedup_fuzzy import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from arlas_proc_spark.operators.hmm import viterbi_decode, with_hmm_states
+from arlas_proc_spark.operators.multimodal import (
+    deterministic_fake_decoder,
+    extract_features,
+    frame_sample_plan,
+    make_media_df,
+    real_decoder,
+)
+from arlas_proc_spark.operators.sessionize import with_gap_sessions, with_state_id
+
+
+def test_require_columns_raises(spark):
+    df = spark.createDataFrame([(1,)], ["a"])
+    with pytest.raises(ColumnContractError):
+        require_columns(df, "a", "b")
+
+
+def test_with_state_id_forward_fill(spark):
+    rows = [("u", 1, "A"), ("u", 2, "A"), ("u", 3, "B"), ("u", 4, "B"), ("u", 5, "A")]
+    df = spark.createDataFrame(rows, ["id", "ts", "state"])
+    got = {r.ts: r.state_id for r in
+           with_state_id(df, "id", "ts", "state").collect()}
+    assert got == {1: "u#1", 2: "u#1", 3: "u#3", 4: "u#3", 5: "u#5"}
+
+
+def test_gap_sessions_golden(spark):
+    rows = [("u", 0), ("u", 10), ("u", 2000), ("u", 2010), ("v", 5)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    got = {(r.id, r.ts): r.session_id for r in
+           with_gap_sessions(df, "id", "ts", gap=100).collect()}
+    assert got == {("u", 0): "u#1", ("u", 10): "u#1",
+                   ("u", 2000): "u#2", ("u", 2010): "u#2", ("v", 5): "v#1"}
+
+
+# ------------------------------------------------------------------- HMM
+
+
+def test_viterbi_known_sequence():
+    model = {"states": ["LO", "HI"], "start": [0.5, 0.5],
+             "trans": [[0.9, 0.1], [0.1, 0.9]],
+             "emission": {"means": [0.0, 10.0], "stds": [1.0, 1.0]}}
+    obs = np.array([0.1, 0.2, 9.9, 10.2, 10.0, 0.0])
+    assert viterbi_decode(obs, model) == ["LO", "LO", "HI", "HI", "HI", "LO"]
+
+
+def test_hmm_parallelism_and_order_invariance(spark):
+    """Same decode regardless of input partitioning/ordering (reference:
+    HmmProcessorTest.scala:90-120)."""
+    import random
+    rng = random.Random(7)
+    rows = [("k", t, 0.3 if (t // 50) % 2 == 0 else 9.5) for t in range(200)]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    df1 = spark.createDataFrame(rows, ["id", "ts", "v"]).repartition(1)
+    df2 = spark.createDataFrame(shuffled, ["id", "ts", "v"]).repartition(7)
+    r1 = {r.ts: r.hmm_state for r in with_hmm_states(df1, "id", "ts", "v").collect()}
+    r2 = {r.ts: r.hmm_state for r in with_hmm_states(df2, "id", "ts", "v").collect()}
+    assert r1 == r2
+    assert r1[0] == "STILL" and r1[60] == "MOVE"
+
+
+def test_hmm_chunking_bounds_groups(spark):
+    rows = [("k", t, 1.0) for t in range(100)]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = with_hmm_states(df, "id", "ts", "v", chunk_size=10)
+    assert out.count() == 100  # all rows survive chunked decoding
+
+
+# ------------------------------------------------------------ fuzzy dedup
+
+
+@pytest.fixture()
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup
+        (2, base.replace("today", "tomorrow")),      # near dup
+        (3, "completely different words about spark engines and shuffles"),
+        (4, "another unrelated document mentioning catalysts and pushdown"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_jaccard_finds_near_dups(near_dup_docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(near_dup_docs, "doc_id", "text",
+                                          threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_candidates(near_dup_docs):
+    cand = {(r.id_a, r.id_b) for r in
+            minhash_lsh_pairs(near_dup_docs, "doc_id", "text", k=8, bands=4).collect()}
+    assert (0, 1) in cand     # exact dup always collides
+    assert (0, 2) in cand     # high-jaccard near dup collides in ≥1 band
+    assert (0, 3) not in cand
+
+
+def test_simhash_near_dups(near_dup_docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_near_dups(near_dup_docs, "doc_id", "text",
+                             prefix_bits=4).collect()}
+    assert got.get((0, 1)) == 0  # identical text → identical simhash
+    if (0, 2) in got:
+        assert got[(0, 2)] <= 16  # near dup → few differing bits
+
+
+# -------------------------------------------------------------- salting
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = spark.createDataFrame(
+        [("a", i * 1.0) for i in range(100)] + [("b", 5.0)], ["k", "v"])
+    got = {r.k: (r.n, r.s, r.mx) for r in salted_agg(
+        df, ["k"], {"n": ("count", "v"), "s": ("sum", "v"), "mx": ("max", "v")},
+        n_salts=8).collect()}
+    assert got["a"] == (100, sum(range(100)) * 1.0, 99.0)
+    assert got["b"] == (1, 5.0, 5.0)
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_extract_features_deterministic(spark):
+    media = make_media_df(spark, n=12)
+    out = extract_features(media, decoder=deterministic_fake_decoder)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 12
+    import hashlib
+    payload0 = hashlib.sha256(b"media0").digest() * 8
+    assert rows[0].payload_sha256 == hashlib.sha256(payload0).hexdigest()
+    expect = deterministic_fake_decoder(payload0, "image")
+    assert np.allclose(rows[0].feature, expect)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"x", "image")
+
+
+def test_frame_sample_plan(spark):
+    media = make_media_df(spark, n=12)
+    plan = frame_sample_plan(media, every_s=2.0)
+    vids = {r.media_id for r in plan.collect()}
+    assert vids  # only video rows
+    one = plan.where("media_id = 2").orderBy("frame_idx").collect()
+    assert [r.frame_t for r in one] == [i * 2.0 for i in range(len(one))]
+
+
+def test_metadata_query_prunes_payload(spark):
+    """Column pruning: a metadata-only projection must not read the blob
+    column (ReadSchema excludes payload)."""
+    import tempfile
+    d = tempfile.mkdtemp()
+    make_media_df(spark, n=8).write.mode("overwrite").parquet(d)
+    q = spark.read.parquet(d).select("media_id", "media_type", "width")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan
