@@ -44,7 +44,7 @@ import time
 import uuid
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType
 
@@ -243,16 +243,17 @@ class LakeTable:
         winners = (combined.groupBy(*key_cols)
                    .agg(F.max(F.struct(*ordered)).alias("_w"))
                    .select("_w.*"))
-        # deletes persist as tombstone rows (compaction may drop them once
-        # no lower-seq event can still arrive)
-        out = winners.select(
-            *[f.name for f in table_schema.fields],
-            (F.col(op_col) == delete_value).alias(_TOMB), _BUCKET)
 
-        # 5. metrics in ONE aggregation pass (optional: costs a 2nd action)
+        # 5. metrics ride the write action itself via Observation — zero
+        #    extra pass (a separate .agg() would re-execute the whole merge
+        #    plan, including any upstream streaming state-store scan).
+        #    Attached to winners, which still carries _is_new/op.
         metrics = {"batch_id": bid, "buckets_touched": len(touched)}
+        obs = None
         if collect_metrics:
-            m = winners.agg(
+            obs = Observation()
+            winners = winners.observe(
+                obs,
                 F.sum(F.when((F.col("_is_new") == 1) &
                              (F.col(op_col) != delete_value), 1).otherwise(0)
                       ).alias("rows_upserted"),
@@ -260,17 +261,25 @@ class LakeTable:
                              (F.col(op_col) == delete_value), 1).otherwise(0)
                       ).alias("rows_deleted"),
                 F.count(F.lit(1)).alias("keys_considered"),
-            ).collect()[0]
-            metrics.update({
-                "rows_upserted": int(m["rows_upserted"] or 0),
-                "rows_deleted": int(m["rows_deleted"] or 0),
-                "keys_considered": int(m["keys_considered"] or 0),
-            })
+            )
+
+        # deletes persist as tombstone rows (compaction may drop them once
+        # no lower-seq event can still arrive)
+        out = winners.select(
+            *[f.name for f in table_schema.fields],
+            (F.col(op_col) == delete_value).alias(_TOMB), _BUCKET)
 
         # 6. write new files for touched buckets (repartition by bucket so
         #    each bucket lands in few files), then commit atomically
         version = snap["version"] + 1
         staged = self._write_bucket_files(out, version, schema_v, n_buckets)
+        if obs is not None:
+            got = obs.get
+            metrics.update({
+                "rows_upserted": int(got["rows_upserted"] or 0),
+                "rows_deleted": int(got["rows_deleted"] or 0),
+                "keys_considered": int(got["keys_considered"] or 0),
+            })
         for b in touched:
             snap["buckets"][str(b)] = staged.get(int(b), [])
         snap["version"] = version

@@ -64,7 +64,16 @@ class StreamingIngest:
         events = self.events_stream(wal_dir, max_files_per_trigger)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
-            self.engine.apply_batch(batch_df, batch_id)
+            # persist: apply_batch runs >1 action (bucket discovery + write)
+            # and without a cache each action would re-execute the whole
+            # micro-batch plan INCLUDING the state-store dedup scan
+            batch_df.persist()
+            try:
+                if batch_df.isEmpty():
+                    return  # availableNow often ends with an empty batch
+                self.engine.apply_batch(batch_df, batch_id)
+            finally:
+                batch_df.unpersist()
 
         writer = (events.writeStream
                   .foreachBatch(_apply)

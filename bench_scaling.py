@@ -5,9 +5,17 @@ same job runs at two parallelism levels — local[8] (N) and local[32] (4N)
 — on the same deterministic input; we report events/sec at both and
 efficiency = (throughput_4N / throughput_N) / 4.
 
-The job is the engine's headline path: generate the change feed, resolve
-LWW per key, vectorized sha256, MERGE into the snapshot lake table. Each
-level runs in a fresh subprocess so JVM/GC state can't leak between runs.
+Measurement protocol (the sandbox shares physical CPUs with neighbors, so
+single-shot timings drift badly — observed 10x wall-time variance on
+identical jobs):
+- each level runs in its own JVM (no GC/codegen leakage),
+- each child warms up first (a small replay compiles every codegen path),
+- levels run INTERLEAVED (N, 4N, N, 4N) and each level's throughput is the
+  MIN wall time across rounds, so slow external drift cannot bias one level.
+
+The job is the engine's headline path: generate the change feed (~400k
+distinct keys, hot-repo skew, duplicate deliveries), LWW-compact, sha256
+via Arrow UDF, MERGE into a fresh snapshot lake table.
 
 Appends results to BENCH/BASELINE.md and prints a JSON line.
 """
@@ -20,7 +28,9 @@ import subprocess
 import sys
 import time
 
-N_EVENTS = int(os.environ.get("SCALE_EVENTS", "24000000"))
+N_EVENTS = int(os.environ.get("SCALE_EVENTS", "48000000"))
+ROUNDS = int(os.environ.get("SCALE_ROUNDS", "2"))
+TIMED_PER_ROUND = 2
 LEVELS = [8, 32]
 
 _CHILD = r"""
@@ -30,44 +40,57 @@ from arlas_proc_spark.config import build_session
 from arlas_proc_spark.cdc.engine import CdcEngine
 from arlas_proc_spark.sources.changefeed import changefeed_df
 
-cpus, n_events = int(sys.argv[1]), int(sys.argv[2])
+cpus, n_events, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 GEN = dict(n_repos=200, files_per_repo=2000)   # ~400k keys: real merge work
 spark = build_session(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_")
+root = tempfile.mkdtemp(prefix=f"scale{cpus}_")
 
-# warmup: a small replay compiles all codegen/JIT paths before timing, so
-# the measurement reflects steady-state throughput, not JVM startup
-warm = CdcEngine(spark, f"{tmp}/warm", n_buckets=cpus, collect_metrics=False)
-warm.replay(changefeed_df(spark, 200_000, parallelism=cpus, **GEN))
+def replay(tag, n):
+    eng = CdcEngine(spark, f"{root}/{tag}", n_buckets=cpus, collect_metrics=False)
+    feed = changefeed_df(spark, n, parallelism=cpus * 2, **GEN)
+    t0 = time.time()
+    eng.replay(feed)
+    return time.time() - t0, eng
 
-feed = changefeed_df(spark, n_events, parallelism=cpus * 2, **GEN)
-engine = CdcEngine(spark, f"{tmp}/table", n_buckets=cpus, collect_metrics=False)
-t0 = time.time()
-engine.replay(feed)
-dt = time.time() - t0
-rows = engine.state().count()
-shutil.rmtree(tmp, ignore_errors=True)
-print(json.dumps({"cpus": cpus, "wall_s": round(dt, 2),
-                  "events_per_sec": round(n_events / dt, 1), "rows": rows}))
+# warmup compiles all codegen/JIT paths before any timing
+replay("warm", 200_000)
+
+best = 1e18
+rows = None
+for r in range(reps):
+    dt, eng = replay(f"t{r}", n_events)
+    best = min(best, dt)
+    rows = eng.state().count()
+shutil.rmtree(root, ignore_errors=True)
+print("RESULT " + json.dumps({"cpus": cpus, "wall_s": round(best, 2),
+    "events_per_sec": round(n_events / best, 1), "rows": rows}))
 spark.stop()
 """
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, reps: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cpus), str(N_EVENTS)],
+        [sys.executable, "-c", _CHILD, str(cpus), str(N_EVENTS), str(reps)],
         capture_output=True, text=True, timeout=3600)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    for ln in out.stdout.splitlines():
+        if ln.startswith("RESULT "):
+            return json.loads(ln[7:])
+    raise RuntimeError(f"child local[{cpus}] failed:\n"
+                       f"{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
 
 
 def main() -> None:
-    results = {c: run_level(c) for c in LEVELS}
-    t_n, t_4n = (results[LEVELS[0]]["events_per_sec"],
-                 results[LEVELS[1]]["events_per_sec"])
+    best: dict[int, dict] = {}
+    for _ in range(ROUNDS):
+        for c in LEVELS:
+            r = run_level(c, TIMED_PER_ROUND)
+            if c not in best or r["wall_s"] < best[c]["wall_s"]:
+                best[c] = r
+    t_n, t_4n = (best[LEVELS[0]]["events_per_sec"],
+                 best[LEVELS[1]]["events_per_sec"])
     eff = round((t_4n / t_n) / (LEVELS[1] / LEVELS[0]), 3)
-    assert results[LEVELS[0]]["rows"] == results[LEVELS[1]]["rows"], \
+    assert best[LEVELS[0]]["rows"] == best[LEVELS[1]]["rows"], \
         "parallelism changed the result!"
     summary = {
         "metric": "cdc_replay_scaling_efficiency",
@@ -75,7 +98,7 @@ def main() -> None:
         f"events_per_sec_local[{LEVELS[0]}]": t_n,
         f"events_per_sec_local[{LEVELS[1]}]": t_4n,
         "scaling_efficiency": eff,
-        "rows_converged": results[LEVELS[0]]["rows"],
+        "rows_converged": best[LEVELS[0]]["rows"],
     }
     print(json.dumps(summary))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -83,15 +106,16 @@ def main() -> None:
     with open("/root/repo/BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## Scaling run {stamp}\n\n"
-            f"Job: changefeed({N_EVENTS:,} events) → LWW → sha256 → lake MERGE "
-            f"(fresh table), same input both levels.\n\n"
+            f"Job: changefeed({N_EVENTS:,} events, ~400k keys, 30% hot-repo "
+            f"skew, dup delivery) → LWW compact → sha256 (Arrow UDF) → lake "
+            f"MERGE (fresh table). Interleaved rounds, min wall per level, "
+            f"warmed JVMs (see bench_scaling.py docstring for why).\n\n"
             f"| level | events/sec | wall s |\n|---|---|---|\n"
-            f"| local[{LEVELS[0]}] (N) | {t_n:,} | {results[LEVELS[0]]['wall_s']} |\n"
-            f"| local[{LEVELS[1]}] (4N) | {t_4n:,} | {results[LEVELS[1]]['wall_s']} |\n\n"
+            f"| local[{LEVELS[0]}] (N) | {t_n:,} | {best[LEVELS[0]]['wall_s']} |\n"
+            f"| local[{LEVELS[1]}] (4N) | {t_4n:,} | {best[LEVELS[1]]['wall_s']} |\n\n"
             f"**Scaling efficiency = ({t_4n:,} / {t_n:,}) / 4 = {eff}**"
-            f" (target ≥ 0.8; single host, shared memory bandwidth — a real"
-            f" 4N-executor cluster adds network shuffle but independent"
-            f" memory/IO lanes)\n")
+            f" (target ≥ 0.8; single shared-memory host — all levels share "
+            f"one memory/IO subsystem, unlike real 4N executors)\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,70 @@
+"""spark-submit entrypoint: tail a WAL directory into a lake table.
+
+Cluster usage (north rule: spark-submit --py-files on multi-executor
+clusters at N and 4N executors):
+
+    cd /root/repo && zip -r /tmp/arlas_proc_spark.zip arlas_proc_spark
+    spark-submit --py-files /tmp/arlas_proc_spark.zip jobs/ingest_job.py \
+        --wal s3://bucket/wal --table s3://bucket/table \
+        --checkpoint s3://bucket/ckpt --buckets 512 --continuous
+
+Local replay (the sandbox mode):
+
+    python jobs/ingest_job.py --wal /tmp/wal --table /tmp/table \
+        --checkpoint /tmp/ckpt --generate 1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arlas_proc_spark.config import build_session  # noqa: E402
+from arlas_proc_spark.streaming.ingest import StreamingIngest  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wal", required=True, help="WAL segment directory to tail")
+    ap.add_argument("--table", required=True, help="lake table path")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--watermark", default="1 hour")
+    ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    ap.add_argument("--continuous", action="store_true",
+                    help="keep tailing (default: process backlog then stop)")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate N synthetic events into --wal first (demo)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="cdc-ingest", master=args.master)
+
+    if args.generate:
+        from arlas_proc_spark.sources.changefeed import write_changefeed_batches
+        write_changefeed_batches(spark, args.wal, args.generate,
+                                 n_batches=max(args.generate // 250_000, 4))
+
+    ing = StreamingIngest(spark, args.table, n_buckets=args.buckets,
+                          watermark=args.watermark)
+    if args.continuous:
+        q = ing.start(args.wal, args.checkpoint,
+                      max_files_per_trigger=args.max_files_per_trigger,
+                      available_now=False)
+        q.awaitTermination()
+    else:
+        ing.run_to_completion(args.wal, args.checkpoint,
+                              max_files_per_trigger=args.max_files_per_trigger,
+                              timeout_s=24 * 3600)
+        for m in ing.engine.lineage():
+            print(json.dumps(m))
+        print(json.dumps({"final_rows": ing.state().count()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

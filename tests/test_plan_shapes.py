@@ -1,0 +1,78 @@
+"""Scale-readiness assertions on PHYSICAL PLANS, not values: pushdown,
+pruning, broadcast, codegen. These are the 100-TB guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from arlas_proc_spark.plans.diagnostics import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    assert_read_schema_excludes,
+    explain_str,
+    plan_report,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushes_to_parquet_scan(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .where(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity"))
+    assert_pushed_filters(df, "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]")
+
+
+def test_projection_prunes_columns(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"))
+    assert_read_schema_excludes(df, "l_extendedprice", "l_shipdate", "l_returnflag")
+
+
+def test_dimension_joins_broadcast(spark):
+    df = entry.q_revenue_by_nation(spark, SF)
+    assert_broadcast_join(df, at_least=2)  # nation + region at minimum
+
+
+def test_lww_stays_in_codegen_without_python(spark):
+    """The LWW resolve path must be pure JVM: no Python eval nodes, partial
+    aggregation present (map-side combine before shuffle)."""
+    from arlas_proc_spark.cdc.engine import lww_resolve
+    from arlas_proc_spark.sources.changefeed import changefeed_df
+    df = lww_resolve(changefeed_df(spark, 1000))
+    rep = plan_report(df)
+    assert rep["python_udfs"] == 0
+    assert rep["codegen_stages"] >= 1
+    s = explain_str(df)
+    assert "partial_max" in s or "HashAggregate" in s  # map-side partials
+
+
+def test_prepare_events_uses_arrow_not_row_python(spark):
+    """The vectorized UDF contract: ArrowEvalPython (pandas batch), never
+    BatchEvalPython (row-at-a-time pickle)."""
+    from arlas_proc_spark.cdc.engine import prepare_events
+    from arlas_proc_spark.sources.changefeed import changefeed_df
+    s = explain_str(prepare_events(changefeed_df(spark, 100)))
+    assert "ArrowEvalPython" in s
+    assert "BatchEvalPython" not in s
+
+
+def test_events_epoch_filter_pushdown(spark):
+    """filter_on_period ANDs a partition predicate usable by pruning."""
+    from arlas_proc_spark.operators.formatter import filter_on_period
+    df = spark.read.parquet(f"{SF}/events.parquet") \
+        .withColumn("es", F.unix_timestamp("ts")) \
+        .withColumn("partition_day", F.date_format("ts", "yyyyMMdd").cast("int"))
+    out = filter_on_period(df, "es", "partition_day", start=1704100000)
+    rows = out.count()
+    assert rows > 0
+    assert out.where("partition_day < 20240101").count() == 0
+
+
+@pytest.mark.parametrize("qname", ["pricing_summary", "salted_event_stats"])
+def test_agg_queries_have_partial_aggregation(spark, qname):
+    df = entry.queries()[qname](spark, SF)
+    s = explain_str(df)
+    # two HashAggregates per grouping (partial + final) = map-side combine
+    assert s.count("HashAggregate") >= 2
