@@ -22,17 +22,21 @@ from arlas_proc_spark.cdc.engine import CdcEngine, lww_resolve, prepare_events
 from arlas_proc_spark.cdc.salting import salted_agg
 from arlas_proc_spark.operators.ann import cosine_topk, cosine_topk_bucketed
 from arlas_proc_spark.operators.dedup_fuzzy import (
+    embedding_near_dups,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
+from arlas_proc_spark.operators.formatter import with_valid_double_columns
 from arlas_proc_spark.operators.fragments import (
     with_flow_fragments,
+    with_moving_state,
     with_visibility_change,
 )
 from arlas_proc_spark.operators.hmm import with_hmm_states
+from arlas_proc_spark.operators.missions import mission_summary
 from arlas_proc_spark.operators.multimodal import (
     deterministic_fake_decoder,
     extract_features,
@@ -41,19 +45,27 @@ from arlas_proc_spark.operators.multimodal import (
 from arlas_proc_spark.operators.outliers import with_local_outliers
 from arlas_proc_spark.operators.resample import with_sample_id
 from arlas_proc_spark.operators.sessionize import (
+    update_id_to_span,
+    with_forward_fill,
     with_gap_sessions,
     with_state_change_boundaries,
+    with_state_id,
 )
 from arlas_proc_spark.operators.summarize import (
+    group_span_stats,
     summarize_groups,
     top1_by_count,
     weighted_avg,
 )
 from arlas_proc_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    tokens,
     with_fingerprint,
     with_lang_id,
     with_text_stats,
 )
+from arlas_proc_spark.operators.timeparts import with_standard_timestamp
 from arlas_proc_spark.sources.changefeed import changefeed_df, changefeed_sql, final_state_sql
 
 N_FEED = 4000  # event count for the self-generated CDC feed queries
@@ -210,6 +222,95 @@ def q_resample_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("avg_value"))
 
 
+def q_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7/W8: boundary detect + forward-filled run id per key."""
+    ev = _events(spark, sf_dir)
+    return with_state_id(ev, "user_id", "es", "event_type").select(
+        "event_id", "user_id", "state_id")
+
+
+def q_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IdUpdater: rewrite session ids to id#tsStart_tsEnd once spans are
+    known, then roll up."""
+    ev = _events(spark, sf_dir)
+    s = with_gap_sessions(ev, "user_id", "es", gap=1800)
+    spanned = update_id_to_span(s, "session_id", "user_id", "es", "es")
+    return spanned.groupBy("session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-spanning scalars joined back to every row (A9 groupBy+join
+    formulation; the small agg side broadcasts)."""
+    ev = _events(spark, sf_dir)
+    s = with_gap_sessions(ev, "user_id", "es", gap=1800)
+    out = group_span_stats(s, "session_id", {
+        "t_start": F.min("es"), "t_end": F.max("es"),
+        "n_in_session": F.count(F.lit(1))})
+    return out.select("event_id", "session_id", "t_start", "t_end", "n_in_session")
+
+
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 null gap-fill: carry the latest preceding click value forward."""
+    ev = _events(spark, sf_dir).withColumn(
+        "v_click", F.when(F.col("event_type") == "click", F.col("value")))
+    out = with_forward_fill(ev, "user_id", "es", "v_click",
+                            out_col="v_filled", default=0.0)
+    return out.select("event_id", F.round("v_filled", 6).alias("v_filled"))
+
+
+def q_course_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 end-to-end: STILL/MOVE/GAP tagging → run sessionization →
+    per-run summary (the CourseExtractor pipeline shape)."""
+    ev = _events(spark, sf_dir)
+    ms = with_moving_state(ev, "user_id", "es", "value",
+                           still_threshold=30.0, gap=1800)
+    runs = with_state_id(ms, "user_id", "es", "moving_state")
+    return runs.groupBy("state_id").agg(
+        F.min("user_id").alias("user_id"),
+        F.min("moving_state").alias("state"),
+        F.count(F.lit(1)).alias("n_points"),
+        (F.max("es") - F.min("es")).alias("duration"),
+        F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"))
+
+
+def q_standard_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-timestamp standardization with explicit zone offsets (the
+    WithStandardTimestamp parse path, tz-independent)."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.withColumn(
+        "ts_str",
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                 F.when(F.col("event_id") % 2 == 0, F.lit("+00:00"))
+                  .otherwise(F.lit("+02:00"))))
+    return with_standard_timestamp(s, "ts_str").select("event_id", "epoch_s")
+
+
+def q_locale_doubles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 locale repair: comma-decimal strings → doubles."""
+    ev = _t(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_id",
+        F.regexp_replace(F.round("value", 3).cast("string"),
+                         r"\.", ",").alias("v_str"))
+    out = with_valid_double_columns(dirty, ["v_str"])
+    return out.select("event_id", F.col("v_str").alias("v_repaired"))
+
+
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (max cosine ≈ 0.5), so the
+    # "near-dup" threshold is lowered to exercise the operator end-to-end
+    return embedding_near_dups(e, "vec_id", "embedding", threshold=0.3)
+
+
 def q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     out = with_local_outliers(ev, "user_id", "es", "value", k=2, threshold=10.0)
@@ -309,6 +410,14 @@ def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")).orderBy("user_id", "hmm_state")
 
 
+def q_mission_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traversing-mission segmentation (per-key sequential kernel via
+    applyInPandas — state resets depend on the segmentation itself, so
+    this is genuinely not window/SQL-expressible)."""
+    ev = _events(spark, sf_dir)
+    return mission_summary(ev, "user_id", "es", "value")
+
+
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text",
                              prefix_bits=8)
@@ -345,6 +454,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_partition_counts": q_time_partition_counts,
         "salted_event_stats": q_salted_event_stats,
         "resample_buckets": q_resample_buckets,
+        "state_runs": q_state_runs,
+        "session_spans": q_session_spans,
+        "span_stats": q_span_stats,
+        "forward_fill": q_forward_fill,
+        "course_summary": q_course_summary,
+        "token_counts": q_token_counts,
+        "standard_timestamps": q_standard_timestamps,
+        "locale_doubles": q_locale_doubles,
+        "embedding_neardups": q_embedding_neardups,
         "hampel_outliers": q_hampel_outliers,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -360,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
         # rows-only (non-SQL-expressible: stateful/iterative/binary kernels)
         "viterbi_states": q_viterbi_states,
+        "mission_summary": q_mission_summary,
         "simhash_neardups": q_simhash_neardups,
         "multimodal_features": q_multimodal_features,
     }
@@ -461,6 +580,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT sample_id, min(user_id) AS user_id, COUNT(*) AS n,
                    round(AVG(value), 6) AS avg_value
             FROM s GROUP BY sample_id""",
+        "state_runs": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            b AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                                   OR lag(event_type) OVER w <> event_type
+                                 THEN 1 ELSE 0 END AS nb
+                  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+            r AS (SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY es
+                                          ROWS UNBOUNDED PRECEDING) AS run
+                  FROM b)
+            SELECT event_id, user_id,
+                   concat(user_id, '#', CAST(min(es) OVER
+                       (PARTITION BY user_id, run) AS VARCHAR)) AS state_id
+            FROM r""",
+        "session_spans": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            b AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                                   OR es - lag(es) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS nb
+                  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+            s AS (SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY es
+                                          ROWS UNBOUNDED PRECEDING) AS sn
+                  FROM b),
+            sp AS (SELECT *, concat(user_id, '#',
+                       CAST(min(es) OVER (PARTITION BY user_id, sn) AS VARCHAR),
+                       '_',
+                       CAST(max(es) OVER (PARTITION BY user_id, sn) AS VARCHAR))
+                       AS session_id
+                   FROM s)
+            SELECT session_id, COUNT(*) AS n_events FROM sp GROUP BY session_id""",
+        "span_stats": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            b AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                                   OR es - lag(es) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS nb
+                  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+            s AS (SELECT *, concat(user_id, '#', CAST(
+                      sum(nb) OVER (PARTITION BY user_id ORDER BY es
+                                    ROWS UNBOUNDED PRECEDING) AS VARCHAR))
+                      AS session_id
+                  FROM b)
+            SELECT event_id, session_id,
+                   min(es) OVER p AS t_start, max(es) OVER p AS t_end,
+                   COUNT(*) OVER p AS n_in_session
+            FROM s WINDOW p AS (PARTITION BY session_id)""",
+        "forward_fill": f"""
+            WITH ev AS (SELECT *, CASE WHEN event_type = 'click' THEN value
+                                  END AS v_click FROM {_EV})
+            SELECT event_id,
+                   round(coalesce(last_value(v_click IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY es
+                        ROWS UNBOUNDED PRECEDING), 0.0), 6) AS v_filled
+            FROM ev""",
+        "course_summary": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            ms AS (SELECT *, CASE WHEN lag(es) OVER w IS NOT NULL
+                                       AND es - lag(es) OVER w > 1800 THEN 'GAP'
+                                  WHEN value <= 30.0 THEN 'STILL'
+                                  ELSE 'MOVE' END AS moving_state
+                   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+            b AS (SELECT *, CASE WHEN lag(moving_state) OVER w IS NULL
+                                   OR lag(moving_state) OVER w <> moving_state
+                                 THEN 1 ELSE 0 END AS nb
+                  FROM ms WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+            r AS (SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY es
+                                          ROWS UNBOUNDED PRECEDING) AS run
+                  FROM b),
+            rid AS (SELECT *, concat(user_id, '#', CAST(min(es) OVER
+                        (PARTITION BY user_id, run) AS VARCHAR)) AS state_id
+                    FROM r)
+            SELECT state_id, min(user_id) AS user_id,
+                   min(moving_state) AS state, COUNT(*) AS n_points,
+                   max(es) - min(es) AS duration,
+                   round(AVG(value), 6) AS avg_value
+            FROM rid GROUP BY state_id""",
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                       '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+            FROM documents""",
+        "standard_timestamps": """
+            SELECT event_id,
+                   CAST(epoch(strptime(concat(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                       CASE WHEN event_id % 2 = 0 THEN '+00:00'
+                            ELSE '+02:00' END), '%Y-%m-%dT%H:%M:%S%z'))
+                       AS BIGINT) AS epoch_s
+            FROM events""",
+        "locale_doubles": """
+            SELECT event_id,
+                   CAST(replace(replace(CAST(round(value, 3) AS VARCHAR),
+                       '.', ','), ',', '.') AS DOUBLE) AS v_repaired
+            FROM events""",
+        "embedding_neardups": """
+            WITH cells AS (
+              SELECT vec_id, embedding,
+                     concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS cell
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.3""",
         "hampel_outliers": f"""
             WITH ev AS (SELECT * FROM {_EV})
             SELECT event_id, user_id, value,

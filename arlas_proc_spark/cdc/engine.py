@@ -83,7 +83,7 @@ class CdcEngine:
         prepared = prepare_events(compacted, vectorized=self.vectorized)
         return self.table.merge_batch(
             prepared, batch_id, collect_metrics=self.collect_metrics,
-            assume_all_buckets=assume_all_buckets)
+            assume_all_buckets=assume_all_buckets, batch_compacted=True)
 
     def replay(self, events: DataFrame, batch_id: str = "replay-0") -> dict:
         """Full-log batch replay (bootstrap): one big merge. For an empty
@@ -107,13 +107,17 @@ def lww_compact(events: DataFrame, key_cols: list[str] = KEY_COLS,
     (``tools/DataFrameFormatter.scala:47-49``).
 
     strategy='broadcast' (default, the micro-batch path): a NARROW argmax
-    — groupBy(key).agg(max(struct(seq, commit))) — then a broadcast
-    join-back to fetch the winning rows' payload. The narrow agg keeps
-    per-task hash maps at ~50 bytes/key, so it scales with cores; carrying
-    the full payload (content, hashes) through the aggregation instead
-    measured 2.6x SLOWER at 32 threads than at 8 (cache/memory-bandwidth
-    collapse on wide hash-map entries). The big side streams map-side with
-    zero shuffle. Use while distinct keys per batch ≲ 10^7 (winner set must
+    — groupBy(key).agg(max(seq)) — then a broadcast join-back to fetch the
+    winning rows' payload. ``seq`` is the WAL position, unique per event,
+    so a pure-numeric max fully determines the winner; a long-typed max is
+    a HashAggregate with map-side partials inside whole-stage codegen
+    (max over struct/string buffers falls back to a non-codegen
+    SortAggregate that sorts every group). The narrow agg keeps per-task
+    hash maps at ~40 bytes/key, so it scales with cores; carrying the full
+    payload (content, hashes) through the aggregation instead measured
+    2.6x SLOWER at 32 threads than at 8 (cache/memory-bandwidth collapse
+    on wide hash-map entries). The big side streams map-side with zero
+    shuffle. Use while distinct keys per batch ≲ 10^7 (winner set must
     broadcast).
 
     strategy='agg': single wide argmax — max(struct(ordering-first,
@@ -127,15 +131,16 @@ def lww_compact(events: DataFrame, key_cols: list[str] = KEY_COLS,
                 .agg(F.max(F.struct(*ordered)).alias("_w"))
                 .select("_w.*")
                 .select(*events.columns))
-    winners = (events.groupBy(*key_cols)
-               .agg(F.max(F.struct(seq_col, "commit")).alias("_m"))
-               .select(*key_cols, F.col(f"_m.{seq_col}").alias(seq_col),
-                       F.col("_m.commit").alias("commit")))
+    winners = events.groupBy(*key_cols).agg(F.max(seq_col).alias(seq_col))
     joined = events.join(F.broadcast(winners),
-                         on=[*key_cols, seq_col, "commit"], how="inner")
+                         on=[*key_cols, seq_col], how="inner")
     # duplicate deliveries of the winning event survive the join; they are
-    # byte-identical, so an arbitrary drop is deterministic (tiny input)
-    return joined.dropDuplicates(key_cols).select(*events.columns)
+    # byte-identical (same WAL position ⇒ same commit, same payload), so
+    # distinct over ALL columns removes them — and unlike
+    # dropDuplicates(key), which plans First() aggs over string buffers
+    # (non-codegen SortAggregate), an all-column distinct is a zero-buffer
+    # HashAggregate with map-side partials (tiny input: winners only)
+    return joined.select(*events.columns).dropDuplicates()
 
 
 def lww_resolve(events: DataFrame, key_cols: list[str] = KEY_COLS,

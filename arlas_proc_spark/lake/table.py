@@ -56,8 +56,16 @@ _LEDGER_KEEP = 1024  # retain this many most-recent batch ids below the watermar
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
-    """Iceberg-style bucket transform: pmod(hash(key...), N)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    """Iceberg-style bucket transform: pmod(hash(key...), N).
+
+    Deliberately Spark's OWN Murmur3 ``hash`` (not xxhash64): a
+    ``repartition(n_buckets, *key_cols)`` then partitions rows by
+    pmod(murmur3(key), n_buckets) — the EXACT same expression — so each
+    shuffle partition holds exactly one bucket and the partitioned write
+    emits one file per bucket with no stragglers. (Hashing the derived
+    bucket VALUE instead double-hashes: murmur3(bucket) % P collides,
+    leaving some tasks two buckets and some zero.)"""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
 
 
 class LakeTable:
@@ -164,7 +172,8 @@ class LakeTable:
     def merge_batch(self, batch: DataFrame, batch_id: int | str, *,
                     op_col: str = "op", delete_value: str = "delete",
                     collect_metrics: bool = True,
-                    assume_all_buckets: bool = False) -> dict:
+                    assume_all_buckets: bool = False,
+                    batch_compacted: bool = False) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         Semantics (Iceberg ``MERGE INTO t USING s ON key``):
@@ -174,6 +183,15 @@ class LakeTable:
         Last-writer-wins inside the batch by (seq desc, commit desc) — a
         deterministic replacement for the reference's arbitrary
         ``dropDuplicates`` (SURVEY.md §2.6).
+
+        Physical shape: current state FULL OUTER JOIN batch on the key —
+        the Iceberg MERGE INTO plan. Both sides carry ≤1 row per key (the
+        table by invariant, the batch after compaction), the winner is
+        picked with scalar when/coalesce expressions, so the whole merge
+        stays in whole-stage codegen and no payload ever travels through
+        an aggregation buffer; AQE broadcasts the batch side when small.
+        ``batch_compacted=True`` skips the in-merge compaction when the
+        caller already guarantees one row per key (CdcEngine.apply_batch).
 
         Copy-on-write touches only the hash-buckets present in the batch.
         Idempotent per ``batch_id`` (replays/retries converge).
@@ -209,70 +227,92 @@ class LakeTable:
         else:
             touched = [r[0] for r in resolved.select(_BUCKET).distinct().collect()]
 
-        # 4. combine with existing rows (incl. delete tombstones — they must
-        #    out-rank later-arriving stale inserts); new wins seq ties
-        def _project(df: DataFrame, op_expr, is_new: int) -> DataFrame:
-            have = set(df.columns)
-            cols = [
-                (F.col(f.name).cast(f.dataType) if f.name in have
-                 else F.lit(None).cast(f.dataType)).alias(f.name)
-                for f in table_schema.fields
-            ]
-            return df.select(*cols, op_expr.alias(op_col),
-                             F.lit(is_new).alias("_is_new"),
-                             bucket_expr(key_cols, n_buckets).alias(_BUCKET))
+        # 4. compact the batch to one row per key (LWW by seq desc, commit
+        #    desc) unless the caller already did — the join below requires
+        #    unique keys on both sides. Wide argmax: safe at any size, no
+        #    broadcast limit (the caller's fast path is narrower).
+        if not batch_compacted:
+            ord_first = [seq_col] + (["commit"] if "commit" in resolved.columns else [])
+            ordered = ord_first + [c for c in resolved.columns if c not in ord_first]
+            resolved = (resolved.groupBy(*key_cols)
+                        .agg(F.max(F.struct(*ordered)).alias("_w"))
+                        .select("_w.*").select(*resolved.columns))
 
+        # 5. MERGE: current state (incl. delete tombstones — they out-rank
+        #    later-arriving stale inserts) FULL OUTER JOIN batch on the key.
+        #    Prefix-rename both sides so same-named payload columns never
+        #    collide; pick the winner with scalar exprs (codegen end-to-end).
         cur = self.read(touched, snapshot=snap, with_tombstones=True)
-        existing = _project(
-            cur,
-            F.when(F.coalesce(F.col(_TOMB), F.lit(False)), F.lit(delete_value))
-             .otherwise(F.lit("live")),
-            0)
-        incoming = _project(resolved, F.col(op_col), 1)
-        combined = existing.unionByName(incoming)
-        # argmax per key instead of a window sort: max(struct) with ordering
-        # fields first is a declarative aggregate — whole-stage codegen +
-        # map-side partials, so duplicate deliveries and multi-event keys
-        # collapse BEFORE the shuffle (a window would sort every partition
-        # fully; max_by is imperative and ~3x slower). Dedup by (key,commit)
-        # is subsumed: duplicate rows are identical. Order: seq desc, then
-        # commit desc, then new-over-existing (deterministic LWW, matching
-        # the replay oracle's ORDER BY seq DESC, commit DESC).
-        ord_first = [seq_col, "commit", "_is_new"]
-        ordered = ord_first + [c for c in combined.columns if c not in ord_first]
-        winners = (combined.groupBy(*key_cols)
-                   .agg(F.max(F.struct(*ordered)).alias("_w"))
-                   .select("_w.*"))
+        have = set(resolved.columns)
+        incoming = resolved.select(
+            *[(F.col(f.name).cast(f.dataType) if f.name in have
+               else F.lit(None).cast(f.dataType)).alias(f"_n_{f.name}")
+              for f in table_schema.fields],
+            F.col(op_col).alias(f"_n_{op_col}"))
+        existing = cur.select(
+            *[F.col(f.name).alias(f"_e_{f.name}") for f in table_schema.fields],
+            F.coalesce(F.col(_TOMB), F.lit(False)).alias(f"_e_{_TOMB}"))
+        join_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"_e_{k}") == F.col(f"_n_{k}") for k in key_cols])
+        j = existing.join(incoming, on=join_cond, how="full_outer")
 
-        # 5. metrics ride the write action itself via Observation — zero
+        # winner rule: new row wins iff (seq, commit) >= existing's; ties
+        # go to the batch (idempotent re-apply of the same event converges).
+        # Null seqs (rows predating a seq column, or evolved-in keys) lose
+        # to any real seq; new-null beats existing-null.
+        has_n = F.col(f"_n_{key_cols[0]}").isNotNull()
+        has_e = F.col(f"_e_{key_cols[0]}").isNotNull()
+        n_seq = F.coalesce(F.col(f"_n_{seq_col}"), F.lit(-1).cast("long"))
+        e_seq = F.coalesce(F.col(f"_e_{seq_col}"), F.lit(-2).cast("long"))
+        newer = n_seq > e_seq
+        if "commit" in {f.name for f in table_schema.fields}:
+            newer = newer | ((n_seq == e_seq) &
+                             (F.coalesce(F.col("_n_commit"), F.lit("")) >=
+                              F.coalesce(F.col("_e_commit"), F.lit(""))))
+        use_new = has_n & (~has_e | newer)
+
+        picked = [
+            (F.coalesce(F.col(f"_n_{f.name}"), F.col(f"_e_{f.name}"))
+             if f.name in key_cols
+             else F.when(use_new, F.col(f"_n_{f.name}"))
+                   .otherwise(F.col(f"_e_{f.name}"))).alias(f.name)
+            for f in table_schema.fields
+        ]
+        is_delete = F.when(use_new, F.col(f"_n_{op_col}") == F.lit(delete_value)) \
+                     .otherwise(F.col(f"_e_{_TOMB}"))
+        merged = j.select(*picked, is_delete.alias(_TOMB),
+                          use_new.alias("_is_new"),
+                          (use_new & (F.col(f"_n_{op_col}") == delete_value)
+                           ).alias("_is_del"))
+
+        # 6. metrics ride the write action itself via Observation — zero
         #    extra pass (a separate .agg() would re-execute the whole merge
         #    plan, including any upstream streaming state-store scan).
-        #    Attached to winners, which still carries _is_new/op.
         metrics = {"batch_id": bid, "buckets_touched": len(touched)}
         obs = None
         if collect_metrics:
             obs = Observation()
-            winners = winners.observe(
+            merged = merged.observe(
                 obs,
-                F.sum(F.when((F.col("_is_new") == 1) &
-                             (F.col(op_col) != delete_value), 1).otherwise(0)
-                      ).alias("rows_upserted"),
-                F.sum(F.when((F.col("_is_new") == 1) &
-                             (F.col(op_col) == delete_value), 1).otherwise(0)
+                F.sum(F.when(F.col("_is_new") & ~F.col("_is_del"), 1)
+                      .otherwise(0)).alias("rows_upserted"),
+                F.sum(F.when(F.col("_is_del"), 1).otherwise(0)
                       ).alias("rows_deleted"),
                 F.count(F.lit(1)).alias("keys_considered"),
             )
 
         # deletes persist as tombstone rows (compaction may drop them once
         # no lower-seq event can still arrive)
-        out = winners.select(
-            *[f.name for f in table_schema.fields],
-            (F.col(op_col) == delete_value).alias(_TOMB), _BUCKET)
+        out = merged.select(
+            *[f.name for f in table_schema.fields], _TOMB,
+            bucket_expr(key_cols, n_buckets).alias(_BUCKET))
 
         # 6. write new files for touched buckets (repartition by bucket so
         #    each bucket lands in few files), then commit atomically
         version = snap["version"] + 1
-        staged = self._write_bucket_files(out, version, schema_v, n_buckets)
+        staged = self._write_bucket_files(out, version, schema_v, n_buckets,
+                                          key_cols=snap["key_cols"])
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -289,12 +329,22 @@ class LakeTable:
         return metrics
 
     def _write_bucket_files(self, df: DataFrame, version: int, schema_v: int,
-                            n_buckets: int) -> dict[int, list[dict]]:
+                            n_buckets: int, key_cols: list[str] | None = None)\
+            -> dict[int, list[dict]]:
         """Write df (carrying _bucket) hive-partitioned to a staging dir,
-        then move files into data/ under snapshot-versioned names."""
+        then move files into data/ under snapshot-versioned names.
+
+        Repartitioning by the KEY columns into exactly ``n_buckets``
+        partitions aligns 1:1 with the bucket transform (see bucket_expr),
+        so every task writes exactly one bucket — balanced, one file per
+        bucket. Falls back to repartitioning by the bucket column when the
+        frame lacks the keys."""
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
-        (df.repartition(F.col(_BUCKET))
-           .write.partitionBy(_BUCKET).mode("overwrite").parquet(stage))
+        if key_cols and all(c in df.columns for c in key_cols):
+            clustered = df.repartition(n_buckets, *[F.col(c) for c in key_cols])
+        else:
+            clustered = df.repartition(n_buckets, F.col(_BUCKET))
+        (clustered.write.partitionBy(_BUCKET).mode("overwrite").parquet(stage))
         staged: dict[int, list[dict]] = {}
         for bdir in glob.glob(os.path.join(stage, f"{_BUCKET}=*")):
             b = int(bdir.rsplit("=", 1)[1])
@@ -323,7 +373,8 @@ class LakeTable:
             .withColumn(_TOMB, F.lit(False)) \
             .withColumn(_BUCKET, bucket_expr(snap["key_cols"], n_buckets))
         version = snap["version"] + 1
-        staged = self._write_bucket_files(out, version, schema_v, n_buckets)
+        staged = self._write_bucket_files(out, version, schema_v, n_buckets,
+                                          key_cols=snap["key_cols"])
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["version"] = version
         metrics = {"batch_id": str(batch_id), "overwrite": True}
@@ -355,7 +406,8 @@ class LakeTable:
         out = df.withColumn(_BUCKET, bucket_expr(snap["key_cols"], n_buckets))
         version = snap["version"] + 1
         schema_v = max(int(v) for v in snap["schemas"])
-        staged = self._write_bucket_files(out, version, schema_v, n_buckets)
+        staged = self._write_bucket_files(out, version, schema_v, n_buckets,
+                                          key_cols=snap["key_cols"])
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
         snap["version"] = version
@@ -364,6 +416,39 @@ class LakeTable:
         _ledger_add(snap["ledger"], metrics["batch_id"], metrics)
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
+
+    # ------------------------------------------------------------ maintenance
+    def expire_snapshots(self, *, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files``: drop all
+        but the newest ``keep_last`` snapshot manifests and delete data
+        files referenced by no retained snapshot (including orphans staged
+        by a writer that crashed before its snapshot commit). Time travel
+        stays possible within the retained window; the CURRENT pointer is
+        never touched, so this is safe to run concurrently with readers of
+        retained snapshots."""
+        names = sorted(f for f in os.listdir(self.meta_dir)
+                       if f.startswith("v") and f.endswith(".json"))
+        current = self._current_name()
+        keep = set(names[-keep_last:]) | {current}
+        referenced: set[str] = set()
+        for name in keep:
+            with open(os.path.join(self.meta_dir, name)) as f:
+                snap = json.load(f)
+            for files in snap["buckets"].values():
+                referenced.update(e["file"] for e in files)
+        dropped_snaps = 0
+        for name in names:
+            if name not in keep:
+                os.remove(os.path.join(self.meta_dir, name))
+                dropped_snaps += 1
+        dropped_files = 0
+        for fname in os.listdir(self.data_dir):
+            if fname not in referenced:
+                os.remove(os.path.join(self.data_dir, fname))
+                dropped_files += 1
+        return {"snapshots_expired": dropped_snaps,
+                "orphan_files_removed": dropped_files,
+                "snapshots_retained": len(keep)}
 
     # --------------------------------------------------------------- lineage
     def lineage(self) -> list[dict]:

@@ -24,13 +24,16 @@ def tokens(col: str | Column) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def bpe_ish_token_count(col: str | Column) -> Column:
-    """Sub-word-ish token count: split on whitespace AND
-    alpha/digit/punct boundaries — a cheap, deterministic BPE proxy."""
+    """Sub-word-ish token count: letter runs, digit runs, and single
+    punctuation marks each count as one token — a cheap, deterministic BPE
+    proxy. The pattern is RE2-compatible (no lookaround) so the exact same
+    regex runs in DuckDB/Trino for oracle parity."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.filter(
-        F.split(c, r"(\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?<=[\w])(?=[^\w\s])|(?<=[^\w\s])(?=[\w]))"),
-        lambda t: t != ""))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

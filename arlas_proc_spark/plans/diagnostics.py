@@ -20,16 +20,41 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def plan_report(df: DataFrame) -> dict:
-    """Cheap structural summary of the physical plan."""
+    """Cheap structural summary of the physical plan.
+
+    Note: under AQE the pre-execution formatted plan carries no
+    ``codegen id`` annotations, so ``codegen_stages`` is only meaningful
+    when the plan was built with ``spark.sql.adaptive.enabled=false``
+    (see :func:`replan_without_aqe`). ``sort_aggs`` is the scale smell to
+    watch: a SortAggregate means an aggregation buffer type (struct,
+    string First()) fell off the hash-agg/codegen fast path and every
+    group is being sorted.
+    """
     s = explain_str(df)
     return {
         "pushed_filters": "PushedFilters: [" in s and "PushedFilters: []" not in s,
         "broadcast_joins": s.count("BroadcastHashJoin"),
         "sort_merge_joins": s.count("SortMergeJoin"),
         "exchanges": s.count("Exchange"),
-        "codegen_stages": s.count("WholeStageCodegen"),
+        "codegen_stages": s.count("codegen id"),
+        "hash_aggs": s.count("HashAggregate"),
+        "sort_aggs": s.count("SortAggregate"),
         "python_udfs": s.count("ArrowEvalPython") + s.count("BatchEvalPython"),
     }
+
+
+def replan_without_aqe(spark, build):
+    """Build a DataFrame with AQE off so the static physical plan carries
+    codegen annotations, then restore the session conf. ``build`` is a
+    zero-arg callable returning the DataFrame."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = build()
+        df._jdf.queryExecution().executedPlan()  # force planning under AQE-off
+        return df
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:

@@ -170,3 +170,26 @@ def test_snapshot_commit_is_atomic_and_versioned(spark, tmp_path):
     with open(os.path.join(meta, "v0000000000.json")) as f:
         old = json.load(f)
     assert t.read(snapshot=old).count() == 0
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], "seq", n_buckets=2)
+    for i in range(4):
+        t.merge_batch(_batch(spark, [_ev(i, "insert", "r", f"f{i}", f"c{i}", f"v{i}")]), i)
+    data_dir = os.path.join(str(tmp_path / "t"), "data")
+    # plant an orphan (crashed writer's leftover)
+    open(os.path.join(data_dir, "v99-b0-0.parquet"), "w").close()
+    n_files_before = len(os.listdir(data_dir))
+    res = t.expire_snapshots(keep_last=2)
+    assert res["snapshots_expired"] >= 2
+    assert res["orphan_files_removed"] >= 1
+    assert len(os.listdir(data_dir)) < n_files_before
+    # current state intact after GC
+    assert t.read().count() == 4
+    # retained previous snapshot still time-travels
+    meta = os.path.join(str(tmp_path / "t"), "meta")
+    import json as _json
+    retained = sorted(f for f in os.listdir(meta) if f.startswith("v"))
+    with open(os.path.join(meta, retained[0])) as f:
+        old = _json.load(f)
+    assert t.read(snapshot=old).count() in (3, 4)

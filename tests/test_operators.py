@@ -175,3 +175,35 @@ def test_metadata_query_prunes_payload(spark):
     q = spark.read.parquet(d).select("media_id", "media_type", "width")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+def test_monotonic_runs_mission_rule(spark):
+    """Golden case for the traversing-mission rule: the run continues while
+    |measure - measure(run_start)| grows, breaks the moment it shrinks
+    (reference WithTraversingMission.scala:95-140)."""
+    from arlas_proc_spark.operators.missions import mission_summary, with_monotonic_runs
+    rows = [("u", t, m) for t, m in
+            [(1, 10.0), (2, 14.0), (3, 20.0),   # progress 0,4,10 — one run
+             (4, 15.0),                          # |15-10|=5 < 10 → new run @4
+             (5, 40.0),                          # |40-15|=25 grows — stays
+             (6, 16.0)]]                         # |16-15|=1 < 25 → new run @6
+    df = spark.createDataFrame(rows, "id string, ts long, m double")
+    got = {r.ts: r.mission_id for r in
+           with_monotonic_runs(df, "id", "ts", "m").collect()}
+    assert got == {1: "u#1", 2: "u#1", 3: "u#1",
+                   4: "u#4", 5: "u#4", 6: "u#6"}
+    summ = {r.mission_id: (r.n_legs, r.ts_start, r.ts_end)
+            for r in mission_summary(df, "id", "ts", "m").collect()}
+    assert summ == {"u#1": (3, 1, 3), "u#4": (2, 4, 5), "u#6": (1, 6, 6)}
+
+
+def test_monotonic_runs_parallelism_invariant(spark):
+    """Same segmentation regardless of input order / partitioning."""
+    from arlas_proc_spark.operators.missions import with_monotonic_runs
+    import random
+    rng = random.Random(7)
+    rows = [(f"u{i % 5}", t, rng.uniform(0, 100))
+            for i, t in enumerate(range(200))]
+    df = spark.createDataFrame(rows, "id string, ts long, m double")
+    a = with_monotonic_runs(df.repartition(1), "id", "ts", "m")
+    b = with_monotonic_runs(df.repartition(13).orderBy(F.rand(3)), "id", "ts", "m")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

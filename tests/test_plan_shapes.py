@@ -36,16 +36,21 @@ def test_dimension_joins_broadcast(spark):
 
 
 def test_lww_stays_in_codegen_without_python(spark):
-    """The LWW resolve path must be pure JVM: no Python eval nodes, partial
-    aggregation present (map-side combine before shuffle)."""
+    """The LWW resolve path must be pure JVM and hash-based: no Python eval
+    nodes, no SortAggregate (payload never sorts through an agg buffer),
+    map-side partial aggregation before the shuffle, and — planned with AQE
+    off so codegen ids are visible — at least one whole-stage codegen span."""
     from arlas_proc_spark.cdc.engine import lww_resolve
+    from arlas_proc_spark.plans.diagnostics import replan_without_aqe
     from arlas_proc_spark.sources.changefeed import changefeed_df
     df = lww_resolve(changefeed_df(spark, 1000))
     rep = plan_report(df)
     assert rep["python_udfs"] == 0
-    assert rep["codegen_stages"] >= 1
-    s = explain_str(df)
-    assert "partial_max" in s or "HashAggregate" in s  # map-side partials
+    assert rep["sort_aggs"] == 0
+    assert rep["hash_aggs"] >= 2  # partial + final argmax
+    static = replan_without_aqe(
+        spark, lambda: lww_resolve(changefeed_df(spark, 1000)))
+    assert plan_report(static)["codegen_stages"] >= 1
 
 
 def test_prepare_events_uses_arrow_not_row_python(spark):

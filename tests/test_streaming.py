@@ -73,3 +73,44 @@ def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
     total_upserts = sum(m.get("rows_upserted", 0) for m in ing.engine.lineage())
     n_keys_touched = changefeed_df(spark, 500).select("repo", "path").distinct().count()
     assert total_upserts <= 500 and total_upserts >= n_keys_touched * 0.5
+
+
+def test_stream_schema_evolution_mid_stream(spark, tmp_path):
+    """North-rule headline: later WAL segments carry a NEW column; the
+    tailing stream (redeployed with the widened feed schema) reads old
+    segments as null-filled and the merge evolves the live table schema the
+    moment the first widened batch lands — no rewrite of old data."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from arlas_proc_spark.cdc.engine import EVENT_SCHEMA
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    base = changefeed_df(spark, 400, with_dups=False)
+    base.where("seq < 200").coalesce(1) \
+        .write.parquet(f"{wal}/batch_00000")
+    base.where("seq >= 200") \
+        .withColumn("size", F.length("content").cast("long")).coalesce(1) \
+        .write.parquet(f"{wal}/batch_00001")
+
+    widened = T.StructType(list(EVENT_SCHEMA.fields) +
+                           [T.StructField("size", T.LongType(), True)])
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                          collect_metrics=False, event_schema=widened)
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    schema = {f.name: f.dataType.typeName() for f in ing.engine.table.schema.fields}
+    assert schema["size"] == "long"
+    rows = {(r.repo, r.path): r for r in ing.state().collect()}
+    oracle = _oracle(400)
+    assert {k: (r.seq, r.content_sha256) for k, r in rows.items()} == oracle
+    # keys whose winner came from the widened segment carry size; earlier
+    # winners are null-backfilled
+    for k, r in rows.items():
+        if r.seq >= 200:
+            assert r.size == len(r.content)
+        else:
+            assert r.size is None
