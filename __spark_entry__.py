@@ -423,6 +423,18 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
                              prefix_bits=8)
 
 
+def q_nested_sink_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S9 sink-document shaping: deterministic doc id + recursive
+    struct nesting (rows-only: nested struct values are not portable
+    through the flat oracle hash)."""
+    from arlas_proc_spark.sources.sinks import with_columns_nested, with_keyed_doc_id
+    ev = _events(spark, sf_dir)
+    doc = with_keyed_doc_id(ev, "user_id", "es")
+    return with_columns_nested(doc, {
+        "event": {"type": "event_type", "metrics": {"value": "value"}},
+    }).select("doc_id", "event")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = make_media_df(spark, n=64)
     return extract_features(media, decoder=deterministic_fake_decoder) \
@@ -481,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mission_summary": q_mission_summary,
         "simhash_neardups": q_simhash_neardups,
         "multimodal_features": q_multimodal_features,
+        "nested_sink_docs": q_nested_sink_docs,
     }
 
 

@@ -150,7 +150,11 @@ class LakeTable:
             if sel is None or b in sel:
                 entries.extend(files)
         if not entries:
-            return self.spark.createDataFrame([], out_schema)
+            # filter(false) turns the RDD-backed empty frame into a provably
+            # empty LocalRelation, so Catalyst ELIMINATES the merge's full
+            # outer join on bootstrap (otherwise the winners side is
+            # shuffled + sorted into a SortMergeJoin against nothing)
+            return self.spark.createDataFrame([], out_schema).where(F.lit(False))
         # group files by the schema version they were written under so each
         # group scans with a consistent parquet schema, then project up
         by_sv: dict[str, list[str]] = {}
@@ -255,7 +259,13 @@ class LakeTable:
         join_cond = reduce(
             lambda a, b: a & b,
             [F.col(f"_e_{k}") == F.col(f"_n_{k}") for k in key_cols])
-        j = existing.join(incoming, on=join_cond, how="full_outer")
+        # SHUFFLE_HASH on the batch side: a full-outer shuffled hash join
+        # hashes the (bounded) micro-batch per task instead of sort-merging
+        # — neither the table side nor the batch gets sorted. On bootstrap
+        # (empty table → empty LocalRelation) the join is eliminated
+        # entirely, hint and all.
+        j = existing.join(incoming.hint("SHUFFLE_HASH"),
+                          on=join_cond, how="full_outer")
 
         # winner rule: new row wins iff (seq, commit) >= existing's; ties
         # go to the batch (idempotent re-apply of the same event converges).

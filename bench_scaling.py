@@ -31,7 +31,12 @@ import time
 N_EVENTS = int(os.environ.get("SCALE_EVENTS", "48000000"))
 ROUNDS = int(os.environ.get("SCALE_ROUNDS", "2"))
 TIMED_PER_ROUND = 2
-LEVELS = [8, 32]
+LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "8,32").split(",")]
+
+# Job shape is IDENTICAL at every level: same bucket count, same range-TVF
+# slice count — only the thread pool changes, exactly like adding executors.
+N_BUCKETS = int(os.environ.get("SCALE_BUCKETS", "32"))
+SLICES = int(os.environ.get("SCALE_SLICES", "64"))
 
 _CHILD = r"""
 import json, shutil, sys, tempfile, time
@@ -41,14 +46,16 @@ from arlas_proc_spark.cdc.engine import CdcEngine
 from arlas_proc_spark.sources.changefeed import changefeed_df
 
 cpus, n_events, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+n_buckets, slices = int(sys.argv[4]), int(sys.argv[5])
 GEN = dict(n_repos=200, files_per_repo=2000)   # ~400k keys: real merge work
 spark = build_session(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=max(cpus, 8))
 root = tempfile.mkdtemp(prefix=f"scale{cpus}_")
 
 def replay(tag, n):
-    eng = CdcEngine(spark, f"{root}/{tag}", n_buckets=cpus, collect_metrics=False)
-    feed = changefeed_df(spark, n, parallelism=cpus * 2, **GEN)
+    eng = CdcEngine(spark, f"{root}/{tag}", n_buckets=n_buckets,
+                    collect_metrics=False)
+    feed = changefeed_df(spark, n, parallelism=slices, **GEN)
     t0 = time.time()
     eng.replay(feed)
     return time.time() - t0, eng
@@ -71,7 +78,8 @@ spark.stop()
 
 def run_level(cpus: int, reps: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cpus), str(N_EVENTS), str(reps)],
+        [sys.executable, "-c", _CHILD, str(cpus), str(N_EVENTS), str(reps),
+         str(N_BUCKETS), str(SLICES)],
         capture_output=True, text=True, timeout=3600)
     for ln in out.stdout.splitlines():
         if ln.startswith("RESULT "):
@@ -113,7 +121,8 @@ def main() -> None:
             f"| level | events/sec | wall s |\n|---|---|---|\n"
             f"| local[{LEVELS[0]}] (N) | {t_n:,} | {best[LEVELS[0]]['wall_s']} |\n"
             f"| local[{LEVELS[1]}] (4N) | {t_4n:,} | {best[LEVELS[1]]['wall_s']} |\n\n"
-            f"**Scaling efficiency = ({t_4n:,} / {t_n:,}) / 4 = {eff}**"
+            f"**Scaling efficiency = ({t_4n:,} / {t_n:,}) / "
+            f"{LEVELS[1] // LEVELS[0]} = {eff}**"
             f" (target ≥ 0.8; single shared-memory host — all levels share "
             f"one memory/IO subsystem, unlike real 4N executors)\n")
 
