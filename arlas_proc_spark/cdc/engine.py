@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from arlas_proc_spark.functions.content import with_content_hash, with_normalized_lang
 from arlas_proc_spark.lake.table import LakeTable
@@ -78,12 +79,28 @@ class CdcEngine:
         """Compact + prepare + merge one micro-batch; exactly-once per
         batch_id. Compaction (in-batch LWW, keeping deletes) runs BEFORE the
         vectorized hash so the pandas UDF only touches winning rows — at
-        10^10 events most rows lose LWW and never cross the Arrow boundary."""
+        10^10 events most rows lose LWW and never cross the Arrow boundary.
+
+        The incremental path persists the compacted winners: the merge
+        consumes them twice (bucket discovery + the MERGE join), and
+        without a cache the whole compact+hash pipeline would re-execute
+        per consumer. Winners are one row per key — tiny relative to the
+        feed. Full replays (assume_all_buckets) skip bucket discovery, so
+        they consume the plan exactly once and a cache would only add a
+        materialization pass."""
         compacted = lww_compact(events)
         prepared = prepare_events(compacted, vectorized=self.vectorized)
-        return self.table.merge_batch(
-            prepared, batch_id, collect_metrics=self.collect_metrics,
-            assume_all_buckets=assume_all_buckets, batch_compacted=True)
+        if assume_all_buckets:
+            return self.table.merge_batch(
+                prepared, batch_id, collect_metrics=self.collect_metrics,
+                assume_all_buckets=True, batch_compacted=True)
+        prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self.table.merge_batch(
+                prepared, batch_id, collect_metrics=self.collect_metrics,
+                assume_all_buckets=False, batch_compacted=True)
+        finally:
+            prepared.unpersist()
 
     def replay(self, events: DataFrame, batch_id: str = "replay-0") -> dict:
         """Full-log batch replay (bootstrap): one big merge. For an empty

@@ -35,7 +35,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "16000000"))
+    # ~400k distinct keys so the LWW/merge does real per-key work
+    GEN = dict(n_repos=200, files_per_repo=2000)
 
     spark = build_session(app_name="arlas_proc_spark-bench",
                           master=f"local[{cpus}]",
@@ -51,7 +53,14 @@ def main() -> None:
     # --- CDC headline: full replay through the lake (MERGE + snapshot) ---
     tmp = tempfile.mkdtemp(prefix="bench_lake_")
     try:
-        feed = changefeed_df(spark, n_events, parallelism=cpus * 2)
+        # warmup: a small replay compiles every codegen/JIT/Arrow-worker
+        # path, so the timed runs measure sustained throughput, not JVM
+        # startup (same protocol as bench_scaling.py)
+        warm = CdcEngine(spark, f"{tmp}/warm", n_buckets=cpus,
+                         collect_metrics=False)
+        warm.replay(changefeed_df(spark, 200_000, parallelism=cpus, **GEN))
+
+        feed = changefeed_df(spark, n_events, parallelism=cpus * 2, **GEN)
         engine = CdcEngine(spark, f"{tmp}/table", n_buckets=cpus,
                            collect_metrics=False)
         t0 = time.time()
@@ -62,7 +71,7 @@ def main() -> None:
         extras["cdc_replay_events"] = n_events
 
         # incremental merge batch (read-modify-write against existing state)
-        inc = changefeed_df(spark, n_events // 10, parallelism=cpus)
+        inc = changefeed_df(spark, n_events // 10, parallelism=cpus, **GEN)
         t0 = time.time()
         engine.apply_batch(inc.withColumn("seq", inc.seq + n_events), "inc-1")
         dt = time.time() - t0

@@ -13,7 +13,9 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
