@@ -130,6 +130,35 @@ def q_cdc_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_salts=16, salt_from=["path"])
 
 
+def q_stream_version_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): tail
+    the WAL as a stream, keep per-key max (seq, commit) in the state
+    store, emit a delta only when a batch advances it. The final delta
+    per key must equal the batch LWW winner — checked against the ranked
+    feed oracle (delete winners included)."""
+    import uuid
+
+    from arlas_proc_spark.cdc.engine import EVENT_SCHEMA
+    from arlas_proc_spark.sources.changefeed import write_changefeed_batches
+    from arlas_proc_spark.sources.readers import read_stream_parquet
+    from arlas_proc_spark.streaming.stateful import latest_version_deltas
+
+    tmp = tempfile.mkdtemp(prefix="arlas_deltas_")
+    write_changefeed_batches(spark, f"{tmp}/wal", N_FEED, n_batches=4)
+    stream = read_stream_parquet(spark, f"{tmp}/wal", EVENT_SCHEMA,
+                                 max_files_per_trigger=1)
+    name = f"vdeltas_{uuid.uuid4().hex[:8]}"
+    q = (latest_version_deltas(stream).writeStream.format("memory")
+         .queryName(name).option("checkpointLocation", f"{tmp}/ckpt")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    deltas = spark.table(name)
+    ordered = ["seq", "commit", "op"]
+    return (deltas.groupBy("repo", "path")
+            .agg(F.max(F.struct(*ordered)).alias("_w"))
+            .select("repo", "path", "_w.seq", "_w.commit", "_w.op"))
+
+
 def q_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     sess = with_gap_sessions(ev, "user_id", "es", gap=1800)
@@ -456,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_repo_stats": q_cdc_repo_stats,
+        "stream_version_deltas": q_stream_version_deltas,
         "gap_sessions": q_gap_sessions,
         "state_boundaries": q_state_boundaries,
         "flow_fragments": q_flow_fragments,
@@ -509,6 +539,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_repo_stats": f"""
             SELECT repo, COUNT(path) AS n_files, MAX(seq) AS max_seq
             FROM ({final}) fs GROUP BY repo""",
+        "stream_version_deltas": f"""
+            SELECT repo, path, seq, commit, op FROM (
+              SELECT *, row_number() OVER (PARTITION BY repo, path
+                  ORDER BY seq DESC, commit DESC) AS rn
+              FROM ({feed}) f) x
+            WHERE rn = 1""",
         "gap_sessions": f"""
             WITH ev AS (SELECT * FROM {_EV}),
             b AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL

@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator: cross-batch per-key version tracking.
+
+``latest_version_deltas`` converts the at-least-once WAL tail into a
+**suppressed delta stream**: for every key ``(repo, path)`` it keeps the
+highest ``(seq, commit)`` seen so far in the Structured Streaming state
+store and emits a row ONLY when a micro-batch advances that version —
+re-deliveries and stale events produce nothing. Downstream consumers (cache
+invalidation, search indexing) then see exactly one notification per
+version instead of the raw duplicate-laden feed.
+
+This is the reference's batch LWW (SURVEY §2.6) lifted into streaming
+state: the reference has no streaming layer at all (§2.9), so this is the
+`applyInPandasWithState` rebuild of the idiom its keyed ES upserts imply
+(``sql/WritableDataFrame.scala:83-86`` — replays converge by overwriting
+the same doc id; here replays are *silenced* instead).
+
+Scale notes:
+- state per key is 2 scalars (seq + commit) — ~60 bytes; 10^9 keys ≈
+  60 GB across the cluster's state stores, well within RocksDB-backed
+  state at 1000 executors;
+- the kernel is Arrow-batched per key-group (no per-row Python);
+- ``GroupStateTimeout`` can evict keys idle past the retention horizon
+  (pass ``ttl_minutes``) to bound state for hot-then-cold keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+DELTA_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("commit", T.StringType(), True),
+    T.StructField("op", T.StringType(), True),
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("commit", T.StringType(), True),
+])
+
+
+def latest_version_deltas(events: DataFrame, *,
+                          ttl_minutes: int | None = None) -> DataFrame:
+    """events (streaming, EVENT_SCHEMA-shaped) → per-key version-advance
+    deltas. Output mode must be ``update``."""
+
+    def track(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: Any) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prev_seq, prev_commit = state.get if state.exists else (-1, "")
+        best = None  # (seq, commit, op)
+        for pdf in pdfs:
+            i = pdf["seq"].idxmax()
+            cand = (int(pdf["seq"].loc[i]), str(pdf["commit"].loc[i]),
+                    str(pdf["op"].loc[i]))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is not None and (best[0], best[1]) > (prev_seq, prev_commit or ""):
+            state.update((best[0], best[1]))
+            if ttl_minutes:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            yield pd.DataFrame({"repo": [key[0]], "path": [key[1]],
+                                "seq": [best[0]], "commit": [best[1]],
+                                "op": [best[2]]})
+        elif ttl_minutes and state.exists:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+
+    timeout = "ProcessingTimeTimeout" if ttl_minutes else "NoTimeout"
+    return (events
+            .groupBy("repo", "path")
+            .applyInPandasWithState(
+                track, DELTA_SCHEMA, STATE_SCHEMA, "update", timeout))

@@ -114,3 +114,45 @@ def test_stream_schema_evolution_mid_stream(spark, tmp_path):
             assert r.size == len(r.content)
         else:
             assert r.size is None
+
+
+def test_stateful_version_deltas(spark, tmp_path):
+    """applyInPandasWithState version tracker: cross-batch state suppresses
+    re-deliveries and stale events; the last delta per key equals the batch
+    LWW winner."""
+    from arlas_proc_spark.cdc.engine import EVENT_SCHEMA
+    from arlas_proc_spark.sources.readers import read_stream_parquet
+    from arlas_proc_spark.streaming.stateful import latest_version_deltas
+
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, N, n_batches=4)
+    stream = read_stream_parquet(spark, wal, EVENT_SCHEMA, max_files_per_trigger=1)
+    deltas = latest_version_deltas(stream)
+    q = (deltas.writeStream.format("memory").queryName("vdeltas")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT * FROM vdeltas").collect()
+    # ≤1 delta per key per micro-batch; monotone seq per key
+    per_key = {}
+    for r in got:
+        per_key.setdefault((r.repo, r.path), []).append((r.seq, r.commit, r.op))
+    for seqs in per_key.values():
+        assert [s for s, _, _ in seqs] == sorted({s for s, _, _ in seqs})
+    # last delta per key == batch LWW oracle winner (incl. delete winners)
+    import duckdb
+    from arlas_proc_spark.sources.changefeed import changefeed_sql
+    feed = changefeed_sql(N, dialect="duckdb")
+    oracle = duckdb.sql(f"""
+        SELECT repo, path, seq, commit, op FROM (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY seq DESC, commit DESC) rn FROM ({feed}) f) x
+        WHERE rn = 1""").fetchdf()
+    want = {(r.repo, r.path): (int(r.seq), r.commit, r.op)
+            for r in oracle.itertuples()}
+    last = {k: v[-1] for k, v in per_key.items()}
+    assert last == want
+    # duplicates suppressed: total deltas strictly below total feed rows
+    n_feed = duckdb.sql(f"SELECT count(*) FROM ({feed}) f").fetchone()[0]
+    assert len(got) < n_feed
