@@ -86,6 +86,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EV = ("(SELECT event_id, user_id, event_type, value, "
        "CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)")
 
+
+def _lang_canon_sql() -> str:
+    """CASE expression mirroring functions.content._LANG_CANON exactly."""
+    from arlas_proc_spark.functions.content import _LANG_CANON
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _LANG_CANON.items())
+    return f"CASE lower(trim(lang)) {whens} ELSE lower(trim(lang)) END"
+
+
+_LANG_CANON_SQL = _lang_canon_sql()
+
 # DuckDB token/shingle snippets (documents.text)
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 _SHINGLES = (
@@ -157,6 +167,25 @@ def q_stream_version_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (deltas.groupBy("repo", "path")
             .agg(F.max(F.struct(*ordered)).alias("_w"))
             .select("repo", "path", "_w.seq", "_w.commit", "_w.op"))
+
+
+def q_cdc_normalized_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized language canonicalization (the input_hint's lang
+    normalization) over the LWW final state, rolled up per canonical tag."""
+    from arlas_proc_spark.functions.content import with_normalized_lang
+    final = lww_resolve(changefeed_df(spark, N_FEED))
+    out = with_normalized_lang(final, "lang", "lang_norm")
+    return out.groupBy("lang_norm").agg(F.count(F.lit(1)).alias("n_files"))
+
+
+def q_period_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: time-range predicate ANDed with a partition-pruning predicate."""
+    from arlas_proc_spark.operators.formatter import filter_on_period
+    ev = _events(spark, sf_dir).withColumn(
+        "partition_day", F.date_format("ts", "yyyyMMdd").cast("int"))
+    out = filter_on_period(ev, "es", "partition_day",
+                           start=1704200000, stop=1704400000)
+    return out.select("event_id", "es", "partition_day")
 
 
 def q_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_repo_stats": q_cdc_repo_stats,
         "stream_version_deltas": q_stream_version_deltas,
+        "cdc_normalized_langs": q_cdc_normalized_langs,
+        "period_filter": q_period_filter,
         "gap_sessions": q_gap_sessions,
         "state_boundaries": q_state_boundaries,
         "flow_fragments": q_flow_fragments,
@@ -545,6 +576,14 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY seq DESC, commit DESC) AS rn
               FROM ({feed}) f) x
             WHERE rn = 1""",
+        "cdc_normalized_langs": f"""
+            SELECT {_LANG_CANON_SQL} AS lang_norm, COUNT(*) AS n_files
+            FROM ({final}) fs GROUP BY 1""",
+        "period_filter": f"""
+            SELECT event_id, es,
+                   CAST(strftime(ts, '%Y%m%d') AS INT) AS partition_day
+            FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events) e
+            WHERE es >= 1704200000 AND es <= 1704400000""",
         "gap_sessions": f"""
             WITH ev AS (SELECT * FROM {_EV}),
             b AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
