@@ -141,6 +141,15 @@ def lww_compact(events: DataFrame, key_cols: list[str] = KEY_COLS,
     payload)). No join, no broadcast limit; right when the winner set is
     too large to broadcast (giant replay batches) and cores are few.
     """
+    # WAL contract: key columns are NOT NULL. Without this guard a
+    # null-key event would silently vanish in the equi-join below (null
+    # never equals null) instead of failing the batch.
+    for k in key_cols:
+        events = events.withColumn(
+            k, F.when(F.col(k).isNotNull(), F.col(k)).otherwise(
+                F.raise_error(F.lit(
+                    f"null key column '{k}' in change feed "
+                    f"(key columns are NOT NULL)"))))
     if strategy == "agg":
         ordered = [seq_col, "commit"] + \
             [c for c in events.columns if c not in (seq_col, "commit")]

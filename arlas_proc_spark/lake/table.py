@@ -248,10 +248,21 @@ class LakeTable:
         #    collide; pick the winner with scalar exprs (codegen end-to-end).
         cur = self.read(touched, snapshot=snap, with_tombstones=True)
         have = set(resolved.columns)
+
+        def _in_col(f):
+            if f.name not in have:
+                return F.lit(None).cast(f.dataType)
+            c = F.col(f.name).cast(f.dataType)
+            if f.name in key_cols:
+                # WAL contract: key columns are NOT NULL — fail the batch
+                # loudly instead of merging a silent null-key row
+                c = F.when(c.isNotNull(), c).otherwise(F.raise_error(F.lit(
+                    f"null key column '{f.name}' in merge batch "
+                    f"(key columns are NOT NULL)")))
+            return c
+
         incoming = resolved.select(
-            *[(F.col(f.name).cast(f.dataType) if f.name in have
-               else F.lit(None).cast(f.dataType)).alias(f"_n_{f.name}")
-              for f in table_schema.fields],
+            *[_in_col(f).alias(f"_n_{f.name}") for f in table_schema.fields],
             F.col(op_col).alias(f"_n_{op_col}"))
         existing = cur.select(
             *[F.col(f.name).alias(f"_e_{f.name}") for f in table_schema.fields],

@@ -106,3 +106,40 @@ def test_vectorized_and_jvm_hash_agree(spark, tmp_path, vectorized):
                        vectorized_udfs=vectorized)
     engine.replay(changefeed_df(spark, 300))
     assert _engine_state(engine) == _oracle(300)
+
+
+def test_extreme_skew_converges(spark, tmp_path):
+    """hot_pct=90: nine of ten events hit one repo. Key-hash bucketing must
+    still spread the load and converge to the oracle."""
+    import duckdb
+
+    from arlas_proc_spark.cdc.engine import CdcEngine
+    from arlas_proc_spark.sources.changefeed import changefeed_df, final_state_sql
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8, collect_metrics=False)
+    eng.replay(changefeed_df(spark, 3000, hot_pct=90))
+    got = {(r.repo, r.path): (r.seq, r.content_sha256)
+           for r in eng.state().collect()}
+    exp = duckdb.sql(final_state_sql(3000, hot_pct=90)).fetchdf()
+    want = {(r.repo, r.path): (int(r.seq), r.content_sha256)
+            for r in exp.itertuples()}
+    assert got == want
+    # bucket spread: the hot repo's files land in >1 bucket
+    snap = eng.table.snapshot()
+    assert len([b for b, fs in snap["buckets"].items() if fs]) > 1
+
+
+def test_null_key_events_fail_fast(spark, tmp_path):
+    """Events with a null key column must raise, not silently merge into a
+    null-key row (WAL contract: key columns are NOT NULL)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arlas_proc_spark.cdc.engine import CdcEngine
+    from arlas_proc_spark.sources.changefeed import changefeed_df
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4, collect_metrics=False)
+    bad = changefeed_df(spark, 50, with_dups=False).withColumn(
+        "repo", F.when(F.col("seq") == 7, F.lit(None)).otherwise(F.col("repo")))
+    with pytest.raises(Exception, match="[Nn]ull|NOT NULL"):
+        eng.apply_batch(bad, 0)
