@@ -188,6 +188,18 @@ def q_period_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "es", "partition_day")
 
 
+def q_static_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: whole-partition null-backfill of a static per-key column with
+    default fallback."""
+    from arlas_proc_spark.operators.formatter import standardize_static_columns
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "maybe_tag",
+        F.when(F.col("event_id") % 7 == 0,
+               F.concat(F.lit("tag_"), F.col("user_id").cast("string"))))
+    out = standardize_static_columns(ev, "user_id", {"maybe_tag": "unknown"})
+    return out.select("event_id", "user_id", "maybe_tag")
+
+
 def q_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     sess = with_gap_sessions(ev, "user_id", "es", gap=1800)
@@ -517,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_version_deltas": q_stream_version_deltas,
         "cdc_normalized_langs": q_cdc_normalized_langs,
         "period_filter": q_period_filter,
+        "static_standardize": q_static_standardize,
         "gap_sessions": q_gap_sessions,
         "state_boundaries": q_state_boundaries,
         "flow_fragments": q_flow_fragments,
@@ -584,6 +597,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strftime(ts, '%Y%m%d') AS INT) AS partition_day
             FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events) e
             WHERE es >= 1704200000 AND es <= 1704400000""",
+        "static_standardize": """
+            SELECT event_id, user_id,
+                   coalesce(maybe_tag,
+                            min(maybe_tag) OVER (PARTITION BY user_id),
+                            'unknown') AS maybe_tag
+            FROM (SELECT event_id, user_id,
+                         CASE WHEN event_id % 7 = 0
+                              THEN concat('tag_', CAST(user_id AS VARCHAR))
+                         END AS maybe_tag
+                  FROM events) e""",
         "gap_sessions": f"""
             WITH ev AS (SELECT * FROM {_EV}),
             b AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL

@@ -55,6 +55,28 @@ def filter_in_range(df: DataFrame, bounds: dict[str, tuple[float, float]]) -> Da
     return df.where(cond)
 
 
+def standardize_static_columns(df: DataFrame, id_col: str,
+                               cols: dict[str, object]) -> DataFrame:
+    """Null-backfill 'static' per-key columns from any sibling row, with a
+    default when the whole key has no value (reference:
+    StaticColumnsStandardizer.scala:40-53 — ``first(ignoreNulls)`` over the
+    unordered key partition). Uses ``min`` instead of ``first`` so the
+    result is deterministic; by the static-column contract a key carries at
+    most one distinct non-null value, where the two agree.
+
+    ``cols``: column name → default value (None = leave null).
+    """
+    from pyspark.sql.window import Window
+    require_columns(df, id_col, *cols.keys())
+    w = Window.partitionBy(id_col)
+    for c, default in cols.items():
+        filled = F.coalesce(F.col(c), F.min(c).over(w))
+        if default is not None:
+            filled = F.coalesce(filled, F.lit(default))
+        df = df.withColumn(c, filled)
+    return df
+
+
 def filter_on_period(df: DataFrame, ts_col: str, partition_col: str | None,
                      start=None, stop=None) -> DataFrame:
     """Time-range predicate that ALSO constrains the partition column so the
