@@ -35,9 +35,25 @@ def read_stream_parquet(spark: SparkSession, path: str, schema: StructType,
     micro-batch size (reference analog of the ScyllaDB incremental source,
     sql/DataFrameReader.scala:48-55, recast as a stream).
     """
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .option("recursiveFileLookup", "true")
-        .parquet(path)
-    )
+    return read_stream(spark, path, schema, fmt="parquet",
+                       max_files_per_trigger=max_files_per_trigger)
+
+
+def read_stream(spark: SparkSession, path: str, schema: StructType,
+                fmt: str = "parquet", max_files_per_trigger: int = 1) -> DataFrame:
+    """WAL segment tail for any file format ∈ {parquet, json, csv}.
+
+    Debezium-style deployments often land change events as JSON lines;
+    the schema projects each record the same way regardless of segment
+    encoding, so the rest of the pipeline is format-agnostic.
+    """
+    r = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", str(max_files_per_trigger))
+         .option("recursiveFileLookup", "true"))
+    if fmt == "parquet":
+        return r.parquet(path)
+    if fmt == "json":
+        return r.json(path)
+    if fmt == "csv":
+        return r.option("header", "true").csv(path)
+    raise ValueError(f"unsupported WAL segment format: {fmt!r}")

@@ -32,28 +32,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arlas_proc_spark.cdc.engine import EVENT_SCHEMA, CdcEngine
-from arlas_proc_spark.sources.readers import read_stream_parquet
+from arlas_proc_spark.sources.readers import read_stream
 
 
 class StreamingIngest:
     def __init__(self, spark: SparkSession, table_path: str, *,
                  n_buckets: int = 16, watermark: str = "1 hour",
                  stream_dedup: bool = True, collect_metrics: bool = True,
-                 event_schema=None):
+                 event_schema=None, wal_format: str = "parquet"):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
-        live table schema when the first batch carrying them arrives."""
+        live table schema when the first batch carrying them arrives.
+        ``wal_format`` ∈ {parquet, json, csv} — the segment encoding
+        (Debezium-style feeds land JSON lines)."""
         self.spark = spark
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
                                 collect_metrics=collect_metrics)
         self.watermark = watermark
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
+        self.wal_format = wal_format
 
     def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-        raw = read_stream_parquet(self.spark, wal_dir, self.event_schema,
-                                  max_files_per_trigger=max_files_per_trigger)
+        raw = read_stream(self.spark, wal_dir, self.event_schema,
+                          fmt=self.wal_format,
+                          max_files_per_trigger=max_files_per_trigger)
         if not self.stream_dedup:
             return raw
         with_time = raw.withColumn("_event_time",

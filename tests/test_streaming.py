@@ -156,3 +156,18 @@ def test_stateful_version_deltas(spark, tmp_path):
     # duplicates suppressed: total deltas strictly below total feed rows
     n_feed = duckdb.sql(f"SELECT count(*) FROM ({feed}) f").fetchone()[0]
     assert len(got) < n_feed
+
+
+def test_stream_json_wal_segments(spark, tmp_path):
+    """Debezium-style JSON-lines WAL segments converge identically to
+    parquet segments — the pipeline is segment-encoding-agnostic."""
+    wal = str(tmp_path / "wal")
+    df = changefeed_df(spark, 800)
+    sz = 200
+    for b in range(4):
+        (df.where((df.seq >= b * sz) & (df.seq < (b + 1) * sz))
+           .coalesce(1).write.mode("overwrite").json(f"{wal}/batch_{b:05d}"))
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                          collect_metrics=False, wal_format="json")
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert _state(ing) == _oracle(800)
