@@ -171,3 +171,22 @@ def test_stream_json_wal_segments(spark, tmp_path):
                           collect_metrics=False, wal_format="json")
     ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
     assert _state(ing) == _oracle(800)
+
+
+def test_stream_csv_wal_segments(spark, tmp_path):
+    """CSV WAL segments (quoted content with commas) also converge."""
+    wal = str(tmp_path / "wal")
+    df = changefeed_df(spark, 400, with_dups=False)
+    for b in range(2):
+        (df.where((df.seq >= b * 200) & (df.seq < (b + 1) * 200))
+           .coalesce(1).write.mode("overwrite")
+           .option("header", "true").csv(f"{wal}/batch_{b:05d}"))
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                          collect_metrics=False, wal_format="csv")
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    got = _state(ing)
+    import duckdb
+    from arlas_proc_spark.sources.changefeed import final_state_sql
+    exp = duckdb.sql(final_state_sql(400, with_dups=False)).fetchdf()
+    want = {(r.repo, r.path): (int(r.seq), r.content_sha256) for r in exp.itertuples()}
+    assert got == want
