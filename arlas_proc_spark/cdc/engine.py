@@ -81,26 +81,41 @@ class CdcEngine:
         vectorized hash so the pandas UDF only touches winning rows — at
         10^10 events most rows lose LWW and never cross the Arrow boundary.
 
-        The incremental path persists the compacted winners: the merge
-        consumes them twice (bucket discovery + the MERGE join), and
-        without a cache the whole compact+hash pipeline would re-execute
-        per consumer. Winners are one row per key — tiny relative to the
-        feed. Full replays (assume_all_buckets) skip bucket discovery, so
-        they consume the plan exactly once and a cache would only add a
-        materialization pass."""
-        compacted = lww_compact(events)
-        prepared = prepare_events(compacted, vectorized=self.vectorized)
+        Incremental path: the merge needs the touched-bucket set BEFORE it
+        builds its join (to know which current-state files to read), and the
+        MERGE join itself needs the compacted winners. Bucket = pmod(hash(
+        key), N) depends on the KEY only — so instead of persisting the full
+        payload winners (content strings dominate; the old bottleneck, see
+        BENCH/BASELINE.md), persist just the NARROW argmax frame (~40
+        bytes/key), derive touched buckets from it, and reuse it as the
+        broadcast build side of the join-back. The heavy payload pipeline
+        (probe + sha256) then runs exactly ONCE, inside the merge's write
+        action, with zero payload cached. Requires a replayable source
+        (immutable WAL segments / deterministic generator): the feed is
+        scanned twice (argmax pass, probe pass) and the winning (key, seq)
+        rows must appear in both — the WAL contract guarantees it."""
         if assume_all_buckets:
+            compacted = lww_compact(events)
+            prepared = prepare_events(compacted, vectorized=self.vectorized)
             return self.table.merge_batch(
                 prepared, batch_id, collect_metrics=self.collect_metrics,
                 assume_all_buckets=True, batch_compacted=True)
-        prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
+        winners = (events.groupBy(*KEY_COLS)
+                   .agg(F.max(SEQ_COL).alias(SEQ_COL))
+                   .persist(StorageLevel.MEMORY_AND_DISK))
         try:
+            snap = self.table.snapshot()
+            from arlas_proc_spark.lake.table import bucket_expr
+            touched = [r[0] for r in winners.select(
+                bucket_expr(snap["key_cols"], snap["n_buckets"]).alias("_b"))
+                .distinct().collect()]
+            compacted = lww_compact(events, winners=winners)
+            prepared = prepare_events(compacted, vectorized=self.vectorized)
             return self.table.merge_batch(
                 prepared, batch_id, collect_metrics=self.collect_metrics,
-                assume_all_buckets=False, batch_compacted=True)
+                touched_buckets=touched, batch_compacted=True)
         finally:
-            prepared.unpersist()
+            winners.unpersist()
 
     def replay(self, events: DataFrame, batch_id: str = "replay-0") -> dict:
         """Full-log batch replay (bootstrap): one big merge. For an empty
@@ -117,7 +132,8 @@ class CdcEngine:
 
 
 def lww_compact(events: DataFrame, key_cols: list[str] = KEY_COLS,
-                seq_col: str = SEQ_COL, strategy: str = "broadcast") -> DataFrame:
+                seq_col: str = SEQ_COL, strategy: str = "broadcast",
+                winners: DataFrame | None = None) -> DataFrame:
     """One row per key: the latest event by (seq, commit) — deletes kept
     (the merge needs them as tombstones). The scalable, deterministic
     formulation of the reference's arbitrary ``dropDuplicates``
@@ -140,6 +156,10 @@ def lww_compact(events: DataFrame, key_cols: list[str] = KEY_COLS,
     strategy='agg': single wide argmax — max(struct(ordering-first,
     payload)). No join, no broadcast limit; right when the winner set is
     too large to broadcast (giant replay batches) and cores are few.
+
+    ``winners``: optionally a precomputed (persisted) narrow argmax frame
+    with columns [*key_cols, seq_col] — lets a caller share one argmax
+    pass between bucket discovery and this join-back (CdcEngine.apply_batch).
     """
     # WAL contract: key columns are NOT NULL. Without this guard a
     # null-key event would silently vanish in the equi-join below (null
@@ -157,7 +177,8 @@ def lww_compact(events: DataFrame, key_cols: list[str] = KEY_COLS,
                 .agg(F.max(F.struct(*ordered)).alias("_w"))
                 .select("_w.*")
                 .select(*events.columns))
-    winners = events.groupBy(*key_cols).agg(F.max(seq_col).alias(seq_col))
+    if winners is None:
+        winners = events.groupBy(*key_cols).agg(F.max(seq_col).alias(seq_col))
     joined = events.join(F.broadcast(winners),
                          on=[*key_cols, seq_col], how="inner")
     # duplicate deliveries of the winning event survive the join; they are

@@ -177,7 +177,8 @@ class LakeTable:
                     op_col: str = "op", delete_value: str = "delete",
                     collect_metrics: bool = True,
                     assume_all_buckets: bool = False,
-                    batch_compacted: bool = False) -> dict:
+                    batch_compacted: bool = False,
+                    touched_buckets: list[int] | None = None) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         Semantics (Iceberg ``MERGE INTO t USING s ON key``):
@@ -224,10 +225,14 @@ class LakeTable:
 
         # 2. touched buckets (tiny aggregation: ≤ n_buckets groups, map-side
         #    partials — no wide shuffle). Full-log replays skip the scan
-        #    entirely (assume_all_buckets): one fewer pass over the feed.
+        #    entirely (assume_all_buckets); callers that already know the
+        #    set (CdcEngine derives it from the narrow argmax winners) pass
+        #    ``touched_buckets`` so the batch plan is consumed exactly once.
         resolved = batch.withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
         if assume_all_buckets:
             touched = list(range(n_buckets))
+        elif touched_buckets is not None:
+            touched = list(touched_buckets)
         else:
             touched = [r[0] for r in resolved.select(_BUCKET).distinct().collect()]
 

@@ -74,9 +74,10 @@ class StreamingIngest:
         events = self.events_stream(wal_dir, max_files_per_trigger)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
-            # persist: apply_batch runs >1 action (bucket discovery + write)
-            # and without a cache each action would re-execute the whole
-            # micro-batch plan INCLUDING the state-store dedup scan
+            # persist: apply_batch scans the batch twice (narrow LWW argmax,
+            # then the merge's probe pass) and without a cache each scan
+            # would re-execute the whole micro-batch plan INCLUDING the
+            # state-store dedup scan
             batch_df.persist()
             try:
                 if batch_df.isEmpty():
