@@ -78,3 +78,79 @@ def latest_version_deltas(events: DataFrame, *,
             .groupBy("repo", "path")
             .applyInPandasWithState(
                 track, DELTA_SCHEMA, STATE_SCHEMA, "update", timeout))
+
+
+def latest_version_deltas_tws(events: DataFrame, *,
+                              ttl_minutes: int | None = None) -> DataFrame:
+    """Same contract as :func:`latest_version_deltas`, on Spark 4's
+    ``transformWithStateInPandas`` (the successor stateful API): a
+    ``StatefulProcessor`` with a typed ``ValueState`` instead of the
+    callback-and-tuple ``GroupState``.
+
+    Why offer both: ``transformWithState`` is where new state features land
+    (native per-state TTL without hand-rolled timers, multiple named state
+    variables, list/map state, state schema evolution) and it requires the
+    RocksDB state-store provider — the provider a 1000-executor deployment
+    runs anyway for state larger than executor heap. The legacy variant
+    stays for HDFS-backed state stores. Output mode must be ``update``.
+
+    Runtime requirement: the transformWithState Python worker talks to the
+    JVM state server over a protobuf protocol, so the ``protobuf`` package
+    must be importable on executors (it ships with any pip install of
+    pyspark[connect]; absent in this sandbox — the gate below fails fast
+    with a clear message instead of a crashed driver worker mid-query).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package on "
+            "driver and executors (its Python<->JVM state protocol); use "
+            "latest_version_deltas (applyInPandasWithState) instead") from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    ttl_ms = ttl_minutes * 60 * 1000 if ttl_minutes else None
+
+    class VersionTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # native TTL: RocksDB evicts idle keys without timer plumbing
+            self._version = handle.getValueState("version", STATE_SCHEMA,
+                                                 ttl_ms)
+
+        def handleInputRows(self, key: tuple, rows: Iterator[pd.DataFrame],
+                            timerValues: Any) -> Iterator[pd.DataFrame]:
+            prev = self._version.get() if self._version.exists() else None
+            prev_seq, prev_commit = prev if prev else (-1, "")
+            best = None  # (seq, commit, op)
+            for pdf in rows:
+                i = pdf["seq"].idxmax()
+                cand = (int(pdf["seq"].loc[i]), str(pdf["commit"].loc[i]),
+                        str(pdf["op"].loc[i]))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+            if best is not None and \
+                    (best[0], best[1]) > (prev_seq, prev_commit or ""):
+                self._version.update((best[0], best[1]))
+                yield pd.DataFrame({"repo": [key[0]], "path": [key[1]],
+                                    "seq": [best[0]], "commit": [best[1]],
+                                    "op": [best[2]]})
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB provider (the HDFS-backed
+    # default store doesn't implement multiple column families); session
+    # conf is read at query START, so setting it here covers this query
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    return (events
+            .groupBy("repo", "path")
+            .transformWithStateInPandas(
+                statefulProcessor=VersionTracker(),
+                outputStructType=DELTA_SCHEMA,
+                outputMode="update",
+                timeMode="none"))

@@ -158,6 +158,75 @@ def test_stateful_version_deltas(spark, tmp_path):
     assert len(got) < n_feed
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_stateful_version_deltas_tws_requires_protobuf(spark):
+    """Without protobuf the TWS variant must fail fast with a clear
+    message, not crash the streaming driver worker mid-query."""
+    if _has_protobuf():
+        import pytest
+        pytest.skip("protobuf present; gate not exercised")
+    import pytest
+
+    from arlas_proc_spark.cdc.engine import EVENT_SCHEMA
+    from arlas_proc_spark.streaming.stateful import latest_version_deltas_tws
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("value as seq", "'i' as op", "'r' as repo",
+                          "'p' as path", "'c' as commit",
+                          "value as ts_s", "'py' as lang", "'x' as content"))
+    assert stream.schema.fieldNames() == EVENT_SCHEMA.fieldNames()
+    with pytest.raises(RuntimeError, match="protobuf"):
+        latest_version_deltas_tws(stream)
+
+
+def test_stateful_version_deltas_tws(spark, tmp_path):
+    """transformWithStateInPandas variant (Spark 4 StatefulProcessor +
+    RocksDB store): identical contract to the applyInPandasWithState
+    tracker — last delta per key equals the batch LWW winner."""
+    import pytest
+    if not _has_protobuf():
+        pytest.skip("transformWithState needs protobuf (not in sandbox); "
+                    "gate covered by the _requires_protobuf test")
+    from arlas_proc_spark.cdc.engine import EVENT_SCHEMA
+    from arlas_proc_spark.sources.readers import read_stream_parquet
+    from arlas_proc_spark.streaming.stateful import latest_version_deltas_tws
+
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, N, n_batches=4)
+    stream = read_stream_parquet(spark, wal, EVENT_SCHEMA, max_files_per_trigger=1)
+    deltas = latest_version_deltas_tws(stream)
+    q = (deltas.writeStream.format("memory").queryName("vdeltas_tws")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT * FROM vdeltas_tws").collect()
+    per_key = {}
+    for r in got:
+        per_key.setdefault((r.repo, r.path), []).append((r.seq, r.commit, r.op))
+    for seqs in per_key.values():
+        assert [s for s, _, _ in seqs] == sorted({s for s, _, _ in seqs})
+    import duckdb
+    from arlas_proc_spark.sources.changefeed import changefeed_sql
+    feed = changefeed_sql(N, dialect="duckdb")
+    oracle = duckdb.sql(f"""
+        SELECT repo, path, seq, commit, op FROM (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY seq DESC, commit DESC) rn FROM ({feed}) f) x
+        WHERE rn = 1""").fetchdf()
+    want = {(r.repo, r.path): (int(r.seq), r.commit, r.op)
+            for r in oracle.itertuples()}
+    assert {k: v[-1] for k, v in per_key.items()} == want
+    n_feed = duckdb.sql(f"SELECT count(*) FROM ({feed}) f").fetchone()[0]
+    assert len(got) < n_feed
+
+
 def test_stream_json_wal_segments(spark, tmp_path):
     """Debezium-style JSON-lines WAL segments converge identically to
     parquet segments — the pipeline is segment-encoding-agnostic."""
