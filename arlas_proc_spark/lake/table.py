@@ -76,6 +76,7 @@ class LakeTable:
         self.path = path
         self.meta_dir = os.path.join(path, "meta")
         self.data_dir = os.path.join(path, "data")
+        self.lineage_dir = os.path.join(path, "lineage")
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -351,6 +352,7 @@ class LakeTable:
         snap["version"] = version
         metrics["wall_s"] = round(time.time() - t0, 3)
         _ledger_add(led, bid, metrics)
+        self._write_lineage(version, bid, staged)
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 
@@ -371,16 +373,71 @@ class LakeTable:
         else:
             clustered = df.repartition(n_buckets, F.col(_BUCKET))
         (clustered.write.partitionBy(_BUCKET).mode("overwrite").parquet(stage))
+        import pyarrow.parquet as pq
         staged: dict[int, list[dict]] = {}
         for bdir in glob.glob(os.path.join(stage, f"{_BUCKET}=*")):
             b = int(bdir.rsplit("=", 1)[1])
             staged[b] = []
             for i, part in enumerate(sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))):
                 name = f"v{version}-b{b}-{i}.parquet"
-                os.replace(part, os.path.join(self.data_dir, name))
-                staged[b].append({"file": name, "schema_v": schema_v})
+                target = os.path.join(self.data_dir, name)
+                os.replace(part, target)
+                # per-partition lineage from the parquet FOOTER — metadata
+                # read only, no Spark job, no data scan
+                staged[b].append({"file": name, "schema_v": schema_v,
+                                  "rows": pq.ParquetFile(target).metadata.num_rows,
+                                  "bytes": os.path.getsize(target)})
         shutil.rmtree(stage, ignore_errors=True)
         return staged
+
+    # --------------------------------------------------------------- lineage
+    def _write_lineage(self, version: int, batch_id: str,
+                       staged: dict[int, list[dict]]) -> None:
+        """Per-partition lineage for one commit, as a parquet file the
+        engine (or any reader) can query as a table: one row per (bucket,
+        file) with its footer row count and size. Written BEFORE the
+        snapshot commit; named by version, so a crashed commit's orphan is
+        overwritten when the version number is retried and ``lineage_df``
+        additionally filters to committed versions."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        cols = {"version": [], "batch_id": [], "bucket": [], "file": [],
+                "rows": [], "bytes": [], "schema_v": []}
+        for b, files in staged.items():
+            for e in files:
+                cols["version"].append(version)
+                cols["batch_id"].append(batch_id)
+                cols["bucket"].append(int(b))
+                cols["file"].append(e["file"])
+                cols["rows"].append(int(e.get("rows", -1)))
+                cols["bytes"].append(int(e.get("bytes", -1)))
+                cols["schema_v"].append(int(e["schema_v"]))
+        tbl = pa.table({
+            "version": pa.array(cols["version"], pa.int64()),
+            "batch_id": pa.array(cols["batch_id"], pa.string()),
+            "bucket": pa.array(cols["bucket"], pa.int32()),
+            "file": pa.array(cols["file"], pa.string()),
+            "rows": pa.array(cols["rows"], pa.int64()),
+            "bytes": pa.array(cols["bytes"], pa.int64()),
+            "schema_v": pa.array(cols["schema_v"], pa.int32()),
+        })
+        pq.write_table(tbl, os.path.join(self.lineage_dir,
+                                         f"v{version:010d}.parquet"))
+
+    def lineage_df(self) -> DataFrame:
+        """All committed per-partition lineage as a DataFrame (one row per
+        bucket-file written, with footer row count + bytes). Versions above
+        the current snapshot (a commit that crashed mid-flight) are
+        excluded."""
+        cur = self.snapshot()["version"]
+        files = sorted(glob.glob(os.path.join(self.lineage_dir, "v*.parquet")))
+        if not files:
+            return self.spark.createDataFrame(
+                [], "version long, batch_id string, bucket int, file string,"
+                    " rows long, bytes long, schema_v int").where(F.lit(False))
+        return (self.spark.read.parquet(*files)
+                .where(F.col("version") <= cur))
 
     # ------------------------------------------------------------- overwrite
     def overwrite(self, df: DataFrame, batch_id: int | str = "overwrite") -> dict:
@@ -405,6 +462,7 @@ class LakeTable:
         snap["version"] = version
         metrics = {"batch_id": str(batch_id), "overwrite": True}
         _ledger_add(snap["ledger"], str(batch_id), metrics)
+        self._write_lineage(version, str(batch_id), staged)
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 
@@ -440,6 +498,7 @@ class LakeTable:
         metrics = {"compacted_buckets": len(victims),
                    "batch_id": batch_id or f"compact-{version}"}
         _ledger_add(snap["ledger"], metrics["batch_id"], metrics)
+        self._write_lineage(version, metrics["batch_id"], staged)
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 

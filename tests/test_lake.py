@@ -193,3 +193,39 @@ def test_expire_snapshots_gc(spark, tmp_path):
     with open(os.path.join(meta, retained[0])) as f:
         old = _json.load(f)
     assert t.read(snapshot=old).count() in (3, 4)
+
+
+def test_per_partition_lineage(spark, tmp_path):
+    """Every commit records per-bucket lineage (rows + bytes from parquet
+    footers) queryable as a DataFrame; totals reconcile with the table and
+    versions beyond the committed snapshot are excluded."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    t.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+        _ev(2, "insert", "r2", "b.py", "c2", "v1"),
+        _ev(3, "insert", "r3", "c.py", "c3", "v1"),
+    ]), 0)
+    t.merge_batch(_batch(spark, [
+        _ev(4, "update", "r1", "a.py", "c4", "v2"),
+    ]), 1)
+
+    lin = t.lineage_df().collect()
+    assert {r.version for r in lin} == {1, 2}
+    assert all(r.rows >= 0 and r.bytes > 0 for r in lin)
+    # v2 rewrote only the bucket holding (r1, a.py)
+    v2 = [r for r in lin if r.version == 2]
+    assert len({r.bucket for r in v2}) == 1
+    # footer row counts of the LIVE buckets reconcile with the table
+    # (tombstone-free table here, so live rows == lineage rows of the
+    # current snapshot's files)
+    snap = t.snapshot()
+    live_files = {e["file"] for fs in snap["buckets"].values() for e in fs}
+    live_rows = sum(r.rows for r in lin if r.file in live_files)
+    assert live_rows == t.read().count()
+    # an orphan lineage file from a crashed commit (version above the
+    # snapshot) is invisible
+    t._write_lineage(99, "crashed", {0: [{"file": "ghost.parquet",
+                                          "schema_v": 0, "rows": 5,
+                                          "bytes": 10}]})
+    assert {r.version for r in t.lineage_df().collect()} == {1, 2}
