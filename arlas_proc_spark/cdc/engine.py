@@ -63,10 +63,17 @@ def prepare_events(events: DataFrame, *, vectorized: bool = True,
 class CdcEngine:
     def __init__(self, spark: SparkSession, table_path: str, *,
                  n_buckets: int = 16, vectorized_udfs: bool = True,
-                 collect_metrics: bool = True):
+                 collect_metrics: bool = True,
+                 broadcast_key_limit: int = 5_000_000):
+        """``broadcast_key_limit``: incremental batches touching more
+        distinct keys than this fall back from the broadcast join-back to
+        the wide-argmax compaction — the winner set must fit in every
+        executor for a broadcast, and ~5M keys ≈ a few hundred MB build
+        side, the edge of comfortable at typical executor memory."""
         self.spark = spark
         self.vectorized = vectorized_udfs
         self.collect_metrics = collect_metrics
+        self.broadcast_key_limit = broadcast_key_limit
         if LakeTable.exists(spark, table_path):
             self.table = LakeTable(spark, table_path)
         else:
@@ -109,7 +116,13 @@ class CdcEngine:
             touched = [r[0] for r in winners.select(
                 bucket_expr(snap["key_cols"], snap["n_buckets"]).alias("_b"))
                 .distinct().collect()]
-            compacted = lww_compact(events, winners=winners)
+            # giant batches (winner set too big to broadcast) compact via
+            # the wide argmax instead; the count reads the materialized
+            # cache, so it costs one cheap cached-scan action
+            if winners.count() > self.broadcast_key_limit:
+                compacted = lww_compact(events, strategy="agg")
+            else:
+                compacted = lww_compact(events, winners=winners)
             prepared = prepare_events(compacted, vectorized=self.vectorized)
             return self.table.merge_batch(
                 prepared, batch_id, collect_metrics=self.collect_metrics,

@@ -143,3 +143,16 @@ def test_null_key_events_fail_fast(spark, tmp_path):
         "repo", F.when(F.col("seq") == 7, F.lit(None)).otherwise(F.col("repo")))
     with pytest.raises(Exception, match="[Nn]ull|NOT NULL"):
         eng.apply_batch(bad, 0)
+
+
+def test_giant_batch_agg_fallback_converges(spark, tmp_path):
+    """Batches whose winner set exceeds broadcast_key_limit compact via the
+    wide argmax (no broadcast) — identical convergence either way."""
+    engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8,
+                       broadcast_key_limit=1)
+    feed = changefeed_df(spark, N)
+    sz = N // 3
+    for b in range(3):
+        part = feed.where((feed.seq >= b * sz) & (feed.seq < (b + 1) * sz))
+        engine.apply_batch(part, b)
+    assert _engine_state(engine) == _oracle(N)
