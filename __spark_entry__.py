@@ -473,6 +473,14 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- non-SQL-expressible (rows-only)
 
 
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates. Oracle-checked: the 64-bit fingerprint
+    (md5-per-token bit votes) is replicated exactly in DuckDB SQL, so the
+    bucketed pair join + hamming distances compare value-for-value."""
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                             prefix_bits=8)
+
+
 def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     states = with_hmm_states(ev, "user_id", "es", "value", chunk_size=2000)
@@ -486,11 +494,6 @@ def q_mission_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is genuinely not window/SQL-expressible)."""
     ev = _events(spark, sf_dir)
     return mission_summary(ev, "user_id", "es", "value")
-
-
-def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text",
-                             prefix_bits=8)
 
 
 def q_nested_sink_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,10 +565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
+        "simhash_neardups": q_simhash_neardups,
         # rows-only (non-SQL-expressible: stateful/iterative/binary kernels)
         "viterbi_states": q_viterbi_states,
         "mission_summary": q_mission_summary,
-        "simhash_neardups": q_simhash_neardups,
         "multimodal_features": q_multimodal_features,
         "nested_sink_docs": q_nested_sink_docs,
     }
@@ -907,6 +910,27 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a._band = b._band AND a._sig = b._sig AND a._id < b._id
             GROUP BY a._id, b._id""",
+        "simhash_neardups": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h64
+              FROM toks WHERE tok <> ''),
+            bits AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h64 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit),
+            sig AS (
+              SELECT doc_id, SUM(CASE WHEN acc > 0
+                         THEN (1::UBIGINT << bit::INT) ELSE 0::UBIGINT
+                     END)::UBIGINT AS s
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+            FROM sig a JOIN sig b
+              ON (a.s >> 56) = (b.s >> 56) AND a.doc_id < b.doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH d AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents
                        WHERE doc_id < 200),
