@@ -498,14 +498,16 @@ def q_mission_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_nested_sink_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8+S9 sink-document shaping: deterministic doc id + recursive
-    struct nesting (rows-only: nested struct values are not portable
-    through the flat oracle hash)."""
+    struct nesting. Oracle-checked: the nested struct is serialized with
+    ``to_json`` (field order = spec order, no nulls in the fixture), which
+    DuckDB reproduces with ``struct_pack``+``to_json``; the struct-building
+    operator itself is still what's under test."""
     from arlas_proc_spark.sources.sinks import with_columns_nested, with_keyed_doc_id
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).withColumn("value", F.round("value", 3))
     doc = with_keyed_doc_id(ev, "user_id", "es")
     return with_columns_nested(doc, {
         "event": {"type": "event_type", "metrics": {"value": "value"}},
-    }).select("doc_id", "event")
+    }).select("doc_id", F.to_json("event").alias("event_json"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,11 +568,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
         "simhash_neardups": q_simhash_neardups,
+        "nested_sink_docs": q_nested_sink_docs,
         # rows-only (non-SQL-expressible: stateful/iterative/binary kernels)
         "viterbi_states": q_viterbi_states,
         "mission_summary": q_mission_summary,
         "multimodal_features": q_multimodal_features,
-        "nested_sink_docs": q_nested_sink_docs,
     }
 
 
@@ -980,4 +982,12 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
                   FROM sims) x
             WHERE rank <= 3""",
+        "nested_sink_docs": """
+            SELECT concat(user_id, '#', CAST(floor(epoch(ts)) AS BIGINT))
+                       AS doc_id,
+                   to_json(struct_pack(
+                       type := event_type,
+                       metrics := struct_pack(value := round(value, 3))))
+                       AS event_json
+            FROM events""",
     }
