@@ -81,3 +81,18 @@ def test_agg_queries_have_partial_aggregation(spark, qname):
     s = explain_str(df)
     # two HashAggregates per grouping (partial + final) = map-side combine
     assert s.count("HashAggregate") >= 2
+
+
+def test_lww_compact_broadcasts_precomputed_winners(spark):
+    """The incremental path's join-back must plan as a BroadcastHashJoin
+    on the (shared, narrow) winners frame — no shuffle of the event
+    payload — and keep the zero-buffer distinct out of SortAggregate."""
+    from arlas_proc_spark.cdc.engine import lww_compact
+    from arlas_proc_spark.sources.changefeed import changefeed_df
+    events = changefeed_df(spark, 1000)
+    winners = events.groupBy("repo", "path").agg(F.max("seq").alias("seq"))
+    df = lww_compact(events, winners=winners)
+    assert_broadcast_join(df, at_least=1)
+    rep = plan_report(df)
+    assert rep["sort_aggs"] == 0
+    assert rep["python_udfs"] == 0
