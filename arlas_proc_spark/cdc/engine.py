@@ -116,6 +116,12 @@ class CdcEngine:
             touched = [r[0] for r in winners.select(
                 bucket_expr(snap["key_cols"], snap["n_buckets"]).alias("_b"))
                 .distinct().collect()]
+            # empty micro-batch (availableNow drains often end with one):
+            # nothing to merge, and skipping here saves callers a separate
+            # isEmpty() action per batch. Not ledgered — a redelivered
+            # empty batch converges trivially.
+            if not touched:
+                return {"batch_id": str(batch_id), "skipped_empty": True}
             # giant batches (winner set too big to broadcast) compact via
             # the wide argmax instead; the count reads the materialized
             # cache, so it costs one cheap cached-scan action

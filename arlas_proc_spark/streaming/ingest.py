@@ -80,8 +80,8 @@ class StreamingIngest:
             # state-store dedup scan
             batch_df.persist()
             try:
-                if batch_df.isEmpty():
-                    return  # availableNow often ends with an empty batch
+                # empty final batches are detected inside apply_batch from
+                # the touched-bucket set — no separate isEmpty() job
                 self.engine.apply_batch(batch_df, batch_id)
             finally:
                 batch_df.unpersist()

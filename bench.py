@@ -87,6 +87,29 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # --- streaming WAL tail (the north-rule headline path): file-source
+    #     tail → watermark dedup → foreachBatch merge, backlog-to-drain ---
+    from arlas_proc_spark.sources.changefeed import write_changefeed_batches
+    from arlas_proc_spark.streaming.ingest import StreamingIngest
+    tmp2 = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        n_stream = n_events // 8
+        write_changefeed_batches(spark, f"{tmp2}/wal", n_stream,
+                                 n_batches=4, **GEN)
+        best_stream = float("inf")
+        for r in range(reps):
+            ing = StreamingIngest(spark, f"{tmp2}/t{r}", n_buckets=cpus,
+                                  collect_metrics=False)
+            t0 = time.time()
+            ing.run_to_completion(f"{tmp2}/wal", f"{tmp2}/ckpt{r}",
+                                  max_files_per_trigger=1)
+            best_stream = min(best_stream, time.time() - t0)
+        timings["cdc_stream_ingest"] = round(best_stream, 3)
+        extras["cdc_stream_events_per_sec"] = round(n_stream / best_stream, 1)
+        extras["cdc_stream_events"] = n_stream
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     # --- pure LWW + vectorized hash (no table IO) ---
     best = float("inf")
     for _ in range(reps):
