@@ -113,9 +113,14 @@ class CdcEngine:
         try:
             snap = self.table.snapshot()
             from arlas_proc_spark.lake.table import bucket_expr
-            touched = [r[0] for r in winners.select(
+            # ONE action answers three questions: which buckets the batch
+            # touches, whether it is empty, and how many distinct keys it
+            # carries (≤ n_buckets result rows — tiny collect)
+            per_bucket = (winners.groupBy(
                 bucket_expr(snap["key_cols"], snap["n_buckets"]).alias("_b"))
-                .distinct().collect()]
+                .count().collect())
+            touched = [r["_b"] for r in per_bucket]
+            n_keys = sum(r["count"] for r in per_bucket)
             # empty micro-batch (availableNow drains often end with one):
             # nothing to merge, and skipping here saves callers a separate
             # isEmpty() action per batch. Not ledgered — a redelivered
@@ -123,9 +128,8 @@ class CdcEngine:
             if not touched:
                 return {"batch_id": str(batch_id), "skipped_empty": True}
             # giant batches (winner set too big to broadcast) compact via
-            # the wide argmax instead; the count reads the materialized
-            # cache, so it costs one cheap cached-scan action
-            if winners.count() > self.broadcast_key_limit:
+            # the wide argmax instead
+            if n_keys > self.broadcast_key_limit:
                 compacted = lww_compact(events, strategy="agg")
             else:
                 compacted = lww_compact(events, winners=winners)
