@@ -1,5 +1,5 @@
-"""Decompose streaming-ingest overhead: state-store dedup on/off,
-persist on/off (via monkeypatch), micro-batch count.
+"""Decompose streaming-ingest overhead along two axes: state-store dedup
+on/off and micro-batch count (max_files_per_trigger).
 
 Usage: python BENCH/profile_stream.py [n_events] [cpus]
 """

@@ -475,8 +475,10 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates. Oracle-checked: the 64-bit fingerprint
-    (md5-per-token bit votes) is replicated exactly in DuckDB SQL, so the
-    bucketed pair join + hamming distances compare value-for-value."""
+    (md5-per-token bit votes, token-less docs = signature 0) is replicated
+    in DuckDB SQL, so the bucketed pair join + hamming distances compare
+    value-for-value. Tokenization parity assumes ASCII whitespace (Python
+    str.split also splits on Unicode spaces; the fixtures contain none)."""
     return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text",
                              prefix_bits=8)
 
@@ -924,11 +926,17 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CASE WHEN (h64 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
               FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
               GROUP BY doc_id, b.bit),
-            sig AS (
+            tok_sig AS (
               SELECT doc_id, SUM(CASE WHEN acc > 0
                          THEN (1::UBIGINT << bit::INT) ELSE 0::UBIGINT
                      END)::UBIGINT AS s
-              FROM bits GROUP BY doc_id)
+              FROM bits GROUP BY doc_id),
+            -- token-less docs (empty/whitespace-only/null text) carry
+            -- signature 0 in the Spark kernel and DO pair within bucket 0;
+            -- the left join keeps them instead of dropping them
+            sig AS (
+              SELECT d.doc_id, coalesce(t.s, 0::UBIGINT) AS s
+              FROM documents d LEFT JOIN tok_sig t USING (doc_id))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
             FROM sig a JOIN sig b

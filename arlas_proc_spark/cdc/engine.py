@@ -123,10 +123,12 @@ class CdcEngine:
             n_keys = sum(r["count"] for r in per_bucket)
             # empty micro-batch (availableNow drains often end with one):
             # nothing to merge, and skipping here saves callers a separate
-            # isEmpty() action per batch. Not ledgered — a redelivered
-            # empty batch converges trivially.
+            # isEmpty() action per batch. The id IS still ledgered (cheap
+            # data-free snapshot commit) — otherwise the contiguous-prefix
+            # watermark would stall at the gap and `pending` would grow
+            # unboundedly on a long-running tail.
             if not touched:
-                return {"batch_id": str(batch_id), "skipped_empty": True}
+                return self.table.commit_empty_batch(batch_id)
             # giant batches (winner set too big to broadcast) compact via
             # the wide argmax instead
             if n_keys > self.broadcast_key_limit:

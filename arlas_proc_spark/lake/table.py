@@ -439,6 +439,24 @@ class LakeTable:
         return (self.spark.read.parquet(*files)
                 .where(F.col("version") <= cur))
 
+    def commit_empty_batch(self, batch_id: int | str) -> dict:
+        """Ledger a batch that carried no rows. Without this, an empty
+        micro-batch (every availableNow drain ends with one) would leave a
+        permanent gap in the ledger's contiguous-prefix watermark: the
+        watermark could never advance past the missing id and ``pending``
+        would grow by one entry per drain, forever — snapshot JSON size and
+        ledger lookups degrading linearly with batch count. One cheap
+        snapshot commit (no data files touched) keeps the ledger O(1)."""
+        snap = self.snapshot()
+        bid = str(batch_id)
+        if _ledger_contains(snap["ledger"], bid):
+            return {"batch_id": bid, "skipped": True}
+        snap["version"] += 1
+        metrics = {"batch_id": bid, "empty": True}
+        _ledger_add(snap["ledger"], bid, metrics)
+        self._commit_snapshot(snap, expected_version=snap["version"] - 1)
+        return metrics
+
     # ------------------------------------------------------------- overwrite
     def overwrite(self, df: DataFrame, batch_id: int | str = "overwrite") -> dict:
         """Replace the whole table content (bootstrap/full-snapshot load)."""

@@ -156,3 +156,23 @@ def test_giant_batch_agg_fallback_converges(spark, tmp_path):
         part = feed.where((feed.seq >= b * sz) & (feed.seq < (b + 1) * sz))
         engine.apply_batch(part, b)
     assert _engine_state(engine) == _oracle(N)
+
+
+def test_empty_batches_advance_ledger_watermark(spark, tmp_path):
+    """Empty micro-batches (every availableNow drain ends with one) must
+    be ledgered: the contiguous-prefix watermark advances past them and
+    `pending` stays empty instead of growing per drain."""
+    engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    feed = changefeed_df(spark, 200)
+    engine.apply_batch(feed, 0)
+    empty = feed.where("seq < 0")
+    engine.apply_batch(empty, 1)
+    engine.apply_batch(feed.withColumn("seq", feed.seq + 200), 2)
+    engine.apply_batch(empty, 3)
+    led = engine.table.snapshot()["ledger"]
+    assert led["watermark"] == 3
+    assert led.get("pending", []) == []
+    # re-delivered empty batch is a ledgered no-op
+    v = engine.table.snapshot()["version"]
+    assert engine.apply_batch(empty, 3).get("skipped")
+    assert engine.table.snapshot()["version"] == v

@@ -75,3 +75,26 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_simhash_oracle_handles_tokenless_docs(spark, ddb):
+    """Docs with empty/whitespace-only/null text carry signature 0 in the
+    Spark kernel and pair within bucket 0; the DuckDB oracle must keep
+    them (left join) instead of dropping them with the token filter."""
+    from arlas_proc_spark.operators.dedup_fuzzy import simhash_near_dups
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").limit(50))
+    extra = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, None)],
+        "doc_id long, text string")
+    all_docs = docs.unionByName(extra)
+    got = simhash_near_dups(all_docs, "doc_id", "text",
+                            prefix_bits=8).toPandas()
+    con = duckdb.connect()
+    con.register("documents", all_docs.toPandas())
+    want = con.execute(ORACLES["simhash_neardups"]).fetchdf()
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df[["id_a", "id_b", "hamming"]].values.tolist()))
+    assert key(got) == key(want)
+    z = set(zip(got.id_a, got.id_b))
+    assert {(90001, 90002), (90001, 90003), (90002, 90003)} <= z
