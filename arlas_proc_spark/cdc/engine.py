@@ -64,16 +64,25 @@ class CdcEngine:
     def __init__(self, spark: SparkSession, table_path: str, *,
                  n_buckets: int = 16, vectorized_udfs: bool = True,
                  collect_metrics: bool = True,
-                 broadcast_key_limit: int = 5_000_000):
-        """``broadcast_key_limit``: incremental batches touching more
-        distinct keys than this fall back from the broadcast join-back to
-        the wide-argmax compaction — the winner set must fit in every
-        executor for a broadcast, and ~5M keys ≈ a few hundred MB build
-        side, the edge of comfortable at typical executor memory."""
+                 broadcast_key_limit: int = 5_000_000,
+                 ledger_scope: str = "default"):
+        """``broadcast_key_limit``: batches touching more distinct keys
+        than this fall back from the broadcast join-back to the wide-argmax
+        compaction — the winner set must fit in every executor for a
+        broadcast, and ~5M keys ≈ a few hundred MB build side, the edge of
+        comfortable at typical executor memory.
+
+        ``ledger_scope``: namespace for exactly-once batch ids (Delta's
+        txnAppId). Batch ids only dedupe within their scope, so a stream
+        restarted with a FRESH checkpoint — whose batch ids restart at 0 —
+        must use a new scope or its first batches would be silently
+        skipped as replays of the old stream's. StreamingIngest derives
+        the scope from the checkpoint location automatically."""
         self.spark = spark
         self.vectorized = vectorized_udfs
         self.collect_metrics = collect_metrics
         self.broadcast_key_limit = broadcast_key_limit
+        self.ledger_scope = ledger_scope
         if LakeTable.exists(spark, table_path):
             self.table = LakeTable(spark, table_path)
         else:
@@ -100,35 +109,40 @@ class CdcEngine:
         action, with zero payload cached. Requires a replayable source
         (immutable WAL segments / deterministic generator): the feed is
         scanned twice (argmax pass, probe pass) and the winning (key, seq)
-        rows must appear in both — the WAL contract guarantees it."""
-        if assume_all_buckets:
-            compacted = lww_compact(events)
-            prepared = prepare_events(compacted, vectorized=self.vectorized)
-            return self.table.merge_batch(
-                prepared, batch_id, collect_metrics=self.collect_metrics,
-                assume_all_buckets=True, batch_compacted=True)
+        rows must appear in both — the WAL contract guarantees it.
+
+        Full replays (assume_all_buckets) take the same winners-persist
+        path minus bucket discovery, so the broadcast_key_limit guard
+        covers bootstrap too — the case most likely to carry a winner set
+        too big to broadcast — at the same two feed scans."""
         winners = (events.groupBy(*KEY_COLS)
                    .agg(F.max(SEQ_COL).alias(SEQ_COL))
                    .persist(StorageLevel.MEMORY_AND_DISK))
         try:
             snap = self.table.snapshot()
             from arlas_proc_spark.lake.table import bucket_expr
-            # ONE action answers three questions: which buckets the batch
-            # touches, whether it is empty, and how many distinct keys it
-            # carries (≤ n_buckets result rows — tiny collect)
-            per_bucket = (winners.groupBy(
-                bucket_expr(snap["key_cols"], snap["n_buckets"]).alias("_b"))
-                .count().collect())
-            touched = [r["_b"] for r in per_bucket]
-            n_keys = sum(r["count"] for r in per_bucket)
-            # empty micro-batch (availableNow drains often end with one):
-            # nothing to merge, and skipping here saves callers a separate
-            # isEmpty() action per batch. The id IS still ledgered (cheap
-            # data-free snapshot commit) — otherwise the contiguous-prefix
-            # watermark would stall at the gap and `pending` would grow
-            # unboundedly on a long-running tail.
-            if not touched:
-                return self.table.commit_empty_batch(batch_id)
+            if assume_all_buckets:
+                touched = None  # merge treats the batch as touching all
+                n_keys = winners.count()
+            else:
+                # ONE action answers three questions: which buckets the
+                # batch touches, whether it is empty, and how many distinct
+                # keys it carries (≤ n_buckets result rows — tiny collect)
+                per_bucket = (winners.groupBy(
+                    bucket_expr(snap["key_cols"],
+                                snap["n_buckets"]).alias("_b"))
+                    .count().collect())
+                touched = [r["_b"] for r in per_bucket]
+                n_keys = sum(r["count"] for r in per_bucket)
+                # empty micro-batch (availableNow drains often end with
+                # one): nothing to merge, and skipping here saves callers a
+                # separate isEmpty() action per batch. The id IS still
+                # ledgered (cheap data-free snapshot commit) — otherwise
+                # the contiguous-prefix watermark would stall at the gap
+                # and `pending` would grow unboundedly on a long tail.
+                if not touched:
+                    return self.table.commit_empty_batch(
+                        batch_id, scope=self.ledger_scope)
             # giant batches (winner set too big to broadcast) compact via
             # the wide argmax instead
             if n_keys > self.broadcast_key_limit:
@@ -138,7 +152,9 @@ class CdcEngine:
             prepared = prepare_events(compacted, vectorized=self.vectorized)
             return self.table.merge_batch(
                 prepared, batch_id, collect_metrics=self.collect_metrics,
-                touched_buckets=touched, batch_compacted=True)
+                assume_all_buckets=assume_all_buckets,
+                touched_buckets=touched, batch_compacted=True,
+                ledger_scope=self.ledger_scope)
         finally:
             winners.unpersist()
 
@@ -196,8 +212,10 @@ def lww_compact(events: DataFrame, key_cols: list[str] = KEY_COLS,
                     f"null key column '{k}' in change feed "
                     f"(key columns are NOT NULL)"))))
     if strategy == "agg":
-        ordered = [seq_col, "commit"] + \
-            [c for c in events.columns if c not in (seq_col, "commit")]
+        ord_first = [seq_col] + \
+            (["commit"] if "commit" in events.columns else [])
+        ordered = ord_first + \
+            [c for c in events.columns if c not in ord_first]
         return (events.groupBy(*key_cols)
                 .agg(F.max(F.struct(*ordered)).alias("_w"))
                 .select("_w.*")

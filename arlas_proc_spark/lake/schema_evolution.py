@@ -19,9 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, StructField, StructType
 
-# widening lattice rank; a type may evolve to any type of strictly higher rank
-# within the same family chain
-_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3, "float": 4, "double": 5}
+# widening chains: a type may evolve to any type in its chain set
 _CHAIN = {
     "byte": {"short", "integer", "long", "double"},
     "short": {"integer", "long", "double"},

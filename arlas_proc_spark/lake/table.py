@@ -55,6 +55,10 @@ _TOMB = "_tombstone"
 _LEDGER_KEEP = 1024  # retain this many most-recent batch ids below the watermark
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced CURRENT between snapshot read and commit."""
+
+
 def bucket_expr(key_cols: list[str], n_buckets: int):
     """Iceberg-style bucket transform: pmod(hash(key...), N).
 
@@ -92,7 +96,8 @@ class LakeTable:
             "seq_col": seq_col,
             "n_buckets": n_buckets,
             "buckets": {},          # bucket -> [{file, schema_v}]
-            "ledger": {"watermark": -1, "recent": [], "metrics": {}},
+            # scopes: per-stream exactly-once watermarks (Delta txnAppId)
+            "ledger": {"scopes": {}, "recent": [], "metrics": {}},
             "schemas": {"0": json.loads(schema.json())},  # schema history
         }
         t._commit_snapshot(snap, expected_version=None)
@@ -112,7 +117,13 @@ class LakeTable:
             return json.load(f)
 
     def _commit_snapshot(self, snap: dict, expected_version: int | None) -> None:
-        """Atomic commit: O_EXCL-create v{N}.json, then rename-swap CURRENT."""
+        """Atomic durable commit: O_EXCL-create v{N}.json (fsynced), then
+        rename-swap CURRENT (tmp fsynced before the rename, directory
+        fsynced after — the classic rename-without-fsync power-loss hole).
+        ``expected_version`` is an optimistic-concurrency check: the swap
+        only proceeds if CURRENT still names that version (the O_EXCL
+        create already serializes same-version writers; this catches a
+        competing writer that advanced CURRENT underneath us)."""
         name = f"v{snap['version']:010d}.json"
         target = os.path.join(self.meta_dir, name)
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # raises if exists
@@ -120,10 +131,24 @@ class LakeTable:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
+        if expected_version is not None:
+            cur = self._current_name()
+            if cur != f"v{expected_version:010d}.json":
+                os.remove(target)
+                raise ConcurrentCommitError(
+                    f"expected CURRENT=v{expected_version}, found {cur}: "
+                    f"another writer committed; re-read and retry")
         tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))
+        dfd = os.open(self.meta_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     @property
     def schema(self) -> StructType:
@@ -179,7 +204,8 @@ class LakeTable:
                     collect_metrics: bool = True,
                     assume_all_buckets: bool = False,
                     batch_compacted: bool = False,
-                    touched_buckets: list[int] | None = None) -> dict:
+                    touched_buckets: list[int] | None = None,
+                    ledger_scope: str = "default") -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         Semantics (Iceberg ``MERGE INTO t USING s ON key``):
@@ -205,12 +231,22 @@ class LakeTable:
         snap = self.snapshot()
         led = snap["ledger"]
         bid = str(batch_id)
-        if _ledger_contains(led, bid):
-            return {"batch_id": bid, "skipped": True, **led["metrics"].get(bid, {})}
+        if _ledger_contains(led, bid, ledger_scope):
+            return {"batch_id": bid, "skipped": True,
+                    **led["metrics"].get(_ledger_key(ledger_scope, bid), {})}
 
         t0 = time.time()
         key_cols, seq_col = snap["key_cols"], snap["seq_col"]
         n_buckets = snap["n_buckets"]
+
+        # a key column entirely ABSENT from the batch would merge every
+        # row under a null key — fail loudly up front (the per-row guard
+        # below covers null VALUES in present columns)
+        missing_keys = [k for k in key_cols if k not in batch.columns]
+        if missing_keys:
+            raise ValueError(
+                f"batch is missing key column(s) {missing_keys}; key "
+                f"columns are required on every batch")
 
         # 1. schema evolution: batch columns (minus op) vs live schema
         batch_data_schema = StructType(
@@ -351,7 +387,7 @@ class LakeTable:
             snap["buckets"][str(b)] = staged.get(int(b), [])
         snap["version"] = version
         metrics["wall_s"] = round(time.time() - t0, 3)
-        _ledger_add(led, bid, metrics)
+        _ledger_add(led, bid, metrics, ledger_scope)
         self._write_lineage(version, bid, staged)
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
@@ -439,7 +475,8 @@ class LakeTable:
         return (self.spark.read.parquet(*files)
                 .where(F.col("version") <= cur))
 
-    def commit_empty_batch(self, batch_id: int | str) -> dict:
+    def commit_empty_batch(self, batch_id: int | str,
+                           scope: str = "default") -> dict:
         """Ledger a batch that carried no rows. Without this, an empty
         micro-batch (every availableNow drain ends with one) would leave a
         permanent gap in the ledger's contiguous-prefix watermark: the
@@ -449,11 +486,11 @@ class LakeTable:
         snapshot commit (no data files touched) keeps the ledger O(1)."""
         snap = self.snapshot()
         bid = str(batch_id)
-        if _ledger_contains(snap["ledger"], bid):
+        if _ledger_contains(snap["ledger"], bid, scope):
             return {"batch_id": bid, "skipped": True}
         snap["version"] += 1
         metrics = {"batch_id": bid, "empty": True}
-        _ledger_add(snap["ledger"], bid, metrics)
+        _ledger_add(snap["ledger"], bid, metrics, scope)
         self._commit_snapshot(snap, expected_version=snap["version"] - 1)
         return metrics
 
@@ -564,28 +601,49 @@ class LakeTable:
         return set(led["recent"])
 
 
-def _ledger_contains(led: dict, bid: str) -> bool:
-    """Committed = below the contiguous-prefix watermark (every numeric id
-    0..watermark seen), in the numeric pending set (committed above a gap),
-    or in the recent list (non-numeric ids). O(1) state even at 10^10
-    events: pending drains as gaps fill, recent is bounded."""
-    if bid.isdigit():
-        return int(bid) <= led["watermark"] or int(bid) in led.get("pending", [])
-    return bid in led["recent"]
+def _scope_state(led: dict, scope: str) -> dict:
+    """Per-scope watermark state (Delta's txnAppId namespacing: batch ids
+    only dedupe within their scope, so a NEW stream whose checkpoint
+    restarts batch ids at 0 cannot be mistaken for a replay of an old
+    one). Legacy single-scope ledgers migrate lazily into 'default'."""
+    scopes = led.setdefault("scopes", {})
+    if "watermark" in led and "default" not in scopes:
+        scopes["default"] = {"watermark": led.pop("watermark"),
+                             "pending": led.pop("pending", [])}
+    return scopes.setdefault(scope, {"watermark": -1, "pending": []})
 
 
-def _ledger_add(led: dict, bid: str, metrics: dict) -> None:
-    led["recent"].append(bid)
-    led["metrics"][bid] = metrics
+def _ledger_key(scope: str, bid: str) -> str:
+    return bid if scope == "default" else f"{scope}:{bid}"
+
+
+def _ledger_contains(led: dict, bid: str, scope: str = "default") -> bool:
+    """Committed = below the scope's contiguous-prefix watermark (every
+    numeric id 0..watermark seen), in its numeric pending set (committed
+    above a gap), or in the recent list (non-numeric ids, scope-prefixed).
+    O(1) state even at 10^10 events: pending drains as gaps fill, recent
+    is bounded."""
     if bid.isdigit():
-        pending = set(led.get("pending", []))
+        st = _scope_state(led, scope)
+        return int(bid) <= st["watermark"] or int(bid) in st["pending"]
+    return _ledger_key(scope, bid) in led["recent"]
+
+
+def _ledger_add(led: dict, bid: str, metrics: dict,
+                scope: str = "default") -> None:
+    key = _ledger_key(scope, bid)
+    led["recent"].append(key)
+    led["metrics"][key] = metrics
+    if bid.isdigit():
+        st = _scope_state(led, scope)
+        pending = set(st["pending"])
         pending.add(int(bid))
-        wm = led["watermark"]
+        wm = st["watermark"]
         while wm + 1 in pending:
             wm += 1
             pending.remove(wm)
-        led["watermark"] = wm
-        led["pending"] = sorted(pending)
+        st["watermark"] = wm
+        st["pending"] = sorted(pending)
     # bound ledger size: O(1) state per commit at 10^10-event scale
     while len(led["recent"]) > _LEDGER_KEEP:
         drop = led["recent"].pop(0)

@@ -28,6 +28,9 @@ the watermark.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,6 +50,9 @@ class StreamingIngest:
         ``wal_format`` ∈ {parquet, json, csv} — the segment encoding
         (Debezium-style feeds land JSON lines)."""
         self.spark = spark
+        self.table_path = table_path
+        self.n_buckets = n_buckets
+        self.collect_metrics = collect_metrics
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
                                 collect_metrics=collect_metrics)
         self.watermark = watermark
@@ -72,6 +78,17 @@ class StreamingIngest:
         backlog then stops (the replay mode the tests/bench use);
         ``False`` runs continuously tailing the WAL."""
         events = self.events_stream(wal_dir, max_files_per_trigger)
+        # exactly-once batch ids are only meaningful WITHIN one checkpoint
+        # lineage (a fresh checkpoint restarts ids at 0) — scope the lake
+        # ledger by the checkpoint location so a redeployed stream cannot
+        # have its first batches mistaken for replays of an old stream's
+        # (Delta's txnAppId pattern)
+        scope = hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
+        if self.engine.ledger_scope != scope:
+            self.engine = CdcEngine(
+                self.spark, self.table_path, n_buckets=self.n_buckets,
+                collect_metrics=self.collect_metrics, ledger_scope=scope)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             # persist: apply_batch scans the batch twice (narrow LWW argmax,
@@ -97,12 +114,20 @@ class StreamingIngest:
     def run_to_completion(self, wal_dir: str, checkpoint_dir: str, *,
                           max_files_per_trigger: int = 1,
                           timeout_s: int = 600) -> None:
+        """Drain the backlog (availableNow) and return when done. Raises
+        TimeoutError if the backlog did not drain within ``timeout_s`` —
+        a silently-stopped partial drain would be indistinguishable from
+        completion to the caller."""
         q = self.start(wal_dir, checkpoint_dir,
                        max_files_per_trigger=max_files_per_trigger,
                        available_now=True)
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
+            raise TimeoutError(
+                f"streaming ingest did not drain the WAL backlog within "
+                f"{timeout_s}s; table state is partial (resume with the "
+                f"same checkpoint to continue)")
 
     def state(self) -> DataFrame:
         return self.engine.state()

@@ -141,8 +141,12 @@ def latest_version_deltas_tws(events: DataFrame, *,
             pass
 
     # transformWithState requires the RocksDB provider (the HDFS-backed
-    # default store doesn't implement multiple column families); session
-    # conf is read at query START, so setting it here covers this query
+    # default store doesn't implement multiple column families). NOTE:
+    # this is a SESSION-wide conf read at each query's start — every
+    # streaming query started in this session afterwards also runs on
+    # RocksDB. That is the provider a production deployment runs anyway;
+    # restarting a pre-existing HDFS-backed checkpoint in the same session
+    # would fail, so keep such restarts in their own session.
     events.sparkSession.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
@@ -153,4 +157,7 @@ def latest_version_deltas_tws(events: DataFrame, *,
                 statefulProcessor=VersionTracker(),
                 outputStructType=DELTA_SCHEMA,
                 outputMode="update",
-                timeMode="none"))
+                # state TTL is only legal in processingTime mode (Spark
+                # raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+                # otherwise) — mirror the legacy variant's timeout switch
+                timeMode="processingTime" if ttl_minutes else "none"))

@@ -170,8 +170,9 @@ def test_empty_batches_advance_ledger_watermark(spark, tmp_path):
     engine.apply_batch(feed.withColumn("seq", feed.seq + 200), 2)
     engine.apply_batch(empty, 3)
     led = engine.table.snapshot()["ledger"]
-    assert led["watermark"] == 3
-    assert led.get("pending", []) == []
+    st = led["scopes"]["default"]
+    assert st["watermark"] == 3
+    assert st["pending"] == []
     # re-delivered empty batch is a ledgered no-op
     v = engine.table.snapshot()["version"]
     assert engine.apply_batch(empty, 3).get("skipped")

@@ -229,3 +229,52 @@ def test_per_partition_lineage(spark, tmp_path):
                                           "schema_v": 0, "rows": 5,
                                           "bytes": 10}]})
     assert {r.version for r in t.lineage_df().collect()} == {1, 2}
+
+
+def test_merge_missing_key_column_raises(spark, tmp_path):
+    """A batch missing a key column entirely must fail loudly, not merge
+    every row under a silent null key."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    no_path = _batch(spark, [_ev(1, "insert", "r", "x", "c1", "v")]) \
+        .drop("path")
+    with pytest.raises(ValueError, match="missing key column.*path"):
+        t.merge_batch(no_path, 0)
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Optimistic concurrency: a writer whose snapshot went stale (another
+    writer advanced CURRENT) gets ConcurrentCommitError, not a silent
+    lost-update."""
+    from arlas_proc_spark.lake.table import ConcurrentCommitError
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    stale = t.snapshot()  # reads v0
+    t.merge_batch(_batch(spark, [_ev(1, "insert", "r", "x", "c1", "v")]), 0)
+    # writer with the stale snapshot targets a FREE version name but its
+    # expectation (CURRENT == v0) no longer holds -> conflict, not lost
+    # update. (Same-version collisions are caught earlier by O_EXCL.)
+    stale["version"] = 3
+    with pytest.raises(ConcurrentCommitError):
+        t._commit_snapshot(stale, expected_version=0)
+    import os
+    assert not os.path.exists(
+        os.path.join(t.meta_dir, "v0000000003.json"))  # cleaned up
+
+
+def test_ledger_scopes_isolate_batch_ids(spark, tmp_path):
+    """Numeric batch ids only dedupe within their scope: a new stream
+    (fresh checkpoint -> ids restart at 0) must not have its batches
+    skipped as replays of an old stream's."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    t.merge_batch(_batch(spark, [_ev(1, "insert", "r", "a", "c1", "v1")]),
+                  0, ledger_scope="streamA")
+    m = t.merge_batch(_batch(spark, [_ev(2, "insert", "r", "b", "c2", "v2")]),
+                      0, ledger_scope="streamB")
+    assert not m.get("skipped")
+    assert t.read().count() == 2
+    # within a scope it still dedupes
+    m2 = t.merge_batch(_batch(spark, [_ev(3, "insert", "r", "c", "c3", "v3")]),
+                       0, ledger_scope="streamA")
+    assert m2.get("skipped")

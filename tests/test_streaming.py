@@ -259,3 +259,32 @@ def test_stream_csv_wal_segments(spark, tmp_path):
     exp = duckdb.sql(final_state_sql(400, with_dups=False)).fetchdf()
     want = {(r.repo, r.path): (int(r.seq), r.content_sha256) for r in exp.itertuples()}
     assert got == want
+
+
+def test_fresh_checkpoint_redeploy_not_skipped(spark, tmp_path):
+    """A stream redeployed with a NEW checkpoint restarts Spark batch ids
+    at 0; the checkpoint-scoped ledger must apply them instead of
+    mistaking them for replays of the old stream's batches 0..N."""
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, N, n_batches=4)
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                          collect_metrics=False)
+    ing.run_to_completion(wal, str(tmp_path / "ckptA"), max_files_per_trigger=1)
+    assert _state(ing) == _oracle(N)
+
+    # upstream appends new WAL segments; ops redeploy with a fresh
+    # checkpoint (routine recovery) — the file source re-reads everything
+    from pyspark.sql import functions as F
+    df = changefeed_df(spark, N)
+    more = df.withColumn("seq", df.seq + N) \
+             .withColumn("content", F.concat(F.lit("v2:"), df.content))
+    (more.coalesce(1).write.mode("overwrite")
+         .parquet(f"{wal}/batch_redeploy"))
+    ing2 = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                           collect_metrics=False)
+    ing2.run_to_completion(wal, str(tmp_path / "ckptB"),
+                           max_files_per_trigger=10)
+    final = {(r.repo, r.path): r.content for r in ing2.state().collect()
+             if r.content is not None}
+    # every surviving key's content carries the redeploy prefix
+    assert final and all(c.startswith("v2:") for c in final.values())
