@@ -51,8 +51,12 @@ def _oracle(batches) -> dict:
     rows = [e for b in batches for e in b]
     df = pd.DataFrame(rows, columns=["seq", "op", "repo", "path", "commit",
                                      "ts_s", "lang", "content"])
+    # WHOLE-ROW last per key (drop_duplicates keep="last"), NOT
+    # groupby().last() — that skips NaN per column and would carry a
+    # stale column value from an older row into the winner, which is not
+    # LWW semantics (a winner written without a column reads it as null)
     last = (df.sort_values(["seq", "commit"])
-              .groupby(["repo", "path"], as_index=False).last())
+              .drop_duplicates(["repo", "path"], keep="last"))
     live = last[last["op"] != "delete"]
     return {(r.repo, r.path): (int(r.seq), r.content)
             for r in live.itertuples()}
@@ -75,3 +79,87 @@ def test_any_log_any_split_converges(spark, tmp_path_factory, batches):
     got = {(r.repo, r.path): (r.seq, r.content)
            for r in engine.state().collect()}
     assert got == _oracle(batches)
+
+
+@st.composite
+def evolving_logs(draw):
+    """Batches that randomly carry extra columns (schema widens over the
+    stream's life) — add-column and int->long widening both exercised."""
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    batches, seq = [], 0
+    for b in range(n_batches):
+        n = draw(st.integers(min_value=1, max_value=10))
+        extra = draw(st.sampled_from([None, "size_int", "size_long", "score"]))
+        rows = []
+        for _ in range(n):
+            repo, path = draw(st.sampled_from(KEYS))
+            op = draw(st.sampled_from(["insert", "update", "delete"]))
+            row = dict(seq=seq, op=op, repo=repo, path=path,
+                       commit=f"c{seq}", ts_s=1_700_000_000 + seq,
+                       lang="py",
+                       content=None if op == "delete" else f"v{seq}")
+            if extra == "size_int":
+                row["size"] = seq % 100
+            elif extra == "size_long":
+                row["size"] = 2**40 + seq
+            elif extra == "score":
+                row["score"] = float(seq) / 2
+            rows.append(row)
+            seq += 1
+        batches.append((extra, rows))
+    return batches
+
+
+def _evolve_oracle(batches) -> dict:
+    rows = [dict(r) for _, b in batches for r in b]
+    df = pd.DataFrame(rows)
+    for c in ("size", "score"):
+        if c not in df.columns:
+            df[c] = None
+    # whole-row last per key — see _oracle for why not groupby().last()
+    last = (df.sort_values(["seq", "commit"])
+              .drop_duplicates(["repo", "path"], keep="last"))
+    live = last[last["op"] != "delete"]
+    out = {}
+    for r in live.itertuples():
+        size = None if pd.isna(r.size) else int(r.size)
+        score = None if pd.isna(r.score) else float(r.score)
+        out[(r.repo, r.path)] = (int(r.seq), r.content, size, score)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=evolving_logs())
+def test_schema_evolution_under_random_batches(spark, tmp_path_factory,
+                                               batches):
+    """Columns appearing mid-stream (and int->long widening) evolve the
+    live schema; earlier rows read the new columns as null; final state
+    matches the pandas oracle across the union schema."""
+    table = str(tmp_path_factory.mktemp("prop_ev") / "t")
+    engine = CdcEngine(spark, table, n_buckets=4, collect_metrics=False)
+    base = ("seq long, op string, repo string, path string, commit string,"
+            " ts_s long, lang string, content string")
+    for i, (extra, rows) in enumerate(batches):
+        if extra == "size_int":
+            ddl = base + ", size int"
+        elif extra == "size_long":
+            ddl = base + ", size long"
+        elif extra == "score":
+            ddl = base + ", score double"
+        else:
+            ddl = base
+        cols = [f.strip().split()[0] for f in ddl.split(",")]
+        data = [tuple(r.get(c) for c in cols) for r in rows]
+        engine.apply_batch(spark.createDataFrame(data, ddl), i)
+    got = {}
+    state = engine.state()
+    have = set(state.columns)
+    for r in state.collect():
+        size = getattr(r, "size", None) if "size" in have else None
+        score = getattr(r, "score", None) if "score" in have else None
+        got[(r.repo, r.path)] = (r.seq, r.content,
+                                 None if size is None else int(size),
+                                 None if score is None else float(score))
+    assert got == _evolve_oracle(batches)
