@@ -883,7 +883,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT sha256(prefix) AS content_key, MIN(doc_id) AS canonical_id,
                    COUNT(*) AS n_dups
-            FROM (SELECT doc_id, substr(text, 1, 30) AS prefix FROM documents) d
+            FROM (SELECT doc_id, substr(text, 1, 30) AS prefix FROM documents
+                  WHERE text IS NOT NULL) d
             GROUP BY sha256(prefix) HAVING COUNT(*) > 1""",
         "doc_fingerprint": f"""
             SELECT doc_id, list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min')

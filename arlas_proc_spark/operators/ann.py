@@ -32,15 +32,22 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; a zero-norm vector yields 0.0, not NaN — Spark
+    sorts NaN ABOVE every number, so an unguarded 0/0 would make a
+    zero-padding embedding the rank-1 'neighbor' of every query."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def coarse_bucket(vec_col: str | Column, d: int = 4) -> Column:
     """IVF-style cell id: concatenated signs of the first d dimensions.
-    Deterministic, portable, splits the corpus into 2^d cells."""
+    Deterministic, portable, splits the corpus into 2^d cells. Uses
+    null-safe F.get (not element_at, which throws on short arrays under
+    ANSI); a missing dimension reads null → sign '0', matching DuckDB's
+    out-of-range list index semantics."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.concat_ws("", *[
-        F.when(F.element_at(c, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.get(c, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(d)
     ])
 

@@ -36,8 +36,11 @@ from arlas_proc_spark.operators.text import shingles
 def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Groups of byte-identical docs: content → (canonical_id = min id,
     n_dups). One hash aggregation; at scale group on sha2(content) so the
-    shuffle key is 64 bytes, not the document."""
-    return (df.groupBy(F.sha2(F.col(content_col), 256).alias("content_key"))
+    shuffle key is 64 bytes, not the document. Null-content docs are
+    excluded — sha2(NULL) is NULL, so they would all collapse into one
+    bogus 'duplicate' group of unrelated documents."""
+    return (df.where(F.col(content_col).isNotNull())
+            .groupBy(F.sha2(F.col(content_col), 256).alias("content_key"))
             .agg(F.min(id_col).alias("canonical_id"),
                  F.count(F.lit(1)).alias("n_dups"))
             .where(F.col("n_dups") > 1))

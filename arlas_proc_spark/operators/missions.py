@@ -39,15 +39,23 @@ from arlas_proc_spark.operators.base import require_columns
 
 def _assign_runs(ts: np.ndarray, measure: np.ndarray, key: str) -> list[str]:
     """Sequential scan (WithTraversingMission.scala:95-140 recast): new run
-    when the absolute progress from the run's first row decreases."""
+    when the absolute progress from the run's first row decreases.
+
+    NaN measures ride along in the current run WITHOUT updating the
+    progress state: an unguarded NaN would poison every later comparison
+    (x < NaN is always False), permanently gluing all subsequent missions
+    into one."""
     run_ids: list[str] = []
     run_start_measure = 0.0
     run_start_ts = 0
     prev_progress = -np.inf
     for i in range(len(ts)):
+        if i > 0 and np.isnan(measure[i]):
+            run_ids.append(f"{key}#{run_start_ts}")
+            continue
         progress = abs(measure[i] - run_start_measure) if i else None
         if i == 0 or progress < prev_progress:
-            run_start_measure = measure[i]
+            run_start_measure = 0.0 if np.isnan(measure[i]) else measure[i]
             run_start_ts = ts[i]
             prev_progress = 0.0
         else:

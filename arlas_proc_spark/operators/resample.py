@@ -1,9 +1,15 @@
 """Resampling keyed series to fixed buckets.
 
-Reference: ``features/WithFragmentSampleId.scala:41-59`` — a cumulative
-duration sum over the key window assigns each row a fixed-size bucket id
-(``floor((sum(dur) over w - 1) / sampling)``), so downstream summaries can
-collapse each bucket (``features/MovingFragmentSampleSummarizer``).
+Reference analog: ``features/WithFragmentSampleId.scala:41-59`` — a
+cumulative duration sum over the key window assigns each row a fixed-size
+bucket id so downstream summaries can collapse each bucket
+(``features/MovingFragmentSampleSummarizer``). NOT a formula port: the
+reference computes ``floor((sum(dur) over w - 1)/sampling) -
+floor((dur-1)/sampling)`` (how many whole buckets a FRAGMENT's duration
+spans, boundary row belonging to the earlier bucket); this operator
+resamples POINT rows with the plain ``floor(cum/sampling)`` — a row whose
+cumulative weight exactly fills a bucket OPENS the next one. The DuckDB
+oracle (driver query ``resample_buckets``) pins this engine's semantics.
 """
 
 from __future__ import annotations

@@ -55,14 +55,9 @@ def summarize_groups(
         *[a.alias(name) for name, a in aggs.items()])
     for name, expr in (post or {}).items():
         summary = summary.withColumn(name, expr)
-    # summary rows carry only group key + aggregates; align schemas
-    return summary.unionByName(passthrough, allowMissingColumns=True) \
-        if set(passthrough.columns) <= set(summary.columns) else \
-        _union_loose(summary, passthrough)
-
-
-def _union_loose(a: DataFrame, b: DataFrame) -> DataFrame:
-    return a.unionByName(b, allowMissingColumns=True)
+    # summary rows carry only group key + aggregates; unionByName with
+    # allowMissingColumns aligns the schemas (missing side reads null)
+    return summary.unionByName(passthrough, allowMissingColumns=True)
 
 
 def conditional_sum(value: Column, cond: Column) -> Column:

@@ -75,9 +75,15 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingles as 'w1 w2 w3' strings (distinct)."""
+    """Word n-gram shingles as 'w1 w2 w3' strings (distinct). Docs with
+    fewer than n tokens yield an EMPTY array: sequence(1, 0) counts DOWN
+    in Spark ([1, 0]) and element_at would then throw under ANSI, so the
+    short-doc case is guarded explicitly (DuckDB's generate_series(1, 0)
+    is empty — the oracle agrees)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
     return F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])))
 

@@ -207,3 +207,63 @@ def test_monotonic_runs_parallelism_invariant(spark):
     a = with_monotonic_runs(df.repartition(1), "id", "ts", "m")
     b = with_monotonic_runs(df.repartition(13).orderBy(F.rand(3)), "id", "ts", "m")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_degenerate_inputs_do_not_crash_or_pollute(spark):
+    """Review-pinned edge cases: short/empty docs, zero-norm and short
+    embeddings, NaN measures, null content — none may crash the job
+    (Spark 4 ANSI element_at throws) or pollute results."""
+    from pyspark.sql import functions as F
+
+    from arlas_proc_spark.operators.ann import (
+        coarse_bucket,
+        cosine_sim,
+        cosine_topk,
+    )
+    from arlas_proc_spark.operators.dedup_fuzzy import exact_duplicates
+    from arlas_proc_spark.operators.missions import with_monotonic_runs
+    from arlas_proc_spark.operators.text import shingles
+
+    # shingles: < n tokens -> empty array, not INVALID_ARRAY_INDEX
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, None), (4, "w1 w2 w3 w4")],
+        "doc_id long, text string")
+    sh = docs.select("doc_id", shingles("text", 3).alias("sh")).collect()
+    got = {r.doc_id: list(r.sh) for r in sh}
+    assert got[1] == [] and got[2] == []
+    assert got[4] == ["w1 w2 w3", "w2 w3 w4"]
+
+    # coarse_bucket: short vector reads missing dims as sign '0'
+    vecs = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [0.5, 0.5, 0.5, 0.5]), (3, [])],
+        "vec_id long, embedding array<double>")
+    cells = {r.vec_id: r.cell for r in
+             vecs.select("vec_id", coarse_bucket("embedding", 4).alias("cell")).collect()}
+    assert cells[1] == "1000" and cells[2] == "1111" and cells[3] == "0000"
+
+    # cosine: zero vector -> 0.0 (NaN would sort as rank-1 neighbor)
+    z = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    sims = z.select(cosine_sim(F.col("embedding"),
+                               F.array(F.lit(1.0), F.lit(0.0))).alias("c")).collect()
+    assert all(not (r.c != r.c) for r in sims)  # no NaN
+    top = cosine_topk(z, z.where("vec_id = 1"), "vec_id", "embedding", k=2)
+    ranked = [r.neighbor_id for r in top.orderBy("rank").collect()]
+    assert ranked[0] == 2  # real neighbor outranks the zero vector
+
+    # missions: one NaN measure must not glue later missions together
+    rows = [("k", 1, 0.0), ("k", 2, 10.0), ("k", 3, float("nan")),
+            ("k", 4, 20.0), ("k", 5, 1.0)]
+    runs = with_monotonic_runs(
+        spark.createDataFrame(rows, "id string, ts long, m double"),
+        "id", "ts", "m")
+    ids = [r.mission_id for r in runs.orderBy("ts").collect()]
+    assert ids[4] != ids[0]  # the shrink at ts=5 starts a NEW mission
+
+    # exact dup: null contents are not byte-identical duplicates
+    nd = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, content string")
+    groups = exact_duplicates(nd, "doc_id", "content").collect()
+    assert len(groups) == 1 and groups[0].canonical_id == 3
