@@ -41,6 +41,11 @@ _LANGS = [
 def _body(n_events: int, n_repos: int, files_per_repo: int, hot_pct: int,
           dup_mod: int, sha_fn: str, with_dups: bool) -> str:
     """Shared SQL body; ``sha_fn`` is 'sha2' (Spark) or 'sha256' (DuckDB)."""
+    if n_repos < 2:
+        raise ValueError(
+            "n_repos must be >= 2: repo_0000 is the dedicated hot repo and "
+            "the cold repos draw from the remaining n_repos-1 "
+            "(n_repos=1 would divide by zero in the cold-repo modulo)")
     lang_case = "CASE " + " ".join(
         f"WHEN h3 % {len(_LANGS)} = {i} THEN '{v}'" for i, v in enumerate(_LANGS)
     ) + " END"

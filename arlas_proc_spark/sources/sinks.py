@@ -30,12 +30,17 @@ def write_partitioned_parquet(df: DataFrame, target: str, partition_col: str,
 def write_csv(df: DataFrame, target: str, delimiter: str = ",",
               single_file: bool = False, mode: str = "overwrite") -> None:
     """CSV sink; ArrayType columns become '[a,b]' strings
-    (WritableDataFrame.scala:109-127, concat_ws at :117)."""
+    (WritableDataFrame.scala:109-127, concat_ws at :117). A NULL array
+    stays NULL (empty CSV cell) — unguarded concat_ws would render it as
+    the same '[]' as a present-but-empty array."""
     out = df
     for f in df.schema.fields:
         if isinstance(f.dataType, ArrayType):
             out = out.withColumn(
-                f.name, F.concat(F.lit("["), F.concat_ws(",", F.col(f.name)), F.lit("]")))
+                f.name,
+                F.when(F.col(f.name).isNotNull(),
+                       F.concat(F.lit("["), F.concat_ws(",", F.col(f.name)),
+                                F.lit("]"))))
     if single_file:
         out = out.coalesce(1)
     (out.write.option("header", "true").option("delimiter", delimiter)
