@@ -83,6 +83,7 @@ class CdcEngine:
         self.collect_metrics = collect_metrics
         self.broadcast_key_limit = broadcast_key_limit
         self.ledger_scope = ledger_scope
+        self.commit_retries = 2  # re-merge attempts on ConcurrentCommitError
         if LakeTable.exists(spark, table_path):
             self.table = LakeTable(spark, table_path)
         else:
@@ -150,11 +151,26 @@ class CdcEngine:
             else:
                 compacted = lww_compact(events, winners=winners)
             prepared = prepare_events(compacted, vectorized=self.vectorized)
-            return self.table.merge_batch(
-                prepared, batch_id, collect_metrics=self.collect_metrics,
-                assume_all_buckets=assume_all_buckets,
-                touched_buckets=touched, batch_compacted=True,
-                ledger_scope=self.ledger_scope)
+            # optimistic-concurrency retry: a competing writer advancing
+            # CURRENT mid-merge raises ConcurrentCommitError AFTER our
+            # data files staged (they become GC-able orphans); re-running
+            # merge_batch re-reads the new snapshot, re-checks the ledger,
+            # and merges against the competitor's state — convergent
+            # because the MERGE is keyed LWW. Touched buckets stay valid
+            # (they depend only on keys and the fixed bucket count).
+            from arlas_proc_spark.lake.table import ConcurrentCommitError
+            last_err: Exception | None = None
+            for _ in range(self.commit_retries + 1):
+                try:
+                    return self.table.merge_batch(
+                        prepared, batch_id,
+                        collect_metrics=self.collect_metrics,
+                        assume_all_buckets=assume_all_buckets,
+                        touched_buckets=touched, batch_compacted=True,
+                        ledger_scope=self.ledger_scope)
+                except ConcurrentCommitError as e:
+                    last_err = e
+            raise last_err
         finally:
             winners.unpersist()
 

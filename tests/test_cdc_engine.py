@@ -177,3 +177,25 @@ def test_empty_batches_advance_ledger_watermark(spark, tmp_path):
     v = engine.table.snapshot()["version"]
     assert engine.apply_batch(empty, 3).get("skipped")
     assert engine.table.snapshot()["version"] == v
+
+
+def test_concurrent_commit_retried(spark, tmp_path, monkeypatch):
+    """A ConcurrentCommitError mid-merge (competing writer advanced
+    CURRENT) is retried against the fresh snapshot and converges."""
+    from arlas_proc_spark.lake.table import ConcurrentCommitError, LakeTable
+
+    engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    feed = changefeed_df(spark, 300)
+    real = LakeTable.merge_batch
+    calls = {"n": 0}
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentCommitError("simulated competing writer")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "merge_batch", flaky)
+    engine.apply_batch(feed, 0)
+    assert calls["n"] == 2
+    assert _engine_state(engine) == _oracle(300)
