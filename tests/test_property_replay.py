@@ -62,7 +62,7 @@ def _oracle(batches) -> dict:
             for r in live.itertuples()}
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(batches=event_logs())
@@ -128,7 +128,7 @@ def _evolve_oracle(batches) -> dict:
     return out
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(batches=evolving_logs())
