@@ -2,6 +2,11 @@
 
 Defaults follow the public Spark performance guidance: AQE on, Arrow on,
 shuffle partitions sized to cores (not the 200 default), UTC session tz.
+
+Note: ``getOrCreate`` returns any ALREADY-RUNNING session unchanged —
+master, driver memory, and shuffle width from a prior ``build_session``
+win (standard Spark semantics). One JVM per parallelism level; the bench
+scripts spawn a fresh process per level for exactly this reason.
 """
 
 from __future__ import annotations
