@@ -65,7 +65,8 @@ class CdcEngine:
                  n_buckets: int = 16, vectorized_udfs: bool = True,
                  collect_metrics: bool = True,
                  broadcast_key_limit: int = 5_000_000,
-                 ledger_scope: str = "default"):
+                 ledger_scope: str = "default",
+                 write_mode: str = "cow"):
         """``broadcast_key_limit``: batches touching more distinct keys
         than this fall back from the broadcast join-back to the wide-argmax
         compaction — the winner set must fit in every executor for a
@@ -77,13 +78,26 @@ class CdcEngine:
         restarted with a FRESH checkpoint — whose batch ids restart at 0 —
         must use a new scope or its first batches would be silently
         skipped as replays of the old stream's. StreamingIngest derives
-        the scope from the checkpoint location automatically."""
+        the scope from the checkpoint location automatically.
+
+        ``write_mode``: 'cow' (default) MERGEs each batch into the touched
+        buckets — write cost grows with touched table state, reads are
+        single-generation fast. 'mor' APPENDs each batch's winners and
+        resolves LWW at read time (LakeTable.append_batch) — ingest cost
+        is O(batch) no matter how big the table gets; run
+        ``table.compact()`` periodically to fold generations. At
+        10^10-event scale with frequent micro-batches, 'mor' is the shape
+        whose ingest does not degrade as the table grows."""
         self.spark = spark
         self.vectorized = vectorized_udfs
         self.collect_metrics = collect_metrics
         self.broadcast_key_limit = broadcast_key_limit
         self.ledger_scope = ledger_scope
         self.commit_retries = 2  # re-merge attempts on ConcurrentCommitError
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', "
+                             f"got {write_mode!r}")
+        self.write_mode = write_mode
         if LakeTable.exists(spark, table_path):
             self.table = LakeTable(spark, table_path)
         else:
@@ -122,8 +136,11 @@ class CdcEngine:
         try:
             snap = self.table.snapshot()
             from arlas_proc_spark.lake.table import bucket_expr
-            if assume_all_buckets:
-                touched = None  # merge treats the batch as touching all
+            if self.write_mode == "mor" or assume_all_buckets:
+                # append mode never reads current state, so bucket
+                # discovery is unnecessary (the staged files define the
+                # touched set); replays treat the batch as touching all
+                touched = None
                 n_keys = winners.count()
             else:
                 # ONE action answers three questions: which buckets the
@@ -146,11 +163,18 @@ class CdcEngine:
                         batch_id, scope=self.ledger_scope)
             # giant batches (winner set too big to broadcast) compact via
             # the wide argmax instead
+            if n_keys == 0:
+                return self.table.commit_empty_batch(
+                    batch_id, scope=self.ledger_scope)
             if n_keys > self.broadcast_key_limit:
                 compacted = lww_compact(events, strategy="agg")
             else:
                 compacted = lww_compact(events, winners=winners)
             prepared = prepare_events(compacted, vectorized=self.vectorized)
+            if self.write_mode == "mor":
+                return self.table.append_batch(
+                    prepared, batch_id, collect_metrics=self.collect_metrics,
+                    batch_compacted=True, ledger_scope=self.ledger_scope)
             # optimistic-concurrency retry: a competing writer advancing
             # CURRENT mid-merge raises ConcurrentCommitError AFTER our
             # data files staged (they become GC-able orphans); re-running

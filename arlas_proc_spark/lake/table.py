@@ -164,39 +164,59 @@ class LakeTable:
 
         Delete tombstones (rows whose latest change was a delete, kept with
         their seq so later-arriving stale inserts lose) are filtered out
-        unless ``with_tombstones`` — the merge path needs them."""
+        unless ``with_tombstones`` — the merge path needs them.
+
+        Buckets written by ``append_batch`` (merge-on-read mode) may hold
+        SEVERAL generations of a key; those buckets are resolved at read
+        time with per-key LWW (max (seq, commit)) before tombstone
+        filtering — the Iceberg-v2 merge-on-read pattern, with the
+        equality-delete implicit in LWW. ``compact()`` collapses the
+        generations back to one."""
         snap = snapshot or self.snapshot()
         table_schema = StructType.fromJson(snap["schema"])
-        out_schema = (StructType(list(table_schema.fields) +
+        tomb_schema = StructType(list(table_schema.fields) +
                                  [StructField(_TOMB, BooleanType(), True)])
-                      if with_tombstones else table_schema)
-        entries: list[dict] = []
+        out_schema = tomb_schema if with_tombstones else table_schema
         sel = None if buckets is None else {str(b) for b in buckets}
+        mor = {str(b) for b in snap.get("mor_buckets", [])}
+        cow_entries: list[dict] = []
+        mor_entries: list[dict] = []
         for b, files in snap["buckets"].items():
             if sel is None or b in sel:
-                entries.extend(files)
-        if not entries:
+                (mor_entries if b in mor else cow_entries).extend(files)
+        if not cow_entries and not mor_entries:
             # filter(false) turns the RDD-backed empty frame into a provably
             # empty LocalRelation, so Catalyst ELIMINATES the merge's full
             # outer join on bootstrap (otherwise the winners side is
             # shuffled + sorted into a SortMergeJoin against nothing)
             return self.spark.createDataFrame([], out_schema).where(F.lit(False))
-        # group files by the schema version they were written under so each
-        # group scans with a consistent parquet schema, then project up
-        by_sv: dict[str, list[str]] = {}
-        for e in entries:
-            by_sv.setdefault(str(e["schema_v"]), []).append(
-                os.path.join(self.data_dir, e["file"]))
+
+        def _scan(entries: list[dict]) -> DataFrame:
+            # group files by the schema version they were written under so
+            # each group scans with a consistent parquet schema, project up
+            by_sv: dict[str, list[str]] = {}
+            for e in entries:
+                by_sv.setdefault(str(e["schema_v"]), []).append(
+                    os.path.join(self.data_dir, e["file"]))
+            parts = []
+            for sv, paths in by_sv.items():
+                file_schema = StructType.fromJson(snap["schemas"][sv])
+                scan_schema = StructType(list(file_schema.fields) +
+                                         [StructField(_TOMB, BooleanType(), True)])
+                df = self.spark.read.schema(scan_schema).parquet(*paths)
+                parts.append(align_to_schema(df, tomb_schema))
+            return reduce(lambda a, b: a.unionByName(b), parts)
+
         parts = []
-        for sv, paths in by_sv.items():
-            file_schema = StructType.fromJson(snap["schemas"][sv])
-            scan_schema = StructType(list(file_schema.fields) +
-                                     [StructField(_TOMB, BooleanType(), True)])
-            df = self.spark.read.schema(scan_schema).parquet(*paths)
-            if not with_tombstones:
-                df = df.where(~F.coalesce(F.col(_TOMB), F.lit(False))).drop(_TOMB)
-            parts.append(align_to_schema(df, out_schema))
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        if cow_entries:
+            parts.append(_scan(cow_entries))
+        if mor_entries:
+            parts.append(_resolve_lww(_scan(mor_entries), snap["key_cols"],
+                                      snap["seq_col"]))
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+        if not with_tombstones:
+            df = df.where(~F.coalesce(F.col(_TOMB), F.lit(False))).drop(_TOMB)
+        return df
 
     # ----------------------------------------------------------------- merge
     def merge_batch(self, batch: DataFrame, batch_id: int | str, *,
@@ -475,6 +495,101 @@ class LakeTable:
         return (self.spark.read.parquet(*files)
                 .where(F.col("version") <= cur))
 
+    # ---------------------------------------------------------------- append
+    def append_batch(self, batch: DataFrame, batch_id: int | str, *,
+                     op_col: str = "op", delete_value: str = "delete",
+                     collect_metrics: bool = True,
+                     touched_buckets: list[int] | None = None,
+                     batch_compacted: bool = False,
+                     ledger_scope: str = "default") -> dict:
+        """Merge-on-READ ingest: write the batch's per-key winners (deletes
+        as tombstone rows) as NEW files appended to their buckets — no
+        current-state read, no join, cost O(batch) regardless of table
+        size. Readers resolve per-key LWW across generations (``read``);
+        ``compact()`` folds generations back into one file per bucket.
+
+        The LSM / Iceberg-v2 equality-delete trade: copy-on-write
+        (``merge_batch``) pays at WRITE time proportional to the touched
+        table state; append-mode pays at READ time until compaction. For
+        high-frequency micro-batches over a huge table, append + periodic
+        compaction is the only shape whose ingest cost does not grow with
+        the table. Exactly-once per (ledger_scope, batch_id), same as
+        merge_batch; schema evolution identical."""
+        snap = self.snapshot()
+        led = snap["ledger"]
+        bid = str(batch_id)
+        if _ledger_contains(led, bid, ledger_scope):
+            return {"batch_id": bid, "skipped": True,
+                    **led["metrics"].get(_ledger_key(ledger_scope, bid), {})}
+        t0 = time.time()
+        key_cols, seq_col = snap["key_cols"], snap["seq_col"]
+        n_buckets = snap["n_buckets"]
+        missing_keys = [k for k in key_cols if k not in batch.columns]
+        if missing_keys:
+            raise ValueError(
+                f"batch is missing key column(s) {missing_keys}; key "
+                f"columns are required on every batch")
+
+        # schema evolution: identical contract to merge_batch
+        batch_data_schema = StructType(
+            [f for f in batch.schema.fields if f.name != op_col])
+        table_schema = StructType.fromJson(snap["schema"])
+        new_schema, changed = evolve_schema(table_schema, batch_data_schema)
+        schema_v = max(int(v) for v in snap["schemas"]) if snap["schemas"] else 0
+        if changed:
+            schema_v += 1
+            snap["schemas"][str(schema_v)] = json.loads(new_schema.json())
+            snap["schema"] = json.loads(new_schema.json())
+            table_schema = new_schema
+
+        resolved = batch
+        if not batch_compacted:
+            ord_first = [seq_col] + \
+                (["commit"] if "commit" in resolved.columns else [])
+            ordered = ord_first + \
+                [c for c in resolved.columns if c not in ord_first]
+            resolved = (resolved.groupBy(*key_cols)
+                        .agg(F.max(F.struct(*ordered)).alias("_w"))
+                        .select("_w.*").select(*resolved.columns))
+        tagged = resolved.withColumn(
+            _TOMB, F.col(op_col) == F.lit(delete_value)).drop(op_col)
+        out_schema = StructType(list(table_schema.fields) +
+                                [StructField(_TOMB, BooleanType(), True)])
+        out = align_to_schema(tagged, out_schema) \
+            .withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
+
+        metrics: dict = {"batch_id": bid, "mode": "append"}
+        obs = None
+        if collect_metrics:
+            obs = Observation()
+            out = out.observe(
+                obs,
+                F.sum(F.when(~F.col(_TOMB), 1).otherwise(0)
+                      ).alias("rows_appended"),
+                F.sum(F.when(F.col(_TOMB), 1).otherwise(0)
+                      ).alias("deletes_appended"))
+        version = snap["version"] + 1
+        staged = self._write_bucket_files(out, version, schema_v, n_buckets,
+                                          key_cols=key_cols)
+        if obs is not None:
+            got = obs.get
+            metrics.update({
+                "rows_appended": int(got["rows_appended"] or 0),
+                "deletes_appended": int(got["deletes_appended"] or 0)})
+        mor = {str(b) for b in snap.get("mor_buckets", [])}
+        for b, files in staged.items():
+            snap["buckets"].setdefault(str(b), [])
+            snap["buckets"][str(b)].extend(files)
+            mor.add(str(b))
+        snap["mor_buckets"] = sorted(mor, key=int)
+        metrics["buckets_touched"] = len(staged)
+        snap["version"] = version
+        metrics["wall_s"] = round(time.time() - t0, 3)
+        _ledger_add(led, bid, metrics, ledger_scope)
+        self._write_lineage(version, bid, staged)
+        self._commit_snapshot(snap, expected_version=version - 1)
+        return metrics
+
     def commit_empty_batch(self, batch_id: int | str,
                            scope: str = "default") -> dict:
         """Ledger a batch that carried no rows. Without this, an empty
@@ -531,11 +646,15 @@ class LakeTable:
         lower seq can still arrive — the stream's low-watermark).
 
         One atomic snapshot commit; untouched buckets keep their files
-        (Iceberg's rewrite_data_files semantics)."""
+        (Iceberg's rewrite_data_files semantics). Merge-on-read buckets
+        (multi-generation, from ``append_batch``) are LWW-resolved by the
+        read below and leave compaction single-generation — the victims
+        drop out of ``mor_buckets`` so readers stop paying the resolve."""
         snap = self.snapshot()
         n_buckets = snap["n_buckets"]
+        mor = {str(b) for b in snap.get("mor_buckets", [])}
         victims = [int(b) for b, fs in snap["buckets"].items()
-                   if len(fs) > max_files_per_bucket]
+                   if len(fs) > max_files_per_bucket or b in mor]
         if not victims:
             return {"compacted_buckets": 0}
         df = self.read(victims, snapshot=snap, with_tombstones=True)
@@ -549,6 +668,7 @@ class LakeTable:
                                           key_cols=snap["key_cols"])
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
+        snap["mor_buckets"] = sorted(mor - {str(b) for b in victims}, key=int)
         snap["version"] = version
         metrics = {"compacted_buckets": len(victims),
                    "batch_id": batch_id or f"compact-{version}"}
@@ -611,6 +731,21 @@ def _scope_state(led: dict, scope: str) -> dict:
         scopes["default"] = {"watermark": led.pop("watermark"),
                              "pending": led.pop("pending", [])}
     return scopes.setdefault(scope, {"watermark": -1, "pending": []})
+
+
+def _resolve_lww(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    """Read-time LWW over multi-generation (appended) rows: one row per
+    key, max (seq, commit) — the same winner rule the MERGE uses (null seq
+    loses to any real seq). Exact (seq, commit) ties are WAL-contract
+    violations (seq is the unique log position); among byte-identical
+    duplicate deliveries the pick is arbitrary and harmless."""
+    from pyspark.sql.window import Window
+    order = [F.coalesce(F.col(seq_col), F.lit(-1).cast("long")).desc()]
+    if "commit" in df.columns:
+        order.append(F.coalesce(F.col("commit"), F.lit("")).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
 
 
 def _ledger_key(scope: str, bid: str) -> str:

@@ -42,7 +42,8 @@ class StreamingIngest:
     def __init__(self, spark: SparkSession, table_path: str, *,
                  n_buckets: int = 16, watermark: str = "1 hour",
                  stream_dedup: bool = True, collect_metrics: bool = True,
-                 event_schema=None, wal_format: str = "parquet"):
+                 event_schema=None, wal_format: str = "parquet",
+                 write_mode: str = "cow"):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -53,8 +54,10 @@ class StreamingIngest:
         self.table_path = table_path
         self.n_buckets = n_buckets
         self.collect_metrics = collect_metrics
+        self.write_mode = write_mode
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
-                                collect_metrics=collect_metrics)
+                                collect_metrics=collect_metrics,
+                                write_mode=write_mode)
         self.watermark = watermark
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
@@ -88,7 +91,8 @@ class StreamingIngest:
         if self.engine.ledger_scope != scope:
             self.engine = CdcEngine(
                 self.spark, self.table_path, n_buckets=self.n_buckets,
-                collect_metrics=self.collect_metrics, ledger_scope=scope)
+                collect_metrics=self.collect_metrics, ledger_scope=scope,
+                write_mode=self.write_mode)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             # persist: apply_batch scans the batch twice (narrow LWW argmax,

@@ -74,9 +74,9 @@ def main() -> None:
             best_replay = min(best_replay, time.time() - t0)
 
             inc = changefeed_df(spark, n_events // 10, parallelism=cpus, **GEN)
+            inc = inc.withColumn("seq", inc.seq + n_events)
             t0 = time.time()
-            engine.apply_batch(inc.withColumn("seq", inc.seq + n_events),
-                               "inc-1")
+            engine.apply_batch(inc, "inc-1")
             best_inc = min(best_inc, time.time() - t0)
         timings["cdc_replay_to_lake"] = round(best_replay, 3)
         extras["cdc_replay_events_per_sec"] = round(n_events / best_replay, 1)
@@ -84,6 +84,20 @@ def main() -> None:
         timings["cdc_incremental_merge"] = round(best_inc, 3)
         extras["cdc_incremental_events_per_sec"] = round(
             n_events / 10 / best_inc, 1)
+
+        # --- merge-on-read incremental: append winners, no state join;
+        #     ingest cost O(batch) regardless of table size ---
+        best_mor = float("inf")
+        for r in range(reps):
+            mor = CdcEngine(spark, f"{tmp}/mor{r}", n_buckets=cpus,
+                            collect_metrics=False, write_mode="mor")
+            mor.replay(feed)
+            t0 = time.time()
+            mor.apply_batch(inc, "inc-1")
+            best_mor = min(best_mor, time.time() - t0)
+        timings["cdc_mor_incremental"] = round(best_mor, 3)
+        extras["cdc_mor_incremental_events_per_sec"] = round(
+            n_events / 10 / best_mor, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -199,3 +199,68 @@ def test_concurrent_commit_retried(spark, tmp_path, monkeypatch):
     engine.apply_batch(feed, 0)
     assert calls["n"] == 2
     assert _engine_state(engine) == _oracle(300)
+
+
+def test_mor_mode_converges_and_compacts(spark, tmp_path):
+    """Merge-on-read: append-mode ingest (O(batch) writes, no
+    read-modify-write) converges to the same oracle state as
+    copy-on-write; compaction folds the generations and preserves it."""
+    feed = changefeed_df(spark, N)
+    sz = N // 5
+    mor = CdcEngine(spark, str(tmp_path / "mor"), n_buckets=8,
+                    write_mode="mor")
+    for b in [2, 0, 4, 1, 3]:  # out-of-order arrival
+        part = feed.where((feed.seq >= b * sz) & (feed.seq < (b + 1) * sz))
+        mor.apply_batch(part, b)
+    assert _engine_state(mor) == _oracle(N)
+    # multi-generation buckets exist pre-compaction
+    snap = mor.table.snapshot()
+    assert snap["mor_buckets"]
+    assert any(len(fs) > 1 for fs in snap["buckets"].values())
+    # re-applied batch is an exactly-once no-op (would double-append)
+    m = mor.apply_batch(feed.where("seq < 600"), 0)
+    assert m.get("skipped")
+    assert _engine_state(mor) == _oracle(N)
+    # compaction folds generations; state unchanged, readers stop resolving
+    mor.table.compact(max_files_per_bucket=1)
+    snap2 = mor.table.snapshot()
+    assert snap2["mor_buckets"] == []
+    assert all(len(fs) <= 1 for fs in snap2["buckets"].values())
+    assert _engine_state(mor) == _oracle(N)
+
+
+def test_mor_schema_evolution(spark, tmp_path):
+    """Append-mode batches can widen the schema mid-stream; pre-evolution
+    winners read the new column as null."""
+    from pyspark.sql import functions as F
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4,
+                    write_mode="mor")
+    feed = changefeed_df(spark, 400, with_dups=False)
+    eng.apply_batch(feed.where("seq < 200"), 0)
+    eng.apply_batch(
+        feed.where("seq >= 200")
+            .withColumn("size", F.length("content").cast("long")), 1)
+    rows = {(r.repo, r.path): r for r in eng.state().collect()}
+    exp = _oracle(400)
+    assert {k: (r.commit, r.seq, r.lang, r.content, r.content_sha256)
+            for k, r in rows.items()} == exp
+    assert any(r.size is not None for r in rows.values() if r.seq >= 200)
+    assert all(r.size is None for r in rows.values() if r.seq < 200)
+
+
+def test_mor_streaming_converges(spark, tmp_path):
+    """The streaming tail works identically in append mode."""
+    from arlas_proc_spark.sources.changefeed import write_changefeed_batches
+    from arlas_proc_spark.streaming.ingest import StreamingIngest
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, 1000, n_batches=3)
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                          collect_metrics=False, write_mode="mor")
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    got = {(r.repo, r.path): (r.seq, r.content_sha256)
+           for r in ing.state().collect()}
+    import duckdb
+    from arlas_proc_spark.sources.changefeed import final_state_sql
+    exp = duckdb.sql(final_state_sql(1000, dialect="duckdb")).fetchdf()
+    assert got == {(r.repo, r.path): (int(r.seq), r.content_sha256)
+                   for r in exp.itertuples()}
