@@ -132,6 +132,22 @@ def q_cdc_lake_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "seq", "ts_s", "lang", "content", "content_sha256")
 
 
+def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read engine path: replay the feed in batches through
+    append-mode ingest (O(batch) writes, read-time LWW across
+    generations) and read the resolved final state back — must equal the
+    same batch oracle as the copy-on-write replay."""
+    tmp = tempfile.mkdtemp(prefix="arlas_mor_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False, write_mode="mor")
+    feed = changefeed_df(spark, N_FEED)
+    half = N_FEED // 2
+    engine.apply_batch(feed.where(feed.seq < half), 0)
+    engine.apply_batch(feed.where(feed.seq >= half), 1)
+    return engine.state().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content", "content_sha256")
+
+
 def q_cdc_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-repo final-state rollup via the skew-safe two-phase salted agg."""
     final = lww_resolve(changefeed_df(spark, N_FEED))
@@ -532,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lake_replay": q_cdc_lake_replay,
+        "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_repo_stats": q_cdc_repo_stats,
         "stream_version_deltas": q_stream_version_deltas,
         "cdc_normalized_langs": q_cdc_normalized_langs,
@@ -587,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup": f"SELECT DISTINCT * FROM ({feed}) f",
         "cdc_lww_final_state": final,
         "cdc_lake_replay": final,
+        "cdc_mor_replay": final,
         "cdc_repo_stats": f"""
             SELECT repo, COUNT(path) AS n_files, MAX(seq) AS max_seq
             FROM ({final}) fs GROUP BY repo""",
