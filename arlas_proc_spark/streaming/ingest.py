@@ -43,13 +43,19 @@ class StreamingIngest:
                  n_buckets: int = 16, watermark: str = "1 hour",
                  stream_dedup: bool = True, collect_metrics: bool = True,
                  event_schema=None, wal_format: str = "parquet",
-                 write_mode: str = "cow"):
+                 write_mode: str = "cow", compact_every: int | None = None):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
         live table schema when the first batch carrying them arrives.
         ``wal_format`` ∈ {parquet, json, csv} — the segment encoding
-        (Debezium-style feeds land JSON lines)."""
+        (Debezium-style feeds land JSON lines).
+        ``compact_every``: run ``table.compact()`` after every N applied
+        batches — the operational companion of ``write_mode='mor'``
+        (append-mode generations, and cow-mode file fragments, fold back
+        periodically so the read path stays flat). Compaction commits its
+        own snapshot; a crash between apply and compact loses only the
+        compaction, never data."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -62,6 +68,8 @@ class StreamingIngest:
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
         self.wal_format = wal_format
+        self.compact_every = compact_every
+        self._applied_since_compact = 0
 
     def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
         raw = read_stream(self.spark, wal_dir, self.event_schema,
@@ -103,9 +111,16 @@ class StreamingIngest:
             try:
                 # empty final batches are detected inside apply_batch from
                 # the touched-bucket set — no separate isEmpty() job
-                self.engine.apply_batch(batch_df, batch_id)
+                m = self.engine.apply_batch(batch_df, batch_id)
             finally:
                 batch_df.unpersist()
+            if self.compact_every and not m.get("skipped") \
+                    and not m.get("empty"):
+                self._applied_since_compact += 1
+                if self._applied_since_compact >= self.compact_every:
+                    self._applied_since_compact = 0
+                    self.engine.table.compact(
+                        batch_id=f"autocompact-after-{batch_id}")
 
         writer = (events.writeStream
                   .foreachBatch(_apply)

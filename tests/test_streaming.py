@@ -288,3 +288,21 @@ def test_fresh_checkpoint_redeploy_not_skipped(spark, tmp_path):
              if r.content is not None}
     # every surviving key's content carries the redeploy prefix
     assert final and all(c.startswith("v2:") for c in final.values())
+
+
+def test_mor_streaming_autocompaction(spark, tmp_path):
+    """write_mode='mor' + compact_every: generations fold periodically
+    during the tail; final state still equals the batch LWW oracle."""
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, N, n_batches=6)
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                          collect_metrics=False, write_mode="mor",
+                          compact_every=2)
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert _state(ing) == _oracle(N)
+    snap = ing.engine.table.snapshot()
+    # 6 appends with compaction every 2 -> at most 2 uncompacted
+    # generations remain in any bucket
+    assert all(len(fs) <= 3 for fs in snap["buckets"].values())
+    assert any(m["batch_id"].startswith("autocompact")
+               for m in ing.engine.lineage())
