@@ -647,14 +647,21 @@ class LakeTable:
 
         One atomic snapshot commit; untouched buckets keep their files
         (Iceberg's rewrite_data_files semantics). Merge-on-read buckets
-        (multi-generation, from ``append_batch``) are LWW-resolved by the
-        read below and leave compaction single-generation — the victims
-        drop out of ``mor_buckets`` so readers stop paying the resolve."""
+        (multi-generation, from ``append_batch``) whose file count crosses
+        the threshold are LWW-resolved by the read below and leave
+        compaction single-generation, dropping out of ``mor_buckets``;
+        mor buckets still under the threshold keep their (cheap, bounded)
+        read-time resolve rather than forcing a rewrite — compaction cost
+        stays proportional to the fragmented fraction, not the table.
+        Idempotent per ``batch_id`` (a redelivered compaction id is a
+        no-op)."""
         snap = self.snapshot()
+        if batch_id and _ledger_contains(snap["ledger"], str(batch_id)):
+            return {"compacted_buckets": 0, "skipped": True}
         n_buckets = snap["n_buckets"]
         mor = {str(b) for b in snap.get("mor_buckets", [])}
         victims = [int(b) for b, fs in snap["buckets"].items()
-                   if len(fs) > max_files_per_bucket or b in mor]
+                   if len(fs) > max_files_per_bucket]
         if not victims:
             return {"compacted_buckets": 0}
         df = self.read(victims, snapshot=snap, with_tombstones=True)

@@ -50,12 +50,15 @@ class StreamingIngest:
         live table schema when the first batch carrying them arrives.
         ``wal_format`` ∈ {parquet, json, csv} — the segment encoding
         (Debezium-style feeds land JSON lines).
-        ``compact_every``: run ``table.compact()`` after every N applied
-        batches — the operational companion of ``write_mode='mor'``
-        (append-mode generations, and cow-mode file fragments, fold back
-        periodically so the read path stays flat). Compaction commits its
-        own snapshot; a crash between apply and compact loses only the
-        compaction, never data."""
+        ``compact_every``: fold a bucket's merge-on-read generations once
+        it accumulates this many files — the operational companion of
+        ``write_mode='mor'`` (cow mode writes one file per bucket per
+        merge, so it never fragments and this knob is a no-op there). The
+        trigger is derived from the SNAPSHOT, not an in-memory counter,
+        so periodic availableNow drains (each constructing a fresh
+        StreamingIngest) still compact on schedule. Compaction commits
+        its own ledgered snapshot; a crash between apply and compact
+        loses only the compaction, never data."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -69,7 +72,6 @@ class StreamingIngest:
         self.event_schema = event_schema or EVENT_SCHEMA
         self.wal_format = wal_format
         self.compact_every = compact_every
-        self._applied_since_compact = 0
 
     def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
         raw = read_stream(self.spark, wal_dir, self.event_schema,
@@ -116,11 +118,18 @@ class StreamingIngest:
                 batch_df.unpersist()
             if self.compact_every and not m.get("skipped") \
                     and not m.get("empty"):
-                self._applied_since_compact += 1
-                if self._applied_since_compact >= self.compact_every:
-                    self._applied_since_compact = 0
+                # state-derived trigger: compact when any bucket's file
+                # count reaches the threshold (snapshot read is a cheap
+                # driver-side JSON load). The batch_id is scope+version-
+                # unique, so a redeployed stream can't collide with a
+                # prior stream's compaction ids in the ledger.
+                snap = self.engine.table.snapshot()
+                if any(len(fs) >= self.compact_every
+                       for fs in snap["buckets"].values()):
                     self.engine.table.compact(
-                        batch_id=f"autocompact-after-{batch_id}")
+                        max_files_per_bucket=self.compact_every - 1,
+                        batch_id=f"autocompact-{self.engine.ledger_scope[:8]}"
+                                 f"-v{snap['version']}")
 
         writer = (events.writeStream
                   .foreachBatch(_apply)

@@ -301,8 +301,8 @@ def test_mor_streaming_autocompaction(spark, tmp_path):
     ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
     assert _state(ing) == _oracle(N)
     snap = ing.engine.table.snapshot()
-    # 6 appends with compaction every 2 -> at most 2 uncompacted
-    # generations remain in any bucket
-    assert all(len(fs) <= 3 for fs in snap["buckets"].values())
+    # threshold 2: any bucket reaching 2 files is folded right after the
+    # apply, so no bucket ends above 2 generations
+    assert all(len(fs) <= 2 for fs in snap["buckets"].values())
     assert any(m["batch_id"].startswith("autocompact")
                for m in ing.engine.lineage())
