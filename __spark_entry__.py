@@ -534,6 +534,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "media_type", "payload_sha256")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over mapInPandas (stubbed codec, real plumbing):
+    rows-only — the resized payload is binary."""
+    from arlas_proc_spark.operators.multimodal import (
+        deterministic_fake_resizer,
+        resize_images,
+    )
+    media = make_media_df(spark, n=64)
+    out = resize_images(media, 32, 24, resizer=deterministic_fake_resizer)
+    return out.select("media_id", "media_type", "width", "height",
+                      F.length("payload").alias("payload_bytes"))
+
+
 # -------------------------------------------------------------- the contract
 
 
@@ -592,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_states": q_viterbi_states,
         "mission_summary": q_mission_summary,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 

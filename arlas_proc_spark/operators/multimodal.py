@@ -99,6 +99,57 @@ def extract_features(df: DataFrame,
         kernel, schema=out_schema)
 
 
+def real_resizer(payload: bytes, w0: int | None, h0: int | None,
+                 w: int, h: int) -> bytes:
+    """Where Pillow's Image.resize would go. Not available here."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "pass resizer=deterministic_fake_resizer or a real codec")
+
+
+def deterministic_fake_resizer(payload: bytes, w0: int | None,
+                               h0: int | None, w: int, h: int) -> bytes:
+    """Stands in for decode→resize→re-encode: output bytes derived from
+    (payload sha256, target dims), length scaled to the target area —
+    deterministic so tests can assert exact bytes and realistic in that
+    output size tracks target resolution."""
+    seed = hashlib.sha256(
+        (payload or b"") + f"|{w}x{h}".encode()).digest()
+    n = max(w * h // 64, 32)
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  resizer: Callable[..., bytes] = real_resizer) -> DataFrame:
+    """Resize the image rows' payloads to (target_w, target_h) via
+    Arrow-batched ``mapInPandas``; non-image rows pass through untouched
+    with their original payload and metadata. Width/height metadata are
+    updated to the target on image rows — the plan/schema/partitioning is
+    the production shape, only the codec callable is stubbed."""
+    out_schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["media_type"] == "image"
+            payloads = []
+            for img, p, w0, h0 in zip(is_img, pdf["payload"],
+                                      pdf["width"], pdf["height"]):
+                if img:
+                    payloads.append(bytearray(resizer(
+                        bytes(p or b""),
+                        None if pd.isna(w0) else int(w0),
+                        None if pd.isna(h0) else int(h0),
+                        target_w, target_h)))
+                else:
+                    payloads.append(p)
+            pdf = pdf.assign(payload=payloads)
+            pdf.loc[is_img, "width"] = target_w
+            pdf.loc[is_img, "height"] = target_h
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame to extract
     (media_id, frame_t). The decode itself is the stubbed kernel; the plan

@@ -267,3 +267,34 @@ def test_degenerate_inputs_do_not_crash_or_pollute(spark):
         "doc_id long, content string")
     groups = exact_duplicates(nd, "doc_id", "content").collect()
     assert len(groups) == 1 and groups[0].canonical_id == 3
+
+
+def test_resize_images_plumbing(spark):
+    """Resize runs as mapInPandas over the full media schema: image rows
+    get deterministic resized payloads + updated dims; audio/video rows
+    pass through byte-identical."""
+    from arlas_proc_spark.operators.multimodal import (
+        deterministic_fake_resizer,
+        make_media_df,
+        resize_images,
+    )
+    media = make_media_df(spark, n=12)
+    before = {r.media_id: r for r in media.collect()}
+    out = {r.media_id: r for r in
+           resize_images(media, 32, 24,
+                         resizer=deterministic_fake_resizer).collect()}
+    assert set(out) == set(before)
+    for mid, r in out.items():
+        b = before[mid]
+        if r.media_type == "image":
+            assert (r.width, r.height) == (32, 24)
+            assert bytes(r.payload) == deterministic_fake_resizer(
+                bytes(b.payload), b.width, b.height, 32, 24)
+        else:
+            assert bytes(r.payload) == bytes(b.payload)
+            assert (r.width, r.height) == (b.width, b.height)
+    # rerun -> identical bytes (deterministic)
+    again = {r.media_id: bytes(r.payload) for r in
+             resize_images(media, 32, 24,
+                           resizer=deterministic_fake_resizer).collect()}
+    assert again == {k: bytes(v.payload) for k, v in out.items()}
