@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--continuous", action="store_true",
                     help="keep tailing (default: process backlog then stop)")
+    ap.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+                    help="cow = MERGE per batch; mor = append winners, "
+                         "read-time LWW, O(batch) ingest")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="fold a bucket's merge-on-read generations once "
+                         "it reaches this many files")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --wal first (demo)")
     ap.add_argument("--master", default=None)
@@ -50,7 +56,9 @@ def main() -> None:
                                  n_batches=max(args.generate // 250_000, 4))
 
     ing = StreamingIngest(spark, args.table, n_buckets=args.buckets,
-                          watermark=args.watermark)
+                          watermark=args.watermark,
+                          write_mode=args.write_mode,
+                          compact_every=args.compact_every)
     if args.continuous:
         q = ing.start(args.wal, args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger,
