@@ -41,7 +41,7 @@ def read_stream_parquet(spark: SparkSession, path: str, schema: StructType,
 
 def read_stream(spark: SparkSession, path: str, schema: StructType,
                 fmt: str = "parquet", max_files_per_trigger: int = 1) -> DataFrame:
-    """WAL segment tail for any file format ∈ {parquet, json, csv}.
+    """WAL segment tail for any file format ∈ {parquet, orc, json, csv}.
 
     Debezium-style deployments often land change events as JSON lines;
     the schema projects each record the same way regardless of segment
@@ -52,6 +52,8 @@ def read_stream(spark: SparkSession, path: str, schema: StructType,
          .option("recursiveFileLookup", "true"))
     if fmt == "parquet":
         return r.parquet(path)
+    if fmt == "orc":
+        return r.orc(path)
     if fmt == "json":
         return r.json(path)
     if fmt == "csv":

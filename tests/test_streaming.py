@@ -306,3 +306,16 @@ def test_mor_streaming_autocompaction(spark, tmp_path):
     assert all(len(fs) <= 2 for fs in snap["buckets"].values())
     assert any(m["batch_id"].startswith("autocompact")
                for m in ing.engine.lineage())
+
+
+def test_stream_orc_wal_segments(spark, tmp_path):
+    """ORC WAL segments converge identically (fourth segment encoding)."""
+    wal = str(tmp_path / "wal")
+    df = changefeed_df(spark, 800)
+    for b in range(4):
+        (df.where((df.seq >= b * 200) & (df.seq < (b + 1) * 200))
+           .coalesce(1).write.mode("overwrite").orc(f"{wal}/batch_{b:05d}"))
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                          collect_metrics=False, wal_format="orc")
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert _state(ing) == _oracle(800)
