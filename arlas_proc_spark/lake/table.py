@@ -53,6 +53,7 @@ from arlas_proc_spark.lake.schema_evolution import align_to_schema, evolve_schem
 _BUCKET = "_bucket"
 _TOMB = "_tombstone"
 _LEDGER_KEEP = 1024  # retain this many most-recent batch ids below the watermark
+_LINEAGE_KEEP = 4096  # lineage files referenced by a snapshot (older ones GC)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -126,7 +127,15 @@ class LakeTable:
         competing writer that advanced CURRENT underneath us)."""
         name = f"v{snap['version']:010d}.json"
         target = os.path.join(self.meta_dir, name)
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # raises if exists
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # the common conflict ordering: a competitor FULLY committed this
+            # version before we got here — same retryable situation as the
+            # CURRENT-moved check below, so surface it as the same error
+            raise ConcurrentCommitError(
+                f"snapshot {name} already exists: another writer committed "
+                f"this version; re-read and retry") from None
         with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
             f.flush()
@@ -394,8 +403,10 @@ class LakeTable:
         # 6. write new files for touched buckets (repartition by bucket so
         #    each bucket lands in few files), then commit atomically
         version = snap["version"] + 1
+        token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
-                                          key_cols=snap["key_cols"])
+                                          key_cols=snap["key_cols"],
+                                          token=token)
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -405,24 +416,41 @@ class LakeTable:
             })
         for b in touched:
             snap["buckets"][str(b)] = staged.get(int(b), [])
+        # the cow rewrite collapsed each touched bucket to one generation —
+        # it must drop out of mor_buckets or reads would keep paying (and
+        # a duplicate-free invariant-holding bucket would be harmless but
+        # a later overwrite/append interleave could silently LWW-collapse)
+        touched_set = {str(b) for b in touched}
+        snap["mor_buckets"] = sorted(
+            (b for b in {str(x) for x in snap.get("mor_buckets", [])}
+             if b not in touched_set), key=int)
         snap["version"] = version
         metrics["wall_s"] = round(time.time() - t0, 3)
         _ledger_add(led, bid, metrics, ledger_scope)
-        self._write_lineage(version, bid, staged)
+        self._record_lineage(snap, self._write_lineage(version, bid, staged,
+                                                       token=token))
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 
     def _write_bucket_files(self, df: DataFrame, version: int, schema_v: int,
-                            n_buckets: int, key_cols: list[str] | None = None)\
+                            n_buckets: int, key_cols: list[str] | None = None,
+                            token: str | None = None)\
             -> dict[int, list[dict]]:
         """Write df (carrying _bucket) hive-partitioned to a staging dir,
         then move files into data/ under snapshot-versioned names.
+
+        ``token`` (a per-commit-attempt uuid) is part of every file name:
+        two writers racing toward the same version stage DISJOINT names, so
+        the loser's files are true orphans (GC-able by expire_snapshots)
+        instead of silently clobbering the winner's committed data. Readers
+        never derive names — they use the names recorded in the snapshot.
 
         Repartitioning by the KEY columns into exactly ``n_buckets``
         partitions aligns 1:1 with the bucket transform (see bucket_expr),
         so every task writes exactly one bucket — balanced, one file per
         bucket. Falls back to repartitioning by the bucket column when the
         frame lacks the keys."""
+        token = token or uuid.uuid4().hex[:12]
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         if key_cols and all(c in df.columns for c in key_cols):
             clustered = df.repartition(n_buckets, *[F.col(c) for c in key_cols])
@@ -435,7 +463,7 @@ class LakeTable:
             b = int(bdir.rsplit("=", 1)[1])
             staged[b] = []
             for i, part in enumerate(sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))):
-                name = f"v{version}-b{b}-{i}.parquet"
+                name = f"v{version}-b{b}-{i}-{token}.parquet"
                 target = os.path.join(self.data_dir, name)
                 os.replace(part, target)
                 # per-partition lineage from the parquet FOOTER — metadata
@@ -448,13 +476,16 @@ class LakeTable:
 
     # --------------------------------------------------------------- lineage
     def _write_lineage(self, version: int, batch_id: str,
-                       staged: dict[int, list[dict]]) -> None:
+                       staged: dict[int, list[dict]],
+                       token: str | None = None) -> str:
         """Per-partition lineage for one commit, as a parquet file the
         engine (or any reader) can query as a table: one row per (bucket,
         file) with its footer row count and size. Written BEFORE the
-        snapshot commit; named by version, so a crashed commit's orphan is
-        overwritten when the version number is retried and ``lineage_df``
-        additionally filters to committed versions."""
+        snapshot commit; the file name carries the commit-attempt token and
+        is recorded in the snapshot's ``lineage_files`` list, so a crashed
+        or losing commit's lineage is an unreferenced orphan (GC-able by
+        ``expire_snapshots``) and ``lineage_df`` only ever sees committed
+        lineage. Returns the written file name."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         os.makedirs(self.lineage_dir, exist_ok=True)
@@ -478,28 +509,38 @@ class LakeTable:
             "bytes": pa.array(cols["bytes"], pa.int64()),
             "schema_v": pa.array(cols["schema_v"], pa.int32()),
         })
-        pq.write_table(tbl, os.path.join(self.lineage_dir,
-                                         f"v{version:010d}.parquet"))
+        name = f"v{version:010d}-{token or uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(tbl, os.path.join(self.lineage_dir, name))
+        return name
+
+    @staticmethod
+    def _record_lineage(snap: dict, name: str) -> None:
+        """Reference a lineage file from the snapshot (bounded list — the
+        newest ``_LINEAGE_KEEP`` commits keep queryable lineage; older
+        files become unreferenced and are GC'd by expire_snapshots, the
+        same bounded-history contract as the batch ledger)."""
+        lf = snap.setdefault("lineage_files", [])
+        lf.append(name)
+        del lf[:-_LINEAGE_KEEP]
 
     def lineage_df(self) -> DataFrame:
         """All committed per-partition lineage as a DataFrame (one row per
-        bucket-file written, with footer row count + bytes). Versions above
-        the current snapshot (a commit that crashed mid-flight) are
-        excluded."""
-        cur = self.snapshot()["version"]
-        files = sorted(glob.glob(os.path.join(self.lineage_dir, "v*.parquet")))
+        bucket-file written, with footer row count + bytes). Only lineage
+        files referenced by the current snapshot are read — a crashed or
+        concurrency-losing commit's lineage is never visible."""
+        names = self.snapshot().get("lineage_files", [])
+        files = [os.path.join(self.lineage_dir, n) for n in names
+                 if os.path.exists(os.path.join(self.lineage_dir, n))]
         if not files:
             return self.spark.createDataFrame(
                 [], "version long, batch_id string, bucket int, file string,"
                     " rows long, bytes long, schema_v int").where(F.lit(False))
-        return (self.spark.read.parquet(*files)
-                .where(F.col("version") <= cur))
+        return self.spark.read.parquet(*files)
 
     # ---------------------------------------------------------------- append
     def append_batch(self, batch: DataFrame, batch_id: int | str, *,
                      op_col: str = "op", delete_value: str = "delete",
                      collect_metrics: bool = True,
-                     touched_buckets: list[int] | None = None,
                      batch_compacted: bool = False,
                      ledger_scope: str = "default") -> dict:
         """Merge-on-READ ingest: write the batch's per-key winners (deletes
@@ -569,8 +610,9 @@ class LakeTable:
                 F.sum(F.when(F.col(_TOMB), 1).otherwise(0)
                       ).alias("deletes_appended"))
         version = snap["version"] + 1
+        token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
-                                          key_cols=key_cols)
+                                          key_cols=key_cols, token=token)
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -586,7 +628,8 @@ class LakeTable:
         snap["version"] = version
         metrics["wall_s"] = round(time.time() - t0, 3)
         _ledger_add(led, bid, metrics, ledger_scope)
-        self._write_lineage(version, bid, staged)
+        self._record_lineage(snap, self._write_lineage(version, bid, staged,
+                                                       token=token))
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 
@@ -598,22 +641,38 @@ class LakeTable:
         watermark could never advance past the missing id and ``pending``
         would grow by one entry per drain, forever — snapshot JSON size and
         ledger lookups degrading linearly with batch count. One cheap
-        snapshot commit (no data files touched) keeps the ledger O(1)."""
-        snap = self.snapshot()
+        snapshot commit (no data files touched) keeps the ledger O(1).
+
+        Data-free, so a concurrent-writer conflict is trivially retryable
+        in place: re-read the (now advanced) snapshot and re-commit."""
         bid = str(batch_id)
-        if _ledger_contains(snap["ledger"], bid, scope):
-            return {"batch_id": bid, "skipped": True}
-        snap["version"] += 1
-        metrics = {"batch_id": bid, "empty": True}
-        _ledger_add(snap["ledger"], bid, metrics, scope)
-        self._commit_snapshot(snap, expected_version=snap["version"] - 1)
-        return metrics
+        last_err: Exception | None = None
+        for _ in range(4):
+            snap = self.snapshot()
+            if _ledger_contains(snap["ledger"], bid, scope):
+                return {"batch_id": bid, "skipped": True}
+            snap["version"] += 1
+            metrics = {"batch_id": bid, "empty": True}
+            _ledger_add(snap["ledger"], bid, metrics, scope)
+            try:
+                self._commit_snapshot(snap, expected_version=snap["version"] - 1)
+                return metrics
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
 
     # ------------------------------------------------------------- overwrite
     def overwrite(self, df: DataFrame, batch_id: int | str = "overwrite") -> dict:
-        """Replace the whole table content (bootstrap/full-snapshot load)."""
+        """Replace the whole table content (bootstrap/full-snapshot load).
+
+        The table invariant is ≤1 row per key, so an input carrying
+        duplicate keys is DETERMINISTICALLY compacted to the (seq, commit)
+        LWW winner — the same rule every merge uses — instead of being
+        stored multi-generation and arbitrarily collapsed at read time.
+        All buckets become single-generation (mor_buckets cleared)."""
         snap = self.snapshot()
         n_buckets = snap["n_buckets"]
+        key_cols, seq_col = snap["key_cols"], snap["seq_col"]
         table_schema = StructType.fromJson(snap["schema"])
         new_schema, changed = evolve_schema(
             table_schema, StructType([f for f in df.schema.fields]))
@@ -622,17 +681,27 @@ class LakeTable:
             schema_v += 1
             snap["schemas"][str(schema_v)] = json.loads(new_schema.json())
             snap["schema"] = json.loads(new_schema.json())
+        if all(c in df.columns for c in key_cols) and seq_col in df.columns:
+            ord_first = [seq_col] + \
+                (["commit"] if "commit" in df.columns else [])
+            ordered = ord_first + [c for c in df.columns if c not in ord_first]
+            df = (df.groupBy(*key_cols)
+                  .agg(F.max(F.struct(*ordered)).alias("_w"))
+                  .select("_w.*").select(*df.columns))
         out = align_to_schema(df, new_schema) \
             .withColumn(_TOMB, F.lit(False)) \
-            .withColumn(_BUCKET, bucket_expr(snap["key_cols"], n_buckets))
+            .withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
         version = snap["version"] + 1
+        token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
-                                          key_cols=snap["key_cols"])
+                                          key_cols=key_cols, token=token)
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
+        snap["mor_buckets"] = []
         snap["version"] = version
         metrics = {"batch_id": str(batch_id), "overwrite": True}
         _ledger_add(snap["ledger"], str(batch_id), metrics)
-        self._write_lineage(version, str(batch_id), staged)
+        self._record_lineage(snap, self._write_lineage(
+            version, str(batch_id), staged, token=token))
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 
@@ -671,8 +740,10 @@ class LakeTable:
         out = df.withColumn(_BUCKET, bucket_expr(snap["key_cols"], n_buckets))
         version = snap["version"] + 1
         schema_v = max(int(v) for v in snap["schemas"])
+        token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
-                                          key_cols=snap["key_cols"])
+                                          key_cols=snap["key_cols"],
+                                          token=token)
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
         snap["mor_buckets"] = sorted(mor - {str(b) for b in victims}, key=int)
@@ -680,7 +751,8 @@ class LakeTable:
         metrics = {"compacted_buckets": len(victims),
                    "batch_id": batch_id or f"compact-{version}"}
         _ledger_add(snap["ledger"], metrics["batch_id"], metrics)
-        self._write_lineage(version, metrics["batch_id"], staged)
+        self._record_lineage(snap, self._write_lineage(
+            version, metrics["batch_id"], staged, token=token))
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 
@@ -698,11 +770,13 @@ class LakeTable:
         current = self._current_name()
         keep = set(names[-keep_last:]) | {current}
         referenced: set[str] = set()
+        referenced_lineage: set[str] = set()
         for name in keep:
             with open(os.path.join(self.meta_dir, name)) as f:
                 snap = json.load(f)
             for files in snap["buckets"].values():
                 referenced.update(e["file"] for e in files)
+            referenced_lineage.update(snap.get("lineage_files", []))
         dropped_snaps = 0
         for name in names:
             if name not in keep:
@@ -713,8 +787,20 @@ class LakeTable:
             if fname not in referenced:
                 os.remove(os.path.join(self.data_dir, fname))
                 dropped_files += 1
+        # lineage GC: files referenced by no retained snapshot (rotated out
+        # of the bounded lineage_files list, written by a crashed commit, or
+        # staged by a concurrency-losing writer) are orphans — without this
+        # the lineage dir grows one file per commit forever (10^7 commits →
+        # 10^7 files)
+        dropped_lineage = 0
+        if os.path.isdir(self.lineage_dir):
+            for fname in os.listdir(self.lineage_dir):
+                if fname not in referenced_lineage:
+                    os.remove(os.path.join(self.lineage_dir, fname))
+                    dropped_lineage += 1
         return {"snapshots_expired": dropped_snaps,
                 "orphan_files_removed": dropped_files,
+                "orphan_lineage_removed": dropped_lineage,
                 "snapshots_retained": len(keep)}
 
     # --------------------------------------------------------------- lineage

@@ -278,3 +278,112 @@ def test_ledger_scopes_isolate_batch_ids(spark, tmp_path):
     m2 = t.merge_batch(_batch(spark, [_ev(3, "insert", "r", "c", "c3", "v3")]),
                        0, ledger_scope="streamA")
     assert m2.get("skipped")
+
+
+def test_concurrent_writers_full_commit_race(spark, tmp_path, monkeypatch):
+    """The nastiest ordering: writer B FULLY commits version N+1 while
+    writer A is mid-merge toward the same version. A's staged data files
+    must not clobber B's committed ones (names carry a per-attempt token),
+    the O_EXCL collision must surface as ConcurrentCommitError (retryable),
+    and a retried merge must converge with BOTH writers' rows intact."""
+    from arlas_proc_spark.lake.table import ConcurrentCommitError
+    path = str(tmp_path / "t")
+    a = LakeTable.create(spark, path, SCHEMA, ["repo", "path"], "seq",
+                         n_buckets=4)
+    b = LakeTable(spark, path)
+    batch_a = _batch(spark, [_ev(1, "insert", "rA", "a.py", "cA", "vA")])
+    batch_b = _batch(spark, [_ev(2, "insert", "rB", "b.py", "cB", "vB")])
+
+    real_commit = LakeTable._commit_snapshot
+    fired = []
+
+    def hijack(self, snap, expected_version):
+        if self is a and not fired:
+            fired.append(True)
+            b.merge_batch(batch_b, "writer-b")  # B wins the race
+        return real_commit(self, snap, expected_version)
+
+    monkeypatch.setattr(LakeTable, "_commit_snapshot", hijack)
+    with pytest.raises(ConcurrentCommitError):
+        a.merge_batch(batch_a, "writer-a")
+    # B's committed row survived A's losing staging (no name collision)
+    state = {(r.repo, r.path): r.content for r in b.read().collect()}
+    assert state == {("rB", "b.py"): "vB"}
+    # A's loser files are unreferenced orphans; retry converges
+    a.merge_batch(batch_a, "writer-a")
+    state = {(r.repo, r.path): r.content for r in a.read().collect()}
+    assert state == {("rA", "a.py"): "vA", ("rB", "b.py"): "vB"}
+    # GC removes the orphaned staging (data + lineage) without touching
+    # live files
+    gc = a.expire_snapshots(keep_last=10)
+    assert gc["orphan_files_removed"] >= 1
+    state = {(r.repo, r.path): r.content for r in a.read().collect()}
+    assert state == {("rA", "a.py"): "vA", ("rB", "b.py"): "vB"}
+
+
+def test_empty_batch_commit_retries_on_conflict(spark, tmp_path, monkeypatch):
+    """commit_empty_batch is data-free and must survive a competing writer
+    landing mid-commit instead of failing the stream."""
+    path = str(tmp_path / "t")
+    a = LakeTable.create(spark, path, SCHEMA, ["repo", "path"], "seq",
+                         n_buckets=4)
+    b = LakeTable(spark, path)
+    real_commit = LakeTable._commit_snapshot
+    fired = []
+
+    def hijack(self, snap, expected_version):
+        if self is a and not fired:
+            fired.append(True)
+            b.merge_batch(
+                _batch(spark, [_ev(1, "insert", "rB", "b.py", "cB", "vB")]),
+                "writer-b")
+        return real_commit(self, snap, expected_version)
+
+    monkeypatch.setattr(LakeTable, "_commit_snapshot", hijack)
+    m = a.commit_empty_batch(7)
+    assert m.get("empty") and not m.get("skipped")
+    assert a.commit_empty_batch(7).get("skipped")  # ledgered despite race
+    assert b.read().count() == 1
+
+
+def test_overwrite_clears_mor_and_compacts_duplicates(spark, tmp_path):
+    """overwrite() on a formerly merge-on-read table: reads of the fresh
+    state must not keep applying LWW resolution (mor_buckets cleared), and
+    a bootstrap frame with duplicate keys is deterministically compacted
+    to the (seq, commit) winner at write time."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    t.append_batch(_batch(spark, [_ev(1, "insert", "r", "a.py", "c1", "v1")]), 0)
+    assert t.snapshot()["mor_buckets"]  # append made it mor
+    boot = _batch(spark, [
+        _ev(5, "insert", "r", "a.py", "c5", "new"),
+        _ev(4, "insert", "r", "a.py", "c4", "old"),   # dup key: seq 5 wins
+        _ev(6, "insert", "r", "b.py", "c6", "only"),
+    ]).drop("op")
+    t.overwrite(boot)
+    assert t.snapshot()["mor_buckets"] == []
+    state = {(r.repo, r.path): (r.content, r.seq) for r in t.read().collect()}
+    assert state == {("r", "a.py"): ("new", 5), ("r", "b.py"): ("only", 6)}
+
+
+def test_merge_after_append_drops_bucket_from_mor(spark, tmp_path):
+    """A cow merge rewrites its touched buckets to one generation — they
+    must leave mor_buckets so reads stop paying the LWW resolve there."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2)
+    t.append_batch(_batch(spark, [
+        _ev(1, "insert", "r", "a.py", "c1", "v1"),
+        _ev(2, "insert", "r", "b.py", "c2", "v2"),
+    ]), 0)
+    mor_before = set(t.snapshot()["mor_buckets"])
+    assert mor_before
+    t.merge_batch(_batch(spark, [_ev(3, "update", "r", "a.py", "c3", "v3")]), 1)
+    snap = t.snapshot()
+    from arlas_proc_spark.lake.table import bucket_expr
+    # the touched bucket left mor_buckets; untouched ones (if any) remain
+    touched = {str(r[0]) for r in
+               _batch(spark, [_ev(3, "update", "r", "a.py", "c3", "v3")])
+               .select(bucket_expr(["repo", "path"], 2)).distinct().collect()}
+    assert not (set(snap["mor_buckets"]) & touched)
+    state = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert state == {("r", "a.py"): "v3", ("r", "b.py"): "v2"}
