@@ -346,6 +346,26 @@ class LakeTable:
         # — neither the table side nor the batch gets sorted. On bootstrap
         # (empty table → empty LocalRelation) the join is eliminated
         # entirely, hint and all.
+        #
+        # Shuffle-once write: the SHJ already hash-partitions both sides by
+        # the key at P = spark.sql.shuffle.partitions, and HashPartitioning
+        # is exactly the bucket transform (see bucket_expr) — so whenever P
+        # is a multiple of n_buckets, every join output partition holds
+        # EXACTLY one bucket (pmod(h,P)=p ⇒ pmod(h,n)=p mod n) and the
+        # bucketed write below can skip its own repartition: the merged
+        # payload (the widest frame in the pipeline) crosses the wire once
+        # instead of twice per batch, at P/n files per bucket instead of 1.
+        # The explicit repartitions here are absorbed into the join's own
+        # exchanges (verified: one exchange per side, REPARTITION_BY_NUM)
+        # — their real job is the BOOTSTRAP case, where the empty table
+        # side eliminates the join entirely and the incoming repartition is
+        # then the only thing clustering the write.
+        p_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        aligned = p_shuffle % n_buckets == 0
+        existing = existing.repartition(
+            n_buckets, *[F.col(f"_e_{k}") for k in key_cols])
+        incoming = incoming.repartition(
+            n_buckets, *[F.col(f"_n_{k}") for k in key_cols])
         j = existing.join(incoming.hint("SHUFFLE_HASH"),
                           on=join_cond, how="full_outer")
 
@@ -406,7 +426,8 @@ class LakeTable:
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=snap["key_cols"],
-                                          token=token)
+                                          token=token,
+                                          already_clustered=aligned)
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -434,7 +455,8 @@ class LakeTable:
 
     def _write_bucket_files(self, df: DataFrame, version: int, schema_v: int,
                             n_buckets: int, key_cols: list[str] | None = None,
-                            token: str | None = None)\
+                            token: str | None = None,
+                            already_clustered: bool = False)\
             -> dict[int, list[dict]]:
         """Write df (carrying _bucket) hive-partitioned to a staging dir,
         then move files into data/ under snapshot-versioned names.
@@ -452,7 +474,13 @@ class LakeTable:
         frame lacks the keys."""
         token = token or uuid.uuid4().hex[:12]
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
-        if key_cols and all(c in df.columns for c in key_cols):
+        if already_clustered:
+            # caller guarantees each incoming partition holds exactly one
+            # bucket (merge join output — see merge_batch); partitionBy
+            # splits by _BUCKET value anyway, so correctness never depends
+            # on this, only file counts do
+            clustered = df
+        elif key_cols and all(c in df.columns for c in key_cols):
             clustered = df.repartition(n_buckets, *[F.col(c) for c in key_cols])
         else:
             clustered = df.repartition(n_buckets, F.col(_BUCKET))

