@@ -486,6 +486,62 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "embedding", k=3, d=4, round_to=2)
 
 
+# Random-hyperplane LSH fixture parameters. The synthetic embeddings are
+# near-orthogonal (pair cosines ≲ 0.5), so recall at the 0.3 threshold
+# needs SHORT bands: 3 bits × 12 bands → per-pair band-collision
+# probability (1-θ/π)^3 ≈ 0.21 at cosine 0.3, recall 1-(1-0.21)^12 ≈ 0.94.
+# Production corpora dedup at cosine ≥ 0.9 and use the operator defaults
+# (16 bits × 8 bands = 2^16 buckets/band, recall ≥ 0.97 — see
+# tests/test_operators.py recall tests against the brute-force baseline).
+_LSH_DIM, _LSH_BITS, _LSH_BANDS, _LSH_SEED = 64, 3, 12, 7
+
+
+def q_embedding_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arlas_proc_spark.operators.dedup_fuzzy import embedding_near_dups_lsh
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups_lsh(e, "vec_id", "embedding", dim=_LSH_DIM,
+                                   threshold=0.3, bits_per_band=_LSH_BITS,
+                                   n_bands=_LSH_BANDS, seed=_LSH_SEED)
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arlas_proc_spark.operators.ann import cosine_topk_lsh
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(e, e.where(F.col("vec_id") < 20), "vec_id",
+                           "embedding", dim=_LSH_DIM, k=3,
+                           bits_per_band=_LSH_BITS, n_bands=_LSH_BANDS,
+                           seed=_LSH_SEED, round_to=2)
+
+
+def _lsh_sig_sql() -> str:
+    """Band-signature SQL from the SAME plane constants the Spark operator
+    uses (random_hyperplanes is a portable LCG; coefficients are rounded
+    decimals, so both engines parse identical doubles; the sign test
+    rounds the dot product to 9 decimals on both sides)."""
+    from arlas_proc_spark.operators.ann import random_hyperplanes
+    planes = random_hyperplanes(_LSH_DIM, _LSH_BITS * _LSH_BANDS, _LSH_SEED)
+    band_exprs = []
+    for b in range(_LSH_BANDS):
+        terms = []
+        for j in range(_LSH_BITS):
+            plane = planes[b * _LSH_BITS + j]
+            lits = ", ".join(repr(c) for c in plane)
+            bit = (f"(CASE WHEN round(list_dot_product("
+                   f"CAST(embedding AS DOUBLE[]), "
+                   f"CAST([{lits}] AS DOUBLE[])), 9) >= 0 "
+                   f"THEN 1 ELSE 0 END)")
+            terms.append(f"{bit} * {1 << (_LSH_BITS - 1 - j)}")
+        band_exprs.append("(" + " + ".join(terms) + f") AS band{b}")
+    whens = " ".join(f"WHEN {b} THEN band{b}" for b in range(_LSH_BANDS))
+    return f"""
+            sig AS (SELECT vec_id, embedding, {", ".join(band_exprs)}
+                    FROM embeddings),
+            ex AS (SELECT vec_id, embedding, band,
+                          CASE band {whens} END AS s
+                   FROM sig CROSS JOIN
+                        (SELECT unnest(range({_LSH_BANDS})) AS band) b)"""
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 
 
@@ -599,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
+        "embedding_neardups_lsh": q_embedding_neardups_lsh,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
         "simhash_neardups": q_simhash_neardups,
         "nested_sink_docs": q_nested_sink_docs,
         # rows-only (non-SQL-expressible: stateful/iterative/binary kernels)
@@ -1018,6 +1076,35 @@ def oracle_sql() -> dict[str, str]:
                                 AS cosine
                      FROM cells c JOIN q ON c.cell = q.cell
                      WHERE c.vec_id <> query_id)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM sims) x
+            WHERE rank <= 3""",
+        "embedding_neardups_lsh": f"""
+            WITH {_lsh_sig_sql()},
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+              FROM ex a JOIN ex b
+                ON a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, max(cosine) AS cosine
+            FROM pairs WHERE cosine >= 0.3
+            GROUP BY id_a, id_b""",
+        "embedding_topk_lsh": f"""
+            WITH {_lsh_sig_sql()},
+            q AS (SELECT vec_id AS query_id, embedding AS qv, band, s
+                  FROM ex WHERE vec_id < 20),
+            sims AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                            max(round(list_cosine_similarity(
+                                CAST(q.qv AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 2)) AS cosine
+                     FROM ex c JOIN q
+                       ON c.band = q.band AND c.s = q.s
+                          AND c.vec_id <> q.query_id
+                     GROUP BY q.query_id, c.vec_id)
             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, neighbor_id ASC) AS rank

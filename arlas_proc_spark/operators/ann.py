@@ -74,6 +74,130 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+_MOD = 2_147_483_647  # Lehmer LCG modulus (2^31-1), same family as changefeed
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 7,
+                       round_to: int = 6) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix for sign-LSH.
+
+    A Lehmer LCG (public-domain constants, exactly portable 64-bit modular
+    arithmetic) rather than numpy's RNG so the SAME coefficients can be
+    inlined as literals into any SQL engine (the DuckDB correctness oracle
+    regenerates them from this function). Coefficients are rounded to
+    ``round_to`` decimals: decimal literals parse to identical doubles in
+    every IEEE-754 engine, which keeps dot-product signs bit-reproducible.
+    Coefficients are uniform in [-1, 1); for sign-LSH the distribution
+    need not be Gaussian — only symmetric around 0."""
+    planes, x = [], (seed % _MOD) or 1
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (x * 48271) % _MOD
+            row.append(round(x / _MOD * 2.0 - 1.0, round_to))
+        planes.append(row)
+    return planes
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(c)) for c in plane])
+    return F.aggregate(F.zip_with(vec, arr,
+                                  lambda x, y: x.cast("double") * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def band_signature_cols(vec_col: str | Column, planes: list[list[float]],
+                        n_bands: int) -> list[Column]:
+    """Random-hyperplane LSH band signatures: len(planes) sign bits split
+    into ``n_bands`` bands of r = len(planes)/n_bands bits, each packed
+    MSB-first into a long in [0, 2^r). Two vectors at angle θ agree on one
+    bit with probability 1 - θ/π, on a band with (1-θ/π)^r, and collide in
+    ≥1 of B bands with 1-(1-(1-θ/π)^r)^B — r trades selectivity (2^r
+    buckets per band) against per-band recall; B buys recall back at B×
+    the join work. The sign test rounds the dot product to 9 decimals
+    first so float summation-order noise (~1e-16) between engines cannot
+    flip a bit.
+
+    Expression-only (JVM codegen, no Python); at very high plane counts
+    (≥512) prefer a numpy-matmul pandas UDF — the expression tree grows
+    as planes × dim."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n = len(planes)
+    if n % n_bands:
+        raise ValueError(f"{n} planes do not split into {n_bands} bands")
+    r = n // n_bands
+    out = []
+    for b in range(n_bands):
+        sig = F.lit(0).cast("long")
+        for j in range(r):
+            bit = F.when(F.round(_plane_dot(c, planes[b * r + j]), 9) >= 0,
+                         F.lit(1)).otherwise(F.lit(0))
+            sig = sig * 2 + bit
+        out.append(sig.alias(f"_band{b}"))
+    return out
+
+
+def _banded(df: DataFrame, id_col: str, vec_col: str,
+            planes: list[list[float]], n_bands: int) -> DataFrame:
+    """(id, vec, band, sig): one row per (vector, band)."""
+    sigs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                     *band_signature_cols(vec_col, planes, n_bands))
+    pairs = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"_band{b}").alias("sig"))
+        for b in range(n_bands)])
+    return (sigs.select("_id", "_v", F.explode(pairs).alias("_bs"))
+            .select("_id", "_v", F.col("_bs.band").alias("_band"),
+                    F.col("_bs.sig").alias("_sig")))
+
+
+def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
+                    vec_col: str, *, dim: int, k: int = 3,
+                    bits_per_band: int = 16, n_bands: int = 8,
+                    seed: int = 7, round_to: int = 3,
+                    max_bucket_size: int | None = None) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH banding: candidates are corpus
+    vectors sharing ≥1 band signature with the query; exact cosine ranks
+    them. Same output shape as cosine_topk; recall < 1 by design and
+    measured against the brute-force baseline in tests.
+
+    Scale shape: one shuffle of the corpus by (band, sig) — a
+    high-cardinality key (n_bands × 2^bits_per_band buckets, 2^16 per
+    band at the defaults) — with the (small) query side broadcast.
+    ``max_bucket_size`` drops over-full corpus buckets (degenerate
+    regions, e.g. all-zero embeddings) the way stop-shingles are dropped
+    in ngram_jaccard_pairs: bounds per-bucket join fan-out at the cost of
+    recall inside dropped buckets."""
+    require_columns(corpus, id_col, vec_col)
+    planes = random_hyperplanes(dim, bits_per_band * n_bands, seed)
+    c = _banded(corpus, id_col, vec_col, planes, n_bands) \
+        .withColumnsRenamed({"_id": "neighbor_id", "_v": "_cv"})
+    q = _banded(queries, id_col, vec_col, planes, n_bands) \
+        .withColumnsRenamed({"_id": "query_id", "_v": "_qv"})
+    if max_bucket_size is not None:
+        keep = (c.groupBy("_band", "_sig")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") <= max_bucket_size)
+                .select("_band", "_sig"))
+        c = c.join(keep, ["_band", "_sig"])
+    # a pair can collide in several bands: dedup AFTER computing cosine,
+    # with a numeric max (identical values) — a codegen HashAggregate.
+    # Deduping the (query,neighbor,vec,vec) rows instead would plan
+    # First() buffers over the array columns (non-codegen ObjectHashAgg);
+    # recomputing the ≤n_bands duplicate cosines is cheaper at scale.
+    sims = (c.join(F.broadcast(q), ["_band", "_sig"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(cosine_sim(F.col("_qv"), F.col("_cv")), round_to)
+                     .alias("cosine"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("cosine").alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
 def cosine_topk_bucketed(corpus: DataFrame, queries: DataFrame, id_col: str,
                          vec_col: str, k: int = 3, d: int = 4,
                          round_to: int = 3) -> DataFrame:

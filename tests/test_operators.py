@@ -298,3 +298,127 @@ def test_resize_images_plumbing(spark):
              resize_images(media, 32, 24,
                            resizer=deterministic_fake_resizer).collect()}
     assert again == {k: bytes(v.payload) for k, v in out.items()}
+
+
+def test_simhash_expr_matches_reference_kernel(spark):
+    """The JVM expression kernel (explode → md5 → bit-vote aggregation)
+    must reproduce the per-row Python reference kernel bit-for-bit,
+    including token-less and null docs (signature 0) and duplicate
+    tokens (each occurrence votes)."""
+    from arlas_proc_spark.operators.dedup_fuzzy import (simhash64,
+                                                        simhash_signatures_df)
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, ""),                      # token-less
+        (3, None),                    # null text
+        (4, "   \t  "),               # whitespace-only
+        (5, "dup dup dup dup words"),  # duplicate tokens vote repeatedly
+        (6, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr_sigs = {r._id: r._sig for r in
+                 simhash_signatures_df(df, "doc_id", "text").collect()}
+    ref_sigs = {r.doc_id: r.sig for r in
+                df.select("doc_id", simhash64(F.col("text")).alias("sig"))
+                .collect()}
+    assert expr_sigs == ref_sigs
+    assert expr_sigs[2] == 0 and expr_sigs[3] == 0 and expr_sigs[4] == 0
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A shingle present in (almost) every doc must not quadratically
+    explode the self-join: with a doc-frequency cap it is dropped from
+    the JOIN while jaccard denominators keep the full shingle sets."""
+    from arlas_proc_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
+    boiler = "from typing import any"   # the ubiquitous shingle source
+    rows = [(i, f"{boiler} unique{i} words{i} here{i} now{i}")
+            for i in range(6)]
+    rows.append((100, boiler + " shared tail of real overlap text"))
+    rows.append((101, boiler + " shared tail of real overlap text"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap below the boilerplate shingle's doc frequency (8 docs): pairs
+    # sharing ONLY boilerplate disappear; the true dup pair survives via
+    # its non-ubiquitous shingles with jaccard still computed over FULL
+    # shingle sets
+    capped = {(r.id_a, r.id_b): r.jaccard for r in
+              ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.05,
+                                  max_doc_freq=4).collect()}
+    assert (100, 101) in capped
+    assert capped[(100, 101)] < 1.0  # intersection under-counts boilerplate
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # uncapped: every pair shares the boilerplate shingles
+    full = {(r.id_a, r.id_b) for r in
+            ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.05,
+                                max_doc_freq=None).collect()}
+    assert any(a < 100 and b < 100 for a, b in full)
+
+
+@pytest.fixture()
+def clustered_vecs(spark):
+    """40 clusters x 5 near-identical members (cosine ~0.99 in-cluster):
+    the regime LSH near-dup detection targets."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        center = rng.normal(size=16)
+        center /= np.linalg.norm(center)
+        for _ in range(5):
+            v = center + rng.normal(scale=0.02, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_topk_recall_vs_brute(clustered_vecs):
+    """cosine_topk_lsh at production defaults (16 bits x 8 bands) must
+    recover ≥90% of the brute-force top-3 on clustered data."""
+    from arlas_proc_spark.operators.ann import cosine_topk, cosine_topk_lsh
+    q = clustered_vecs.where(F.col("vec_id") < 30)
+    brute = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk(clustered_vecs, q, "vec_id", "embedding",
+                         k=3).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in
+           cosine_topk_lsh(clustered_vecs, q, "vec_id", "embedding",
+                           dim=16, k=3).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.9, f"LSH top-k recall {recall:.2f} < 0.9"
+
+
+def test_embedding_near_dups_lsh_recall_and_precision(clustered_vecs):
+    """All pairs the LSH variant returns must be exact-cosine >= threshold
+    (precision 1 by construction: banding only proposes, cosine decides),
+    and ≥90% of the brute-force pairs must be found."""
+    from arlas_proc_spark.operators.ann import cosine_sim
+    from arlas_proc_spark.operators.dedup_fuzzy import embedding_near_dups_lsh
+    a = clustered_vecs.alias("a")
+    b = clustered_vecs.alias("b")
+    brute = {(r.id_a, r.id_b): r.cosine for r in
+             a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"),
+                     F.round(cosine_sim(F.col("a.embedding"),
+                                        F.col("b.embedding")), 6)
+                     .alias("cosine"))
+             .where(F.col("cosine") >= 0.97).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in
+           embedding_near_dups_lsh(clustered_vecs, "vec_id", "embedding",
+                                   dim=16, threshold=0.97).collect()}
+    assert set(lsh) <= set(brute)                      # precision 1
+    assert all(lsh[p] == brute[p] for p in lsh)        # exact cosines
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} < 0.9"
+
+
+def test_lsh_max_bucket_cap_bounds_candidates(spark):
+    """Degenerate corpora (many identical vectors) collapse into one
+    bucket; the cap drops such buckets instead of pairing O(n²)."""
+    from arlas_proc_spark.operators.dedup_fuzzy import embedding_near_dups_lsh
+    rows = [(i, [1.0] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dups_lsh(df, "vec_id", "embedding", dim=8,
+                                     threshold=0.5, bits_per_band=4,
+                                     n_bands=2, max_bucket_size=10)
+    assert capped.count() == 0
