@@ -542,6 +542,110 @@ def _lsh_sig_sql() -> str:
                         (SELECT unnest(range({_LSH_BANDS})) AS band) b)"""
 
 
+_ENRICH_CATEGORY = {"click": "interaction", "view": "interaction",
+                    "purchase": "conversion", "signup": "conversion",
+                    "error": "incident"}
+
+
+def q_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External enrichment (reference WithGeoData/RestTool analog,
+    ``features/WithGeoData.scala:71-126``): rows passing the condition
+    are enriched by a batched lookup callable (deterministic here, the
+    way the reference mocks its geo service with WireMock); cond-false
+    rows keep their existing (null) category."""
+    import pandas as pd
+
+    from arlas_proc_spark.operators.enrich import enrich_rows
+    ev = _t(spark, sf_dir, "events")
+
+    def lookup(keys: pd.DataFrame) -> pd.DataFrame:
+        out = keys.copy()
+        out["category"] = out["event_type"].map(_ENRICH_CATEGORY)
+        return out
+
+    base = ev.select("event_id", "event_type",
+                     (F.col("value") > 50).alias("hot"))
+    return enrich_rows(base, lookup, ["event_type"],
+                       {"category": "string"}, cond_col="hot")
+
+
+def q_outliers_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-side frame (WithOutliersToStore analog,
+    filter/WithOutliersToStore.scala:40-94): ONLY the Hampel-flagged
+    rows, each with neighbor context (span null unless both neighbors
+    exist)."""
+    from arlas_proc_spark.operators.outliers import outliers_to_store
+    ev = _events(spark, sf_dir)
+    flagged = with_local_outliers(ev, "user_id", "es", "value",
+                                  k=2, threshold=10.0)
+    out = outliers_to_store(flagged, "user_id", ["es", "event_id"], "value")
+    return out.select("event_id", "user_id", "value", "neighbor_span",
+                      "prev_value", "next_value")
+
+
+def q_support_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WithSupportValues analog (ml/WithSupportValues.scala:44-63): long
+    fragments duplicate their value into support points; expressed as
+    array_repeat (the reference row-maps via RowEncoder)."""
+    from arlas_proc_spark.operators.tempo import with_support_values
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select("event_id", F.col("value").alias("v"),
+                     (F.col("value") * 60).cast("long").alias("dur"))
+    out = with_support_values(base, "v", "dur", delta_time=120,
+                              max_number_in_gap=10)
+    return out.select("event_id", "dur",
+                      F.size("supported_values").alias("n_support"),
+                      F.round(F.element_at("supported_values", 1), 6)
+                       .alias("first_support"))
+
+
+# Two uniform-transition tempo models: with a constant transition matrix
+# Viterbi reduces EXACTLY to per-row emission argmax (the backpointer is
+# j-independent), which is what makes this multi-model pipeline
+# SQL-expressible for the DuckDB oracle. The HMM dynamics themselves are
+# oracle-checked separately (viterbi_states, python oracle).
+_TEMPO_MODEL_A = {
+    "states": ["tempo_fast", "tempo_slow"], "start": [0.5, 0.5],
+    "trans": [[0.5, 0.5], [0.5, 0.5]],
+    "emission": {"means": [200.0, 800.0], "stds": [150.0, 150.0]},
+}
+_TEMPO_MODEL_B = {
+    "states": ["pace_low", "pace_mid", "pace_high"],
+    "start": [1 / 3, 1 / 3, 1 / 3],
+    "trans": [[1 / 3] * 3] * 3,
+    "emission": {"means": [100.0, 500.0, 900.0], "stds": [200.0] * 3},
+}
+_TEMPO_PMAP = {"p_fast": "tempo_fast", "p_slow": "tempo_slow",
+               "p_low": "pace_low", "p_mid": "pace_mid",
+               "p_high": "pace_high"}
+
+
+def q_tempo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-model tempo layer (WithTempo + WithTempoProportions +
+    getMainTempo, ml/WithTempo.scala:40-61,
+    fragments/FragmentSummaryTransformer.scala:343-364): two HMM models
+    decode the per-user duration series, per-model proportion columns
+    aggregate duration-weighted, and the greatest proportion elects the
+    main tempo."""
+    from arlas_proc_spark.operators.tempo import (tempo_fragment_summary,
+                                                  with_tempo,
+                                                  with_tempo_proportions)
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select("user_id", F.col("ts").alias("ets"),
+                     ((F.col("value") * 10).cast("long") + 1).alias("dur"))
+    out = with_tempo(base, "user_id", "ets", "dur", _TEMPO_MODEL_A,
+                     out_col="tempo_a")
+    out = with_tempo(out, "user_id", "ets", "dur", _TEMPO_MODEL_B,
+                     out_col="tempo_b")
+    out = with_tempo_proportions(out, "tempo_a",
+                                 {"p_fast": "tempo_fast",
+                                  "p_slow": "tempo_slow"})
+    out = with_tempo_proportions(out, "tempo_b",
+                                 {"p_low": "pace_low", "p_mid": "pace_mid",
+                                  "p_high": "pace_high"})
+    return tempo_fragment_summary(out, ["user_id"], "dur", _TEMPO_PMAP)
+
+
 # ------------------------------------------- non-SQL-expressible (rows-only)
 
 
@@ -659,12 +763,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "simhash_neardups": q_simhash_neardups,
         "nested_sink_docs": q_nested_sink_docs,
+        "enriched_events": q_enriched_events,
+        "support_values": q_support_values,
+        "tempo_summary": q_tempo_summary,
+        "outliers_store": q_outliers_store,
         # rows-only (non-SQL-expressible: stateful/iterative/binary kernels)
         "viterbi_states": q_viterbi_states,
         "mission_summary": q_mission_summary,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
     }
+
+
+def _multimodal_oracle_values() -> tuple[str, str]:
+    """Expected outputs of the multimodal queries as SQL VALUES lists,
+    recomputed here with plain hashlib (independently of the Spark
+    mapInPandas kernels under test). DuckDB's sha256() only accepts
+    VARCHAR — raw-blob hashing is not expressible — so the deterministic
+    fixture is oracled by value."""
+    import hashlib as _hl
+    feat_rows, resize_rows = [], []
+    for i in range(64):
+        mt = ["image", "audio", "video"][i % 3]
+        payload = _hl.sha256(f"media{i}".encode()).digest() * 8
+        feat_rows.append(
+            f"({i}, '{mt}', '{_hl.sha256(payload).hexdigest()}')")
+        if mt == "image":
+            n = max(32 * 24 // 64, 32)
+            resize_rows.append(f"({i}, '{mt}', 32, 24, {n})")
+        else:
+            resize_rows.append(
+                f"({i}, '{mt}', NULL, NULL, {len(payload)})")
+    return ", ".join(feat_rows), ", ".join(resize_rows)
+
+
+def _viterbi_oracle_sql() -> str:
+    """DEFAULT_MODEL Viterbi as a DuckDB recursive CTE, arithmetic
+    mirrored operation-for-operation against the numpy kernel (same
+    constants inlined at full precision, same add order, squares as
+    x*x, argmax ties to the lower state index) so doubles — and
+    therefore paths — are bit-identical. Forward pass carries (dp0, dp1)
+    and the per-step backpointers; a backward recursion from each user's
+    last row follows them."""
+    import numpy as np
+    c0 = repr(float(np.log(1.0 * np.sqrt(2 * np.pi))))
+    c1 = repr(float(np.log(5.0 * np.sqrt(2 * np.pi))))
+    lt_stay = repr(float(np.log(0.9)))
+    lt_move = repr(float(np.log(0.1)))
+    ls = repr(float(np.log(0.5)))
+    e0 = f"((-0.5) * (((value - 0.5) / 1.0) * ((value - 0.5) / 1.0)) - {c0})"
+    e1 = f"((-0.5) * (((value - 10.0) / 5.0) * ((value - 10.0) / 5.0)) - {c1})"
+    return f"""
+            WITH RECURSIVE ev AS (
+              SELECT user_id, es, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY es)
+                         AS rn
+              FROM {_EV}),
+            walk AS (
+              SELECT user_id, rn,
+                     {ls} + {e0} AS d0, {ls} + {e1} AS d1,
+                     0 AS b0, 0 AS b1
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn,
+                     (CASE WHEN w.d0 + {lt_stay} >= w.d1 + {lt_move}
+                           THEN w.d0 + {lt_stay}
+                           ELSE w.d1 + {lt_move} END) + {e0.replace('value', 'e.value')},
+                     (CASE WHEN w.d0 + {lt_move} >= w.d1 + {lt_stay}
+                           THEN w.d0 + {lt_move}
+                           ELSE w.d1 + {lt_stay} END) + {e1.replace('value', 'e.value')},
+                     CASE WHEN w.d0 + {lt_stay} >= w.d1 + {lt_move}
+                          THEN 0 ELSE 1 END,
+                     CASE WHEN w.d0 + {lt_move} >= w.d1 + {lt_stay}
+                          THEN 0 ELSE 1 END
+              FROM walk w JOIN ev e
+                ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+            last_rn AS (
+              SELECT user_id, max(rn) AS mx FROM ev GROUP BY user_id),
+            back AS (
+              SELECT w.user_id, w.rn,
+                     CASE WHEN w.d0 >= w.d1 THEN 0 ELSE 1 END AS st
+              FROM walk w JOIN last_rn l
+                ON l.user_id = w.user_id AND w.rn = l.mx
+              UNION ALL
+              SELECT w.user_id, b.rn - 1,
+                     CASE WHEN b.st = 0 THEN w.b0 ELSE w.b1 END
+              FROM back b JOIN walk w
+                ON w.user_id = b.user_id AND w.rn = b.rn
+              WHERE b.rn > 1)
+            SELECT user_id,
+                   CASE st WHEN 0 THEN 'STILL' ELSE 'MOVE' END AS hmm_state,
+                   count(*) AS n
+            FROM back GROUP BY 1, 2 ORDER BY user_id, hmm_state"""
+
+
+def _mission_oracle_sql() -> str:
+    """Traversing-mission segmentation as a DuckDB recursive CTE: the
+    per-key sequential scan's state (run-start measure/ts, previous
+    progress) advances row by row; NaN/NULL measures ride the current
+    run without updating state, mirroring operators/missions.py."""
+    return f"""
+            WITH RECURSIVE ev AS (
+              SELECT user_id, es, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY es)
+                         AS rn
+              FROM {_EV}),
+            walk AS (
+              SELECT user_id, es, value, rn,
+                     CAST(COALESCE(value, 0.0) AS DOUBLE) AS rsm,
+                     es AS rst, CAST(0.0 AS DOUBLE) AS prev
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.es, e.value, e.rn,
+                     CASE WHEN e.value IS NULL THEN w.rsm
+                          WHEN abs(e.value - w.rsm) < w.prev THEN e.value
+                          ELSE w.rsm END,
+                     CASE WHEN e.value IS NULL THEN w.rst
+                          WHEN abs(e.value - w.rsm) < w.prev THEN e.es
+                          ELSE w.rst END,
+                     CASE WHEN e.value IS NULL THEN w.prev
+                          WHEN abs(e.value - w.rsm) < w.prev
+                          THEN CAST(0.0 AS DOUBLE)
+                          ELSE abs(e.value - w.rsm) END
+              FROM walk w JOIN ev e
+                ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+            runs AS (
+              SELECT user_id, es, value,
+                     CAST(user_id AS VARCHAR) || '#' ||
+                         CAST(rst AS VARCHAR) AS mission_id
+              FROM walk)
+            SELECT mission_id, min(user_id) AS user_id,
+                   count(*) AS n_legs,
+                   min(es) AS ts_start, max(es) AS ts_end,
+                   round(max(value) - min(value), 6) AS measure_span
+            FROM runs GROUP BY mission_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1081,6 +1313,106 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
                   FROM sims) x
             WHERE rank <= 3""",
+        "outliers_store": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            flagged AS (
+              SELECT event_id, user_id, value, es,
+                     abs(value - med) > 10.0 AS is_outlier
+              FROM (SELECT event_id, user_id, value, es,
+                           list_sort(list(value) OVER (PARTITION BY user_id ORDER BY es
+                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+                               [CAST((len(list(value) OVER (PARTITION BY user_id ORDER BY es
+                                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) + 1) / 2 AS INT)]
+                               AS med
+                    FROM ev) x),
+            ctx AS (
+              SELECT event_id, user_id, value, is_outlier,
+                     lag(value) OVER w AS prev_value,
+                     lead(value) OVER w AS next_value,
+                     lag(es) OVER w AS pt, lead(es) OVER w AS nt
+              FROM flagged
+              WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id))
+            SELECT event_id, user_id, value,
+                   CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+                     CAST(prev_value AS VARCHAR) || ' -> ' ||
+                     CAST(value AS VARCHAR) || ' -> ' ||
+                     CAST(next_value AS VARCHAR) END AS neighbor_span,
+                   prev_value, next_value
+            FROM ctx WHERE is_outlier""",
+        "support_values": """
+            SELECT event_id, CAST(trunc(value * 60) AS BIGINT) AS dur,
+                   CAST(CASE WHEN trunc(value * 60) > 1200
+                        THEN least(10, floor(trunc(value * 60) / 120.0))
+                        ELSE 1 END AS INT) AS n_support,
+                   round(value, 6) AS first_support
+            FROM events WHERE value IS NOT NULL""",
+        "tempo_summary": """
+            WITH base AS (
+              SELECT user_id, CAST(trunc(value * 10) AS BIGINT) + 1 AS dur
+              FROM events WHERE value IS NOT NULL),
+            -- uniform-transition HMM == per-row emission argmax; equal
+            -- stds -> nearest mean, ties -> first state (np.argmax)
+            labeled AS (
+              SELECT user_id, dur,
+                     CASE WHEN abs(dur - 200) <= abs(dur - 800)
+                          THEN 'tempo_fast' ELSE 'tempo_slow' END AS tempo_a,
+                     CASE WHEN abs(dur - 100) <= abs(dur - 500)
+                               AND abs(dur - 100) <= abs(dur - 900)
+                          THEN 'pace_low'
+                          WHEN abs(dur - 500) <= abs(dur - 900)
+                          THEN 'pace_mid' ELSE 'pace_high' END AS tempo_b
+              FROM base),
+            agg AS (
+              SELECT user_id,
+                round(SUM(CASE WHEN tempo_a = 'tempo_fast' THEN dur ELSE 0 END)
+                      * 1.0 / SUM(dur), 6) AS p_fast,
+                round(SUM(CASE WHEN tempo_a = 'tempo_slow' THEN dur ELSE 0 END)
+                      * 1.0 / SUM(dur), 6) AS p_slow,
+                round(SUM(CASE WHEN tempo_b = 'pace_low' THEN dur ELSE 0 END)
+                      * 1.0 / SUM(dur), 6) AS p_low,
+                round(SUM(CASE WHEN tempo_b = 'pace_mid' THEN dur ELSE 0 END)
+                      * 1.0 / SUM(dur), 6) AS p_mid,
+                round(SUM(CASE WHEN tempo_b = 'pace_high' THEN dur ELSE 0 END)
+                      * 1.0 / SUM(dur), 6) AS p_high
+              FROM labeled GROUP BY user_id)
+            SELECT user_id, p_fast, p_slow, p_low, p_mid, p_high,
+                   ((CASE WHEN p_fast > 0 THEN 1 ELSE 0 END) +
+                    (CASE WHEN p_slow > 0 THEN 1 ELSE 0 END) +
+                    (CASE WHEN p_low > 0 THEN 1 ELSE 0 END) +
+                    (CASE WHEN p_mid > 0 THEN 1 ELSE 0 END) +
+                    (CASE WHEN p_high > 0 THEN 1 ELSE 0 END)) > 1
+                       AS is_tempo_multi,
+                   CASE
+                     WHEN greatest(p_fast, p_slow, p_low, p_mid, p_high) <> 0
+                          AND greatest(p_fast, p_slow, p_low, p_mid, p_high)
+                              = p_fast THEN 'tempo_fast'
+                     WHEN greatest(p_fast, p_slow, p_low, p_mid, p_high) <> 0
+                          AND greatest(p_fast, p_slow, p_low, p_mid, p_high)
+                              = p_slow THEN 'tempo_slow'
+                     WHEN greatest(p_fast, p_slow, p_low, p_mid, p_high) <> 0
+                          AND greatest(p_fast, p_slow, p_low, p_mid, p_high)
+                              = p_low THEN 'pace_low'
+                     WHEN greatest(p_fast, p_slow, p_low, p_mid, p_high) <> 0
+                          AND greatest(p_fast, p_slow, p_low, p_mid, p_high)
+                              = p_mid THEN 'pace_mid'
+                     WHEN greatest(p_fast, p_slow, p_low, p_mid, p_high) <> 0
+                          AND greatest(p_fast, p_slow, p_low, p_mid, p_high)
+                              = p_high THEN 'pace_high'
+                     ELSE 'tempo_irregular'
+                   END AS main_tempo
+            FROM agg""",
+        "enriched_events": """
+            SELECT event_id, event_type, value > 50 AS hot,
+                   CASE WHEN COALESCE(value > 50, FALSE) THEN
+                     CASE event_type
+                       WHEN 'click' THEN 'interaction'
+                       WHEN 'view' THEN 'interaction'
+                       WHEN 'purchase' THEN 'conversion'
+                       WHEN 'signup' THEN 'conversion'
+                       WHEN 'error' THEN 'incident'
+                     END
+                   END AS category
+            FROM events""",
         "embedding_neardups_lsh": f"""
             WITH {_lsh_sig_sql()},
             pairs AS (
@@ -1118,4 +1450,17 @@ def oracle_sql() -> dict[str, str]:
                        metrics := struct_pack(value := round(value, 3))))
                        AS event_json
             FROM events""",
+        # formerly rows-only — now fully oracle-checked: sequential
+        # kernels replicated as recursive CTEs, the deterministic
+        # multimodal fixture oracled by independently-computed values
+        "viterbi_states": _viterbi_oracle_sql(),
+        "mission_summary": _mission_oracle_sql(),
+        "multimodal_features": (
+            "SELECT * FROM (VALUES "
+            f"{_multimodal_oracle_values()[0]}"
+            ") AS t(media_id, media_type, payload_sha256)"),
+        "multimodal_resize": (
+            "SELECT * FROM (VALUES "
+            f"{_multimodal_oracle_values()[1]}"
+            ") AS t(media_id, media_type, width, height, payload_bytes)"),
     }

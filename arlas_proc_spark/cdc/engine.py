@@ -66,7 +66,8 @@ class CdcEngine:
                  collect_metrics: bool = True,
                  broadcast_key_limit: int = 5_000_000,
                  ledger_scope: str = "default",
-                 write_mode: str = "cow"):
+                 write_mode: str = "cow",
+                 quarantine_dir: str | None = None):
         """``broadcast_key_limit``: batches touching more distinct keys
         than this fall back from the broadcast join-back to the wide-argmax
         compaction — the winner set must fit in every executor for a
@@ -87,8 +88,20 @@ class CdcEngine:
         is O(batch) no matter how big the table gets; run
         ``table.compact()`` periodically to fold generations. At
         10^10-event scale with frequent micro-batches, 'mor' is the shape
-        whose ingest does not degrade as the table grows."""
+        whose ingest does not degrade as the table grows.
+
+        ``quarantine_dir``: when set, events violating the WAL contract
+        (null key columns) are ROUTED to a side quarantine store —
+        parquet under ``quarantine_dir/batch_id=<id>/`` with a _reason
+        column — instead of failing the batch; the count rides the
+        batch's ledger entry as ``rows_quarantined`` (lineage-visible).
+        The per-batch overwrite makes redeliveries idempotent. Reference
+        analog: ``filter/WithOutliersToStore.scala:40-94`` — flagged
+        rows go to a separate keyed store, never silently dropped. When
+        unset (default), a null key fails the batch loudly (strict WAL
+        contract)."""
         self.spark = spark
+        self.quarantine_dir = quarantine_dir
         self.vectorized = vectorized_udfs
         self.collect_metrics = collect_metrics
         self.broadcast_key_limit = broadcast_key_limit
@@ -130,28 +143,54 @@ class CdcEngine:
         path minus bucket discovery, so the broadcast_key_limit guard
         covers bootstrap too — the case most likely to carry a winner set
         too big to broadcast — at the same two feed scans."""
+        extra_metrics: dict | None = None
+        if self.quarantine_dir is not None:
+            events, n_bad = self._quarantine_null_keys(events, batch_id)
+            extra_metrics = {"rows_quarantined": n_bad}
         winners = (events.groupBy(*KEY_COLS)
                    .agg(F.max(SEQ_COL).alias(SEQ_COL))
                    .persist(StorageLevel.MEMORY_AND_DISK))
         try:
             snap = self.table.snapshot()
+            from functools import reduce as _reduce
+
             from arlas_proc_spark.lake.table import bucket_expr
+            # WAL contract check rides the winners action: the old
+            # expression-level raise_error guard (still present in
+            # lww_compact as a belt) is plan-shape-dependent — Catalyst
+            # can push the join's IsNotNull filter beneath the guarded
+            # projection, silently dropping a lone null-key row instead
+            # of raising. A driver-side flag aggregated in the SAME job
+            # as bucket discovery is deterministic and free.
+            any_null = _reduce(lambda a, b: a | b,
+                               [F.col(k).isNull() for k in KEY_COLS])
+            null_flag = F.max(F.when(any_null, 1).otherwise(0)).alias("_nn")
             if self.write_mode == "mor" or assume_all_buckets:
                 # append mode never reads current state, so bucket
                 # discovery is unnecessary (the staged files define the
                 # touched set); replays treat the batch as touching all
                 touched = None
-                n_keys = winners.count()
+                row = winners.agg(F.count(F.lit(1)).alias("_n"),
+                                  null_flag).collect()[0]
+                n_keys, has_null_key = row["_n"], bool(row["_nn"])
             else:
-                # ONE action answers three questions: which buckets the
-                # batch touches, whether it is empty, and how many distinct
-                # keys it carries (≤ n_buckets result rows — tiny collect)
+                # ONE action answers four questions: which buckets the
+                # batch touches, whether it is empty, how many distinct
+                # keys it carries, and whether any key is null
+                # (≤ n_buckets result rows — tiny collect)
                 per_bucket = (winners.groupBy(
                     bucket_expr(snap["key_cols"],
                                 snap["n_buckets"]).alias("_b"))
-                    .count().collect())
+                    .agg(F.count(F.lit(1)).alias("count"), null_flag)
+                    .collect())
                 touched = [r["_b"] for r in per_bucket]
                 n_keys = sum(r["count"] for r in per_bucket)
+                has_null_key = any(r["_nn"] for r in per_bucket)
+            if has_null_key:
+                raise ValueError(
+                    "null key column in change feed (key columns are NOT "
+                    "NULL); configure quarantine_dir to route violators "
+                    "to a side store instead")
                 # empty micro-batch (availableNow drains often end with
                 # one): nothing to merge, and skipping here saves callers a
                 # separate isEmpty() action per batch. The id IS still
@@ -160,12 +199,14 @@ class CdcEngine:
                 # and `pending` would grow unboundedly on a long tail.
                 if not touched:
                     return self.table.commit_empty_batch(
-                        batch_id, scope=self.ledger_scope)
+                        batch_id, scope=self.ledger_scope,
+                        extra_metrics=extra_metrics)
             # giant batches (winner set too big to broadcast) compact via
             # the wide argmax instead
             if n_keys == 0:
                 return self.table.commit_empty_batch(
-                    batch_id, scope=self.ledger_scope)
+                    batch_id, scope=self.ledger_scope,
+                    extra_metrics=extra_metrics)
             if n_keys > self.broadcast_key_limit:
                 compacted = lww_compact(events, strategy="agg")
             else:
@@ -174,7 +215,8 @@ class CdcEngine:
             if self.write_mode == "mor":
                 return self.table.append_batch(
                     prepared, batch_id, collect_metrics=self.collect_metrics,
-                    batch_compacted=True, ledger_scope=self.ledger_scope)
+                    batch_compacted=True, ledger_scope=self.ledger_scope,
+                    extra_metrics=extra_metrics)
             # optimistic-concurrency retry: a competing writer advancing
             # CURRENT mid-merge raises ConcurrentCommitError AFTER our
             # data files staged (they become GC-able orphans); re-running
@@ -191,12 +233,39 @@ class CdcEngine:
                         collect_metrics=self.collect_metrics,
                         assume_all_buckets=assume_all_buckets,
                         touched_buckets=touched, batch_compacted=True,
-                        ledger_scope=self.ledger_scope)
+                        ledger_scope=self.ledger_scope,
+                        extra_metrics=extra_metrics)
                 except ConcurrentCommitError as e:
                     last_err = e
             raise last_err
         finally:
             winners.unpersist()
+
+    def _quarantine_null_keys(self, events: DataFrame,
+                              batch_id: int | str) -> tuple[DataFrame, int]:
+        """Split WAL-contract violators (null key columns) out of the
+        batch: write them to quarantine_dir/batch_id=<id>/ (per-batch
+        overwrite → idempotent on redelivery) with a _reason column, and
+        return (clean events, violator count). The count is observed on
+        the write action itself — no extra pass."""
+        from functools import reduce as _reduce
+
+        from pyspark.sql import Observation
+        null_cond = _reduce(lambda a, b: a | b,
+                            [F.col(k).isNull() for k in KEY_COLS])
+        obs = Observation()
+        bad = (events.where(null_cond)
+               .withColumn("_reason", F.lit("null_key"))
+               .observe(obs, F.count(F.lit(1)).alias("n")))
+        (bad.write.mode("overwrite")
+         .parquet(f"{self.quarantine_dir}/batch_id={batch_id}"))
+        return events.where(~null_cond), int(obs.get["n"] or 0)
+
+    def quarantine(self) -> DataFrame:
+        """All quarantined rows (batch_id as a partition column)."""
+        if self.quarantine_dir is None:
+            raise ValueError("engine was built without quarantine_dir")
+        return self.spark.read.parquet(self.quarantine_dir)
 
     def replay(self, events: DataFrame, batch_id: str = "replay-0") -> dict:
         """Full-log batch replay (bootstrap): one big merge. For an empty

@@ -234,8 +234,13 @@ class LakeTable:
                     assume_all_buckets: bool = False,
                     batch_compacted: bool = False,
                     touched_buckets: list[int] | None = None,
-                    ledger_scope: str = "default") -> dict:
+                    ledger_scope: str = "default",
+                    extra_metrics: dict | None = None) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
+
+        ``extra_metrics``: caller-supplied metrics (e.g. quarantine
+        counts) folded into the batch's ledger entry so they are visible
+        through ``lineage()``.
 
         Semantics (Iceberg ``MERGE INTO t USING s ON key``):
           WHEN MATCHED AND s.seq > t.seq AND s.op =  'delete' THEN DELETE
@@ -288,6 +293,7 @@ class LakeTable:
             snap["schemas"][str(schema_v)] = json.loads(new_schema.json())
             snap["schema"] = json.loads(new_schema.json())
             table_schema = new_schema
+        base_metrics = dict(extra_metrics or {})
 
         # 2. touched buckets (tiny aggregation: ≤ n_buckets groups, map-side
         #    partials — no wide shuffle). Full-log replays skip the scan
@@ -401,7 +407,8 @@ class LakeTable:
         # 6. metrics ride the write action itself via Observation — zero
         #    extra pass (a separate .agg() would re-execute the whole merge
         #    plan, including any upstream streaming state-store scan).
-        metrics = {"batch_id": bid, "buckets_touched": len(touched)}
+        metrics = {"batch_id": bid, "buckets_touched": len(touched),
+                   **base_metrics}
         obs = None
         if collect_metrics:
             obs = Observation()
@@ -570,7 +577,8 @@ class LakeTable:
                      op_col: str = "op", delete_value: str = "delete",
                      collect_metrics: bool = True,
                      batch_compacted: bool = False,
-                     ledger_scope: str = "default") -> dict:
+                     ledger_scope: str = "default",
+                     extra_metrics: dict | None = None) -> dict:
         """Merge-on-READ ingest: write the batch's per-key winners (deletes
         as tombstone rows) as NEW files appended to their buckets — no
         current-state read, no join, cost O(batch) regardless of table
@@ -627,7 +635,8 @@ class LakeTable:
         out = align_to_schema(tagged, out_schema) \
             .withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
 
-        metrics: dict = {"batch_id": bid, "mode": "append"}
+        metrics: dict = {"batch_id": bid, "mode": "append",
+                         **(extra_metrics or {})}
         obs = None
         if collect_metrics:
             obs = Observation()
@@ -662,7 +671,8 @@ class LakeTable:
         return metrics
 
     def commit_empty_batch(self, batch_id: int | str,
-                           scope: str = "default") -> dict:
+                           scope: str = "default",
+                           extra_metrics: dict | None = None) -> dict:
         """Ledger a batch that carried no rows. Without this, an empty
         micro-batch (every availableNow drain ends with one) would leave a
         permanent gap in the ledger's contiguous-prefix watermark: the
@@ -680,7 +690,8 @@ class LakeTable:
             if _ledger_contains(snap["ledger"], bid, scope):
                 return {"batch_id": bid, "skipped": True}
             snap["version"] += 1
-            metrics = {"batch_id": bid, "empty": True}
+            metrics = {"batch_id": bid, "empty": True,
+                       **(extra_metrics or {})}
             _ledger_add(snap["ledger"], bid, metrics, scope)
             try:
                 self._commit_snapshot(snap, expected_version=snap["version"] - 1)

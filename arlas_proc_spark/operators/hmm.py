@@ -21,6 +21,9 @@ shipping the model JSON as a literal column (``ml/HmmProcessor.scala:130``).
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -38,20 +41,100 @@ DEFAULT_MODEL = {
     "emission": {"means": [0.5, 10.0], "stds": [1.0, 5.0]},
 }
 
+# per-chunk decode-failure sentinel (reference: HmmProcessor.UNKNOWN_RESULT,
+# ml/HmmProcessor.scala:50,82 — a failed predict labels the chunk Unknown
+# instead of failing the job)
+UNKNOWN_RESULT = "Unknown"
+
+
+class HmmModelError(ValueError):
+    """Model file missing or unparseable — raised at PLAN time, before any
+    Spark job runs (reference: HmmProcessor.transform throws 'HMM model
+    not found: ...', ml/HmmProcessor.scala:66-71, tested by
+    HmmProcessorTest.scala:59-88)."""
+
+
+def load_hmm_model(path: str) -> dict:
+    """Load + validate an HMM model JSON file (reference
+    ``MLModelLocal.getModelString``, model/MLModel.scala:30-35).
+
+    Accepts BOTH the engine's Gaussian-emission format (states/start/
+    trans/emission.means+stds) and the reference's binned-histogram
+    format (states/bin_edges/emission_probability/init_probability/
+    transition_probability — e.g. the reference's own
+    hmm_stillmove_model.json loads unchanged). Returns the normalized
+    internal dict."""
+    if not os.path.exists(path):
+        raise HmmModelError(
+            f"HMM model not found: Input path does not exist: {path}")
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise HmmModelError(f"HMM model not parseable: {path}: {e}") from e
+    return normalize_hmm_model(raw, source=path)
+
+
+def normalize_hmm_model(raw: dict, source: str = "<dict>") -> dict:
+    """Validate and convert either supported model shape to the internal
+    {states, start, trans, emission} dict."""
+    try:
+        states = list(raw["states"])
+        if "bin_edges" in raw:
+            return {
+                "states": states,
+                "start": [float(raw["init_probability"][s]) for s in states],
+                "trans": [[float(raw["transition_probability"][si][sj])
+                           for sj in states] for si in states],
+                "emission": {
+                    "bin_edges": [float(e) for e in raw["bin_edges"]],
+                    "probs": [[float(p) for p in
+                               raw["emission_probability"][s]]
+                              for s in states],
+                },
+            }
+        model = {"states": states, "start": raw["start"],
+                 "trans": raw["trans"], "emission": raw["emission"]}
+        if "bin_edges" not in model["emission"]:
+            _ = model["emission"]["means"], model["emission"]["stds"]
+        return model
+    except (KeyError, TypeError) as e:
+        raise HmmModelError(
+            f"HMM model invalid: {source}: missing/bad field {e}") from e
+
+
+def _log_emissions(values: np.ndarray, model: dict) -> np.ndarray:
+    """(n, n_states) log emission probabilities; Gaussian or binned."""
+    em = model["emission"]
+    if "bin_edges" in em:
+        edges = np.asarray(em["bin_edges"], dtype=float)
+        probs = np.asarray(em["probs"], dtype=float)       # (m, n_bins)
+        # reference format carries len(edges)+1 probabilities (under/
+        # overflow buckets, indexed by digitize); a plain histogram
+        # carries len(edges)-1 interior bins
+        idx = np.searchsorted(edges, values, side="right")
+        if probs.shape[1] == len(edges) - 1:
+            idx = idx - 1
+        idx = np.clip(idx, 0, probs.shape[1] - 1)
+        with np.errstate(divide="ignore"):
+            return np.log(probs[:, idx].T)                  # (n, m)
+    means = np.asarray(em["means"], dtype=float)
+    stds = np.asarray(em["stds"], dtype=float)
+    obs = np.asarray(values, dtype=float).reshape(-1, 1)
+    return (-0.5 * ((obs - means) / stds) ** 2
+            - np.log(stds * np.sqrt(2 * np.pi)))
+
 
 def viterbi_decode(values: np.ndarray, model: dict) -> list[str]:
-    """Classic log-space Viterbi with Gaussian emissions."""
+    """Classic log-space Viterbi; Gaussian or binned-histogram emissions."""
     states = model["states"]
     n, m = len(values), len(states)
     if n == 0:
         return []
-    means = np.asarray(model["emission"]["means"], dtype=float)
-    stds = np.asarray(model["emission"]["stds"], dtype=float)
-    log_start = np.log(np.asarray(model["start"], dtype=float))
-    log_trans = np.log(np.asarray(model["trans"], dtype=float))
-    obs = np.asarray(values, dtype=float).reshape(-1, 1)
-    log_emit = (-0.5 * ((obs - means) / stds) ** 2
-                - np.log(stds * np.sqrt(2 * np.pi)))
+    with np.errstate(divide="ignore"):
+        log_start = np.log(np.asarray(model["start"], dtype=float))
+        log_trans = np.log(np.asarray(model["trans"], dtype=float))
+    log_emit = _log_emissions(np.asarray(values, dtype=float), model)
     dp = np.zeros((n, m))
     back = np.zeros((n, m), dtype=int)
     dp[0] = log_start + log_emit[0]
@@ -67,16 +150,28 @@ def viterbi_decode(values: np.ndarray, model: dict) -> list[str]:
 
 
 def with_hmm_states(df: DataFrame, id_col: str, ts_col: str, value_col: str,
-                    model: dict | None = None, chunk_size: int = 5000,
+                    model: dict | str | None = None, chunk_size: int = 5000,
                     out_col: str = "hmm_state") -> DataFrame:
     """Decode a hidden state per row, per key, in timestamp order.
+
+    ``model``: an internal model dict, or a PATH to a model JSON file
+    (loaded with reference error semantics at plan time — a bad path or
+    bad JSON raises HmmModelError BEFORE any job runs). A decode failure
+    inside a chunk labels that chunk ``Unknown`` rather than failing the
+    job (reference: hmmPredictUDF's Failure branch,
+    ml/HmmProcessor.scala:77-84).
 
     Chunking bounds group memory (reference: hmmWindowSize,
     ml/HmmProcessor.scala:46,101-104); each (key, chunk) group decodes
     independently, matching the reference's chunk-local semantics.
     """
     require_columns(df, id_col, ts_col, value_col)
-    model = model or DEFAULT_MODEL
+    if isinstance(model, str):
+        model = load_hmm_model(model)
+    elif model is None:
+        model = DEFAULT_MODEL
+    else:
+        model = normalize_hmm_model(model)
     w = Window.partitionBy(id_col).orderBy(ts_col)
     chunked = df.withColumn(
         "_chunk", F.floor((F.row_number().over(w) - 1) / F.lit(chunk_size)))
@@ -85,7 +180,10 @@ def with_hmm_states(df: DataFrame, id_col: str, ts_col: str, value_col: str,
 
     def decode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
-        pdf[out_col] = viterbi_decode(pdf[value_col].to_numpy(), model)
+        try:
+            pdf[out_col] = viterbi_decode(pdf[value_col].to_numpy(), model)
+        except Exception:
+            pdf[out_col] = UNKNOWN_RESULT
         return pdf
 
     return (chunked.groupBy(id_col, "_chunk")

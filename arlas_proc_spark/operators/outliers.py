@@ -44,6 +44,42 @@ def without_outliers(df: DataFrame, flag_col: str = "is_outlier") -> DataFrame:
     return df.where(~F.coalesce(F.col(flag_col), F.lit(False))).drop(flag_col)
 
 
+def outliers_to_store(df: DataFrame, id_col: str, ts_col: str | list[str],
+                      value_col: str, flag_col: str = "is_outlier",
+                      span_col: str = "neighbor_span") -> DataFrame:
+    """Keep ONLY flagged rows, enriched with neighbor context — the side
+    frame a pipeline WRITES to a separate store instead of silently
+    dropping (reference ``filter/WithOutliersToStore.scala:40-94``: the
+    outlier keeps a trail linking its previous/next neighbor locations;
+    payload re-targeted here, the 'trail' is the prev→value→next span,
+    null unless BOTH neighbors exist, exactly the reference's
+    lag/lead-guard semantics).
+
+    Composition contract: run BEFORE ``without_outliers`` on the same
+    frame; write this result to the quarantine store, then drop.
+
+    ``ts_col`` may be a LIST of columns when the primary timestamp is
+    not unique per key (pass a tiebreaker, e.g. ["ts", "event_id"]) —
+    lag/lead over a tied ordering is otherwise nondeterministic."""
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    require_columns(df, id_col, *order_cols, value_col, flag_col)
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    prev_v, next_v = F.lag(value_col).over(w), F.lead(value_col).over(w)
+    prev_t = F.lag(order_cols[0]).over(w)
+    next_t = F.lead(order_cols[0]).over(w)
+    span = F.when(
+        prev_t.isNotNull() & next_t.isNotNull(),
+        F.concat(prev_v.cast("string"), F.lit(" -> "),
+                 F.col(value_col).cast("string"), F.lit(" -> "),
+                 next_v.cast("string")))
+    return (df.withColumn(span_col, span)
+            .withColumn("_prev_value", prev_v)
+            .withColumn("_next_value", next_v)
+            .where(F.coalesce(F.col(flag_col), F.lit(False)))
+            .withColumnsRenamed({"_prev_value": "prev_value",
+                                 "_next_value": "next_value"}))
+
+
 def with_outlier_propagated(df: DataFrame, id_col: str, ts_col: str,
                             flag_col: str = "is_outlier", reach: int = 1) -> DataFrame:
     """Spread an outlier flag to ±reach neighbors (WithOutlierPropagated.scala:

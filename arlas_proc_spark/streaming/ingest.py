@@ -43,7 +43,8 @@ class StreamingIngest:
                  n_buckets: int = 16, watermark: str = "1 hour",
                  stream_dedup: bool = True, collect_metrics: bool = True,
                  event_schema=None, wal_format: str = "parquet",
-                 write_mode: str = "cow", compact_every: int | None = None):
+                 write_mode: str = "cow", compact_every: int | None = None,
+                 quarantine_dir: str | None = None):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -64,9 +65,11 @@ class StreamingIngest:
         self.n_buckets = n_buckets
         self.collect_metrics = collect_metrics
         self.write_mode = write_mode
+        self.quarantine_dir = quarantine_dir
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
                                 collect_metrics=collect_metrics,
-                                write_mode=write_mode)
+                                write_mode=write_mode,
+                                quarantine_dir=quarantine_dir)
         self.watermark = watermark
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
@@ -102,7 +105,8 @@ class StreamingIngest:
             self.engine = CdcEngine(
                 self.spark, self.table_path, n_buckets=self.n_buckets,
                 collect_metrics=self.collect_metrics, ledger_scope=scope,
-                write_mode=self.write_mode)
+                write_mode=self.write_mode,
+                quarantine_dir=self.quarantine_dir)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             # persist: apply_batch scans the batch twice (narrow LWW argmax,

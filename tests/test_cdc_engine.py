@@ -264,3 +264,55 @@ def test_mor_streaming_converges(spark, tmp_path):
     exp = duckdb.sql(final_state_sql(1000, dialect="duckdb")).fetchdf()
     assert got == {(r.repo, r.path): (int(r.seq), r.content_sha256)
                    for r in exp.itertuples()}
+
+
+def test_quarantine_routes_null_keys(spark, tmp_path):
+    """With quarantine_dir set, null-key events land in the side store
+    (with reason + batch partition) instead of failing the batch; the
+    count is lineage-visible; redelivery is idempotent."""
+    from pyspark.sql import functions as F
+
+    from arlas_proc_spark.cdc.engine import CdcEngine
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4,
+                    quarantine_dir=str(tmp_path / "q"))
+    rows = [
+        (1, "insert", "r1", "a.py", "c1", 10, "py", "v1"),
+        (2, "insert", None, "b.py", "c2", 11, "py", "bad-repo"),
+        (3, "insert", "r1", None, "c3", 12, "py", "bad-path"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, commit string,"
+              " ts_s long, lang string, content string")
+    m = eng.apply_batch(batch, 0)
+    assert m["rows_quarantined"] == 2
+    assert eng.state().count() == 1
+    q = eng.quarantine()
+    assert q.count() == 2
+    assert set(q.select("_reason").distinct().toPandas()["_reason"]) == \
+        {"null_key"}
+    assert set(q.select("batch_id").distinct().toPandas()["batch_id"]) == {0}
+    # lineage-visible
+    assert any(e.get("rows_quarantined") == 2 for e in eng.lineage())
+    # redelivery: ledger skips, quarantine overwrite stays single-copy
+    m2 = eng.apply_batch(batch, 0)
+    assert m2.get("skipped")
+    assert eng.quarantine().count() == 2
+    # all-null-key batch commits empty but still quarantines + ledgers
+    allbad = batch.where(F.col("repo").isNull())
+    m3 = eng.apply_batch(allbad, 1)
+    assert m3.get("empty") and m3.get("rows_quarantined") == 1
+    assert eng.quarantine().count() == 3
+
+
+def test_no_quarantine_still_fails_loudly(spark, tmp_path):
+    """Default (strict) mode unchanged: a null key aborts the batch."""
+    import pytest as _pytest
+
+    from arlas_proc_spark.cdc.engine import CdcEngine
+    eng = CdcEngine(spark, str(tmp_path / "t2"), n_buckets=4)
+    bad = spark.createDataFrame(
+        [(1, "insert", None, "b.py", "c2", 11, "py", "x")],
+        "seq long, op string, repo string, path string, commit string,"
+        " ts_s long, lang string, content string")
+    with _pytest.raises(Exception, match="null key column"):
+        eng.apply_batch(bad, 0)

@@ -422,3 +422,201 @@ def test_lsh_max_bucket_cap_bounds_candidates(spark):
                                      threshold=0.5, bits_per_band=4,
                                      n_bands=2, max_bucket_size=10)
     assert capped.count() == 0
+
+
+# ------------------------------------------------------------ enrichment
+
+
+def test_enrich_rows_condition_miss_and_new_column(spark):
+    """Callable enrichment: cond-false rows untouched, misses keep the
+    existing value, new columns materialize, lookup sees only distinct
+    cond-true keys (batched service shape)."""
+    import pandas as pd
+    from arlas_proc_spark.operators.enrich import enrich_rows
+    rows = [
+        (1, "click", True, "old"),
+        (2, "click", True, "old"),       # duplicate key: one lookup row
+        (3, "error", True, None),
+        (4, "purchase", True, "keepme"),  # lookup MISS -> keeps value
+        (5, "error", False, "frozen"),    # cond false -> untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, event_type string, hot boolean, category string")
+    seen_batches = []
+
+    def lookup(keys: pd.DataFrame) -> pd.DataFrame:
+        seen_batches.append(len(keys))
+        m = {"click": "ui", "error": "ops"}
+        out = keys.copy()
+        out["category"] = out["event_type"].map(m)
+        out["severity"] = out["event_type"].map(
+            {"error": 2}).astype("float64")
+        return out.dropna(subset=["category"])
+
+    got = {r.id: (r.category, r.severity) for r in
+           enrich_rows(df, lookup, ["event_type"],
+                       {"category": "string", "severity": "double"},
+                       cond_col="hot").collect()}
+    assert got[1] == ("ui", None) and got[2] == ("ui", None)
+    assert got[3] == ("ops", 2.0)
+    assert got[4] == ("keepme", None)     # miss keeps existing
+    assert got[5] == ("frozen", None)     # cond false keeps existing
+    # distinct keys only: ≤3 per batch (click, error, purchase)
+    assert all(n <= 3 for n in seen_batches)
+
+
+def test_enrich_rows_unavailable_fails_job(spark):
+    """An unreachable service must abort the job (reference:
+    RestTool.getOrFailOnNotAvailable), not silently skip enrichment."""
+    import pandas as pd
+    import pytest as _pytest
+    from arlas_proc_spark.operators.enrich import (
+        EnrichmentUnavailableError, enrich_rows)
+    df = spark.createDataFrame([(1, "x")], "id long, k string")
+
+    def down(keys: pd.DataFrame) -> pd.DataFrame:
+        raise EnrichmentUnavailableError("service unreachable")
+
+    with _pytest.raises(Exception, match="service unreachable"):
+        enrich_rows(df, down, ["k"], {"v": "string"}).collect()
+
+
+def test_enrich_with_table_broadcast_join(spark):
+    """Dimension-table enrichment: broadcast left join, condition-gated,
+    keep-existing on miss or cond-false."""
+    from arlas_proc_spark.operators.enrich import enrich_with_table
+    df = spark.createDataFrame(
+        [(1, "a", True, None), (2, "b", True, "x"), (3, "a", False, "y")],
+        "id long, k string, hot boolean, label string")
+    dim = spark.createDataFrame([("a", "alpha")], "k string, label string")
+    got = {r.id: r.label for r in
+           enrich_with_table(df, dim, ["k"], ["label"],
+                             cond_col="hot").collect()}
+    assert got == {1: "alpha", 2: "x", 3: "y"}
+    plan = enrich_with_table(df, dim, ["k"], ["label"],
+                             cond_col="hot")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------ hmm model + tempo
+
+
+def test_hmm_model_loader_error_semantics(spark, tmp_path):
+    """Reference MLModel error paths (HmmProcessorTest.scala:59-88):
+    missing file and bad JSON fail loudly AT PLAN TIME with messages
+    mirroring the reference's."""
+    from arlas_proc_spark.operators.hmm import (HmmModelError,
+                                                load_hmm_model,
+                                                with_hmm_states)
+    with pytest.raises(HmmModelError,
+                       match="HMM model not found: Input path does not"):
+        load_hmm_model(str(tmp_path / "nope.json"))
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    with pytest.raises(HmmModelError, match="not parseable"):
+        load_hmm_model(str(bad))
+    incomplete = tmp_path / "incomplete.json"
+    incomplete.write_text('{"states": ["A"]}')
+    with pytest.raises(HmmModelError, match="invalid"):
+        load_hmm_model(str(incomplete))
+    # plan-time failure: no Spark action needed
+    df = spark.createDataFrame([(1, 1, 1.0)], "id long, ts long, v double")
+    with pytest.raises(HmmModelError):
+        with_hmm_states(df, "id", "ts", "v", model=str(tmp_path / "nope.json"))
+
+
+def test_hmm_loads_reference_binned_model(spark):
+    """The reference's own model JSON (binned-histogram emissions) loads
+    unchanged and decodes sensibly: near-zero speeds → STILL, high →
+    MOVE."""
+    from arlas_proc_spark.operators.hmm import load_hmm_model, with_hmm_states
+    path = ("/root/reference/src/test/resources/hmm_stillmove_model.json")
+    model = load_hmm_model(path)
+    assert model["states"] == ["STILL", "MOVE"]
+    assert len(model["emission"]["bin_edges"]) == 416
+    rows = ([(1, t, 0.05) for t in range(10)] +
+            [(1, t, 9.0) for t in range(10, 20)])
+    df = spark.createDataFrame(rows, "id long, ts long, speed double")
+    got = {r.ts: r.hmm_state for r in
+           with_hmm_states(df, "id", "ts", "speed", model=path).collect()}
+    assert got[0] == "STILL" and got[5] == "STILL"
+    assert got[15] == "MOVE" and got[19] == "MOVE"
+
+
+def test_with_support_values(spark):
+    """Long fragments duplicate their value into min(maxN, dur//delta)
+    support points; short ones keep a single point
+    (ml/WithSupportValues.scala:44-63, re-expressed as array_repeat)."""
+    from arlas_proc_spark.operators.tempo import with_support_values
+    df = spark.createDataFrame(
+        [(1, 5.0, 100), (2, 7.0, 1300), (3, 9.0, 99999)],
+        "id long, v double, dur long")
+    got = {r.id: r.supported_values for r in
+           with_support_values(df, "v", "dur", delta_time=120,
+                               max_number_in_gap=10).collect()}
+    assert got[1] == [5.0]                       # short: one point
+    assert got[2] == [7.0] * 10                  # 1300 > 1200 -> 1300//120=10
+    assert got[3] == [9.0] * 10                  # capped at maxN
+    assert with_support_values(
+        df, "v", "dur", delta_time=120, max_number_in_gap=10) \
+        .where("dur = 1300").select(F.size("supported_values")) \
+        .first()[0] == 10
+
+
+def test_tempo_multi_model_vote(spark):
+    """Two HMM tempo models decode the same duration series; per-model
+    proportion columns aggregate duration-weighted, and the greatest
+    proportion elects the main tempo (WithTempo + WithTempoProportions +
+    getMainTempo composition)."""
+    from arlas_proc_spark.operators.tempo import (main_tempo_col,
+                                                  tempo_fragment_summary,
+                                                  with_tempo,
+                                                  with_tempo_proportions)
+    model_a = {"states": ["tempo_fast", "tempo_slow"], "start": [0.5, 0.5],
+               "trans": [[0.5, 0.5], [0.5, 0.5]],
+               "emission": {"means": [10.0, 100.0], "stds": [20.0, 20.0]}}
+    model_b = {"states": ["pace_low", "pace_high"], "start": [0.5, 0.5],
+               "trans": [[0.5, 0.5], [0.5, 0.5]],
+               "emission": {"means": [5.0, 60.0], "stds": [30.0, 30.0]}}
+    rows = [(1, t, 12) for t in range(8)] + [(1, t, 95) for t in range(8, 10)]
+    df = spark.createDataFrame(rows, "obj long, ts long, dur long")
+    out = with_tempo(df, "obj", "ts", "dur", model_a, out_col="tempo_a")
+    out = with_tempo(out, "obj", "ts", "dur", model_b, out_col="tempo_b")
+    pmap = {"p_fast": "tempo_fast", "p_slow": "tempo_slow",
+            "p_low": "pace_low", "p_high": "pace_high"}
+    out = with_tempo_proportions(out, "tempo_a",
+                                 {"p_fast": "tempo_fast",
+                                  "p_slow": "tempo_slow"})
+    out = with_tempo_proportions(out, "tempo_b",
+                                 {"p_low": "pace_low", "p_high": "pace_high"})
+    summary = tempo_fragment_summary(out, ["obj"], "dur", pmap).collect()[0]
+    # 8 fragments of dur 12 (fast/low) + 2 of dur 95 (slow/high):
+    # fast weight 96/286, slow 190/286 -> slow dominates model A;
+    # low 96/286, high 190/286 -> model B agrees; first greatest in map
+    # order with equal top proportions = p_slow -> tempo_slow
+    assert summary.is_tempo_multi
+    assert abs(summary.p_slow - 190 / 286) < 1e-6
+    assert summary.main_tempo == "tempo_slow"
+    # all-zero regular proportions -> irregular
+    zero = spark.createDataFrame([(0.0, 0.0)], "p_fast double, p_slow double")
+    assert zero.select(main_tempo_col(
+        {"p_fast": "tempo_fast", "p_slow": "tempo_slow"}).alias("m")) \
+        .first().m == "tempo_irregular"
+
+
+def test_outliers_to_store_keeps_flagged_with_context(spark):
+    """The quarantine frame keeps ONLY flagged rows, each carrying its
+    neighbor span (null unless both neighbors exist — the reference's
+    lag/lead guards, filter/WithOutliersToStore.scala:46-94)."""
+    from arlas_proc_spark.operators.outliers import outliers_to_store
+    rows = [(1, 1, 10.0, False), (1, 2, 99.0, True), (1, 3, 12.0, False),
+            (1, 4, 88.0, True),  # last row: no next neighbor -> null span
+            (2, 1, 77.0, True)]  # lone row: no neighbors -> null span
+    df = spark.createDataFrame(rows, "id long, ts long, v double, is_outlier boolean")
+    got = {(r.id, r.ts): (r.neighbor_span, r.prev_value, r.next_value)
+           for r in outliers_to_store(df, "id", "ts", "v").collect()}
+    assert set(got) == {(1, 2), (1, 4), (2, 1)}
+    assert got[(1, 2)] == ("10.0 -> 99.0 -> 12.0", 10.0, 12.0)
+    assert got[(1, 4)][0] is None and got[(1, 4)][1] == 12.0
+    assert got[(2, 1)] == (None, None, None)
