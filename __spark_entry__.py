@@ -569,6 +569,23 @@ def q_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                        {"category": "string"}, cond_col="hot")
 
 
+def q_course_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level course/stop state machine (WithCourseOrStop +
+    WithCourseState + WithStateIdFromState,
+    features/WithCourseOrStop.scala:39-50, WithCourseState.scala:36-49,
+    timeseries/WithStateIdFromState.scala:31-33): STILL/MOVE/GAP →
+    motion-run durations → COURSE/STOP/GAP → MOTION/PAUSE → course ids
+    anchored at stops."""
+    from arlas_proc_spark.operators.course import course_stop_pipeline
+    ev = _events(spark, sf_dir)
+    out = course_stop_pipeline(ev, "user_id", "es", "value",
+                               still_threshold=30.0, gap=1800,
+                               course_timeout_s=600)
+    return out.select("event_id", "user_id", "moving_state",
+                      "motion_duration", "course_or_stop", "course_state",
+                      "course_anchor_id")
+
+
 def q_outliers_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine-side frame (WithOutliersToStore analog,
     filter/WithOutliersToStore.scala:40-94): ONLY the Hampel-flagged
@@ -767,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "support_values": q_support_values,
         "tempo_summary": q_tempo_summary,
         "outliers_store": q_outliers_store,
+        "course_states": q_course_states,
         # rows-only (non-SQL-expressible: stateful/iterative/binary kernels)
         "viterbi_states": q_viterbi_states,
         "mission_summary": q_mission_summary,
@@ -1313,6 +1331,51 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
                   FROM sims) x
             WHERE rank <= 3""",
+        "course_states": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            ms AS (SELECT *, CASE
+                     WHEN lag(es) OVER w IS NOT NULL
+                          AND es - lag(es) OVER w > 1800 THEN 'GAP'
+                     WHEN value <= 30.0 THEN 'STILL' ELSE 'MOVE' END
+                         AS moving_state
+                   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+            b AS (SELECT *, CASE WHEN lag(moving_state) OVER w IS NULL
+                                   OR lag(moving_state) OVER w <> moving_state
+                                 THEN 1 ELSE 0 END AS nb
+                  FROM ms WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+            r AS (SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY es
+                                          ROWS UNBOUNDED PRECEDING) AS run
+                  FROM b),
+            md AS (SELECT *, max(es) OVER (PARTITION BY user_id, run)
+                             - min(es) OVER (PARTITION BY user_id, run)
+                                 AS motion_duration
+                   FROM r),
+            cs AS (SELECT *, CASE
+                     WHEN moving_state = 'STILL' THEN
+                       CASE WHEN motion_duration < 600
+                            THEN 'COURSE' ELSE 'STOP' END
+                     WHEN moving_state = 'GAP' THEN 'GAP'
+                     ELSE 'COURSE' END AS course_or_stop
+                   FROM md)
+            SELECT event_id, user_id, moving_state, motion_duration,
+                   course_or_stop,
+                   CASE WHEN course_or_stop = 'COURSE'
+                             AND moving_state = 'MOVE' THEN 'MOTION'
+                        WHEN course_or_stop = 'COURSE'
+                             AND moving_state = 'STILL' THEN 'PAUSE'
+                   END AS course_state,
+                   CASE WHEN max(CASE WHEN course_or_stop = 'STOP'
+                                      THEN es END)
+                            OVER (PARTITION BY user_id ORDER BY es
+                                  ROWS UNBOUNDED PRECEDING) IS NOT NULL
+                        THEN concat(user_id, '#',
+                            CAST(max(CASE WHEN course_or_stop = 'STOP'
+                                          THEN es END)
+                                 OVER (PARTITION BY user_id ORDER BY es
+                                       ROWS UNBOUNDED PRECEDING)
+                                 AS VARCHAR))
+                   END AS course_anchor_id
+            FROM cs""",
         "outliers_store": f"""
             WITH ev AS (SELECT * FROM {_EV}),
             flagged AS (

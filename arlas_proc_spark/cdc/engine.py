@@ -67,7 +67,8 @@ class CdcEngine:
                  broadcast_key_limit: int = 5_000_000,
                  ledger_scope: str = "default",
                  write_mode: str = "cow",
-                 quarantine_dir: str | None = None):
+                 quarantine_dir: str | None = None,
+                 table_io=None):
         """``broadcast_key_limit``: batches touching more distinct keys
         than this fall back from the broadcast join-back to the wide-argmax
         compaction — the winner set must fit in every executor for a
@@ -111,7 +112,12 @@ class CdcEngine:
             raise ValueError(f"write_mode must be 'cow' or 'mor', "
                              f"got {write_mode!r}")
         self.write_mode = write_mode
-        if LakeTable.exists(spark, table_path):
+        # TableIO seam (SURVEY §7.1 Plan A): inject any TableIO —
+        # e.g. lake.iceberg.IcebergTableIO over a real Iceberg runtime —
+        # instead of the bundled snapshot backend
+        if table_io is not None:
+            self.table = table_io
+        elif LakeTable.exists(spark, table_path):
             self.table = LakeTable(spark, table_path)
         else:
             self.table = LakeTable.create(

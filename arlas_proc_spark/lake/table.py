@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType
 
+from arlas_proc_spark.lake.io import TableIO
 from arlas_proc_spark.lake.schema_evolution import align_to_schema, evolve_schema
 
 _BUCKET = "_bucket"
@@ -73,8 +74,10 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
 
 
-class LakeTable:
-    """Single-writer snapshot table. All reads are lazy DataFrames."""
+class LakeTable(TableIO):
+    """Snapshot table over parquet + JSON manifests — the bundled
+    ``TableIO`` backend (Plan B; ``lake/iceberg.py`` is the real-runtime
+    Plan A). All reads are lazy DataFrames."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark

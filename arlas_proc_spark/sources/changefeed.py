@@ -90,30 +90,39 @@ FROM (
 
 def changefeed_sql(n_events: int, *, n_repos: int = 50, files_per_repo: int = 200,
                    hot_pct: int = 30, dup_mod: int = 17, dialect: str = "duckdb",
-                   with_dups: bool = True, slices: int | None = None) -> str:
+                   with_dups: bool = True, slices: int | None = None,
+                   start: int = 0) -> str:
     """SQL producing the change feed; dialect ∈ {'spark', 'duckdb'}.
 
     ``slices`` (spark only) sets the range TVF's split count so generation
     parallelizes WITHOUT a repartition shuffle — at 10^10 events a
-    repartition of the generated feed would be a multi-TB disk shuffle."""
+    repartition of the generated feed would be a multi-TB disk shuffle.
+
+    ``start`` scopes generation to seqs [start, n_events): every event is
+    a pure function of its seq (the LCG is seq-local), so any sub-range
+    regenerates independently — a WAL-segment writer generates each
+    segment in O(segment), never rescanning the whole feed."""
     sha_fn = "sha2" if dialect == "spark" else "sha256"
     body = _body(n_events, n_repos, files_per_repo, hot_pct, dup_mod, sha_fn, with_dups)
     if dialect == "spark":
-        rng = (f"(SELECT id AS seq FROM range(0, {n_events}, 1, {slices}))"
-               if slices else f"(SELECT id AS seq FROM range({n_events}))")
+        rng = (f"(SELECT id AS seq FROM range({start}, {n_events}, 1, {slices}))"
+               if slices else
+               f"(SELECT id AS seq FROM range({start}, {n_events}))")
     else:
-        rng = f"(SELECT range AS seq FROM range({n_events}))"
+        rng = f"(SELECT range AS seq FROM range({start}, {n_events}))"
     return body.replace("__RANGE__", rng)
 
 
 def changefeed_df(spark: SparkSession, n_events: int, *, n_repos: int = 50,
                   files_per_repo: int = 200, hot_pct: int = 30, dup_mod: int = 17,
-                  with_dups: bool = True, parallelism: int | None = None) -> DataFrame:
+                  with_dups: bool = True, parallelism: int | None = None,
+                  start: int = 0) -> DataFrame:
     """The change feed as a lazy Spark DataFrame (never driver-materialized).
-    ``parallelism`` maps to range-TVF slices (shuffle-free split)."""
+    ``parallelism`` maps to range-TVF slices (shuffle-free split);
+    ``start`` scopes to seqs [start, n_events)."""
     sql = changefeed_sql(n_events, n_repos=n_repos, files_per_repo=files_per_repo,
                          hot_pct=hot_pct, dup_mod=dup_mod, dialect="spark",
-                         with_dups=with_dups, slices=parallelism)
+                         with_dups=with_dups, slices=parallelism, start=start)
     return spark.sql(sql)
 
 
@@ -144,15 +153,18 @@ def write_changefeed_batches(spark: SparkSession, out_dir: str, n_events: int,
     """Materialize the feed as ordered parquet micro-batch files (the 'WAL
     segment directory' a Structured Streaming file source tails).
 
-    Each batch b holds seqs [b*sz, (b+1)*sz); files are written one at a time
-    so a file-source stream discovers them in order.
+    Each batch b holds seqs [b*sz, (b+1)*sz); files are written one at a
+    time so a file-source stream discovers them in order. Each segment's
+    job GENERATES only its own seq range (the feed is a pure function of
+    seq), so total work is O(n_events) — the earlier formulation filtered
+    the full feed once per batch, O(n_events × n_batches).
     """
     os.makedirs(out_dir, exist_ok=True)
-    df = changefeed_df(spark, n_events, **gen_kw)
     sz = (n_events + n_batches - 1) // n_batches
     paths = []
     for b in range(n_batches):
-        part = df.where((df.seq >= b * sz) & (df.seq < (b + 1) * sz))
+        part = changefeed_df(spark, min((b + 1) * sz, n_events),
+                             start=b * sz, **gen_kw)
         p = os.path.join(out_dir, f"batch_{b:05d}")
         part.coalesce(1).write.mode("overwrite").parquet(p)
         paths.append(p)

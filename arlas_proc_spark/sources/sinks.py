@@ -47,6 +47,48 @@ def write_csv(df: DataFrame, target: str, delimiter: str = ",",
         .mode(mode).csv(target))
 
 
+def write_routed(df: DataFrame, target_pattern: str, route_col: Column | str,
+                 fmt: str = "parquet", mode: str = "overwrite",
+                 route_name: str = "_route") -> dict[str, str]:
+    """Dynamic routed sink (S6): route each row to a per-value target —
+    the reference's ``writeToElasticsearch(target="my_index_{}/doc",
+    dynamicIndexColumn=...)`` pattern (WritableDataFrame.scala:98-107),
+    re-targeted to filesystem sinks.
+
+    ``target_pattern`` contains ``{}``, replaced by each distinct value
+    of ``route_col``. ONE Spark job: repartition by the route column,
+    ``partitionBy`` write to a staging dir, then rename each
+    ``_route=<v>`` directory to its target — never a per-value filter
+    loop (N full scans) and never a collect of distinct values up front.
+    The route column itself is not written into the payload files
+    (mirroring the reference's es.mapping.exclude of dynamicIndex).
+    Returns {route_value: target_path}."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+    if "{}" not in target_pattern:
+        raise ValueError("target_pattern must contain '{}'")
+    col = F.col(route_col) if isinstance(route_col, str) else route_col
+    stage = _os.path.join(_os.path.dirname(target_pattern) or ".",
+                          f".route-stage-{_uuid.uuid4().hex}")
+    routed = df.withColumn(route_name, col.cast("string"))
+    writer = (routed.repartition(F.col(route_name))
+              .write.partitionBy(route_name).mode("overwrite"))
+    getattr(writer, fmt)(stage)
+    out: dict[str, str] = {}
+    for vdir in _glob.glob(_os.path.join(stage, f"{route_name}=*")):
+        value = vdir.rsplit("=", 1)[1]
+        target = target_pattern.replace("{}", value)
+        if mode == "overwrite" and _os.path.exists(target):
+            _shutil.rmtree(target)
+        _os.makedirs(_os.path.dirname(target) or ".", exist_ok=True)
+        _os.replace(vdir, target)
+        out[value] = target
+    _shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def with_keyed_doc_id(df: DataFrame, id_col: str, ts_col: str,
                       out_col: str = "doc_id") -> DataFrame:
     """Deterministic sink document id ``id#ts`` — the idempotent-upsert key

@@ -387,3 +387,70 @@ def test_merge_after_append_drops_bucket_from_mor(spark, tmp_path):
     assert not (set(snap["mor_buckets"]) & touched)
     state = {(r.repo, r.path): r.content for r in t.read().collect()}
     assert state == {("r", "a.py"): "v3", ("r", "b.py"): "v2"}
+
+
+def test_tableio_seam(spark, tmp_path):
+    """LakeTable implements the TableIO contract; the Iceberg backend
+    fails fast (with setup instructions) when the runtime is absent; its
+    generated SQL carries the engine's LWW merge semantics."""
+    from arlas_proc_spark.lake.iceberg import (IcebergTableIO,
+                                               create_table_sql,
+                                               iceberg_available, merge_sql)
+    from arlas_proc_spark.lake.io import TableIO
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2)
+    assert isinstance(t, TableIO)
+    assert not iceberg_available(spark)
+    with pytest.raises(RuntimeError, match="Iceberg runtime not available"):
+        IcebergTableIO(spark, "cat.db.t")
+    sql = merge_sql("cat.db.t", "src", ["repo", "path"], "seq")
+    assert "MERGE INTO cat.db.t t USING src s" in sql
+    assert "t.repo = s.repo AND t.path = s.path" in sql
+    assert "s.seq > t.seq" in sql and "s.commit >= t.commit" in sql
+    assert "THEN DELETE" in sql and "UPDATE SET *" in sql \
+        and "INSERT *" in sql
+    ddl = create_table_sql("cat.db.t", "repo string, path string",
+                          ["repo", "path"], 32)
+    assert "PARTITIONED BY (bucket(32, repo, path))" in ddl
+    assert "'format-version'='2'" in ddl
+
+
+def test_engine_accepts_injected_tableio(spark, tmp_path):
+    """CdcEngine routes every commit through an injected TableIO."""
+    from arlas_proc_spark.cdc.engine import CdcEngine
+    from arlas_proc_spark.lake.io import TableIO
+
+    calls = []
+
+    class Fake(TableIO):
+        def merge_batch(self, batch, batch_id, **kw):
+            calls.append(("merge", str(batch_id)))
+            return {"batch_id": str(batch_id)}
+
+        def append_batch(self, batch, batch_id, **kw):
+            calls.append(("append", str(batch_id)))
+            return {"batch_id": str(batch_id)}
+
+        def commit_empty_batch(self, batch_id, scope="default", **kw):
+            calls.append(("empty", str(batch_id)))
+            return {"batch_id": str(batch_id), "empty": True}
+
+        def read(self, buckets=None, *a, **kw):
+            raise AssertionError("unused in this test")
+
+        def compact(self, **kw):
+            return {}
+
+        def lineage(self):
+            return []
+
+        def snapshot(self):
+            return {"key_cols": ["repo", "path"], "n_buckets": 4}
+
+    eng = CdcEngine(spark, str(tmp_path / "unused"), table_io=Fake())
+    batch = spark.createDataFrame(
+        [(1, "insert", "r", "p", "c1", 1, "py", "v")],
+        "seq long, op string, repo string, path string, commit string,"
+        " ts_s long, lang string, content string")
+    eng.apply_batch(batch, 5)
+    assert ("merge", "5") in calls

@@ -620,3 +620,28 @@ def test_outliers_to_store_keeps_flagged_with_context(spark):
     assert got[(1, 2)] == ("10.0 -> 99.0 -> 12.0", 10.0, 12.0)
     assert got[(1, 4)][0] is None and got[(1, 4)][1] == 12.0
     assert got[(2, 1)] == (None, None, None)
+
+
+def test_course_stop_two_level_state_machine(spark):
+    """WithCourseOrStop + WithCourseState + WithStateIdFromState
+    composition: short stills inside a course are PAUSEs, long stills
+    are STOPs, course ids anchor at stops (null before the first)."""
+    from arlas_proc_spark.operators.course import course_stop_pipeline
+    rows = (
+        [(1, t, 50.0) for t in range(0, 300, 100)] +        # moving
+        [(1, t, 1.0) for t in range(300, 700, 100)] +       # 300s still -> PAUSE (<600)
+        [(1, t, 50.0) for t in range(700, 900, 100)] +      # moving again
+        [(1, t, 1.0) for t in range(900, 1900, 100)] +      # 900s still -> STOP
+        [(1, t, 50.0) for t in range(1900, 2100, 100)])     # moving after stop
+    df = spark.createDataFrame(rows, "obj long, ts long, speed double")
+    out = course_stop_pipeline(df, "obj", "ts", "speed",
+                               still_threshold=10.0, gap=10_000,
+                               course_timeout_s=600)
+    got = {r.ts: (r.moving_state, r.course_or_stop, r.course_state,
+                  r.course_anchor_id) for r in out.collect()}
+    assert got[0] == ("MOVE", "COURSE", "MOTION", None)     # before 1st stop
+    assert got[300][:3] == ("STILL", "COURSE", "PAUSE")     # short still
+    assert got[800][:3] == ("MOVE", "COURSE", "MOTION")
+    assert got[900][:3] == ("STILL", "STOP", None)          # long still
+    assert got[900][3] == "1#900"                           # anchor at stop
+    assert got[2000] == ("MOVE", "COURSE", "MOTION", "1#1800")

@@ -111,3 +111,27 @@ def test_compaction_merges_files_and_gcs_tombstones(spark, tmp_path):
     # by watermark contract; above-horizon LWW still works
     t.merge_batch(batch([(101, "insert", "r", "f9", "c9", "v9")]), 7)
     assert t.read().where("path='f9'").count() == 1
+
+def test_write_routed_dynamic_targets(spark, tmp_path):
+    """S6 dynamic routed sink: rows land in per-route-value targets via
+    ONE partitioned write (the reference's 'my_index_{}' pattern,
+    WritableDataFrame.scala:98-107); the route column is excluded from
+    the payload."""
+    import glob
+
+    from arlas_proc_spark.sources.sinks import write_routed
+    df = spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, "2024-01", "b"), (3, "2024-02", "c")],
+        "id long, month string, v string")
+    out = write_routed(df, str(tmp_path / "idx_{}"), "month")
+    assert set(out) == {"2024-01", "2024-02"}
+    jan = spark.read.parquet(str(tmp_path / "idx_2024-01"))
+    assert jan.count() == 2 and "_route" not in jan.columns
+    assert spark.read.parquet(str(tmp_path / "idx_2024-02")).count() == 1
+    # overwrite semantics per target
+    write_routed(df.where("id = 3"), str(tmp_path / "idx_{}"), "month")
+    assert spark.read.parquet(str(tmp_path / "idx_2024-02")).count() == 1
+    assert glob.glob(str(tmp_path / "idx_2024-01"))  # untouched target kept
+    import pytest as _p
+    with _p.raises(ValueError, match="must contain"):
+        write_routed(df, str(tmp_path / "flat"), "month")
