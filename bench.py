@@ -108,12 +108,16 @@ def main() -> None:
     tmp2 = tempfile.mkdtemp(prefix="bench_stream_")
     try:
         n_stream = n_events // 8
+        # 8 single-file segments: the drain's file-source scan gets 8-way
+        # decode parallelism (4 segments left the 2M-row scan on 4 tasks)
         write_changefeed_batches(spark, f"{tmp2}/wal", n_stream,
-                                 n_batches=4, **GEN)
+                                 n_batches=8, **GEN)
 
         def drain(tag: str, *, mfpt: int, mode: str = "cow", **kw) -> float:
             best = float("inf")
-            for r in range(reps):
+            # the host swings 3-5x on identical jobs; drains are short, so
+            # an extra rep buys a much more honest min than it costs
+            for r in range(max(reps, 3)):
                 ing = StreamingIngest(spark, f"{tmp2}/{tag}{r}",
                                       n_buckets=cpus, collect_metrics=False,
                                       write_mode=mode, **kw)
@@ -130,18 +134,18 @@ def main() -> None:
         # min-of-4 A/B: mfpt=4 5.8s vs mfpt=2 9.4s vs batch-replay floor
         # 2.9s on the same feed — the streaming machinery (offsets, state
         # store dedup, checkpoint, ledger) costs ~2.8s over raw replay.
-        best_stream = drain("t", mfpt=4)
+        best_stream = drain("t", mfpt=8)
         timings["cdc_stream_ingest"] = round(best_stream, 3)
         extras["cdc_stream_events_per_sec"] = round(n_stream / best_stream, 1)
         extras["cdc_stream_events"] = n_stream
         # secondary lenses on the same drain: small-batch cadence (the
         # per-batch-overhead stressor, r01's headline configuration) and
         # merge-on-read (ingest O(batch) — the shape for huge tables)
-        best_small = drain("s", mfpt=1)
+        best_small = drain("s", mfpt=2)  # 500k-event batches (r01's size)
         timings["cdc_stream_smallbatch"] = round(best_small, 3)
         extras["cdc_stream_smallbatch_events_per_sec"] = round(
             n_stream / best_small, 1)
-        best_smor = drain("m", mfpt=2, mode="mor", compact_every=8)
+        best_smor = drain("m", mfpt=4, mode="mor", compact_every=8)
         timings["cdc_stream_mor"] = round(best_smor, 3)
         extras["cdc_stream_mor_events_per_sec"] = round(
             n_stream / best_smor, 1)
