@@ -325,18 +325,17 @@ def embedding_near_dups_lsh(df: DataFrame, id_col: str, vec_col: str, *,
     on ann.band_signature_cols). ``max_bucket_size`` drops degenerate
     over-full buckets, bounding within-bucket pairing at a documented
     cap. Output: id_a < id_b, cosine."""
-    from arlas_proc_spark.operators.ann import (band_signature_cols,
-                                                cosine_sim,
+    from arlas_proc_spark.operators.ann import (band_signatures_array,
+                                                cosine_sim_fast,
                                                 random_hyperplanes)
     require_columns(df, id_col, vec_col)
     planes = random_hyperplanes(dim, bits_per_band * n_bands, seed)
-    sigs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                     *band_signature_cols(vec_col, planes, n_bands))
-    stacked = (sigs.select("_id", "_v", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"_band{b}").alias("sig"))
-        for b in range(n_bands)])).alias("_bs"))
-        .select("_id", "_v", F.col("_bs.band").alias("_band"),
-                F.col("_bs.sig").alias("_sig")))
+    stacked = (df.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).alias("_v"),
+                         band_signatures_array(vec_col, planes,
+                                               n_bands).alias("_bands"))
+               .select("_id", "_v",
+                       F.posexplode("_bands").alias("_band", "_sig")))
     if max_bucket_size is not None:
         keep = (stacked.groupBy("_band", "_sig")
                 .agg(F.count(F.lit(1)).alias("_n"))
@@ -352,7 +351,7 @@ def embedding_near_dups_lsh(df: DataFrame, id_col: str, vec_col: str, *,
                    (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
-                    F.round(cosine_sim(F.col("a._v"), F.col("b._v")), 6)
+                    F.round(cosine_sim_fast(F.col("a._v"), F.col("b._v")), 6)
                      .alias("cosine"))
             .where(F.col("cosine") >= threshold)
             .groupBy("id_a", "id_b")

@@ -166,7 +166,9 @@ def main() -> None:
     for name in ["gap_sessions", "flow_fragments", "fragment_summary",
                  "pricing_summary", "revenue_by_nation", "salted_event_stats",
                  "hampel_outliers", "text_stats", "minhash_signatures",
-                 "embedding_topk", "viterbi_states"]:
+                 "embedding_topk", "embedding_topk_lsh", "simhash_neardups",
+                 "enriched_events", "tempo_summary", "course_states",
+                 "viterbi_states"]:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)

@@ -316,3 +316,32 @@ def test_no_quarantine_still_fails_loudly(spark, tmp_path):
         " ts_s long, lang string, content string")
     with _pytest.raises(Exception, match="null key column"):
         eng.apply_batch(bad, 0)
+
+
+def test_two_engines_interleaved_converge(spark, tmp_path):
+    """Two engine instances (independent ledger scopes — e.g. two
+    redeployed streams) interleave batches into ONE table; the final
+    state equals a single-engine replay of the combined feed."""
+    from arlas_proc_spark.cdc.engine import CdcEngine, lww_resolve, prepare_events
+    from arlas_proc_spark.sources.changefeed import changefeed_df
+
+    path = str(tmp_path / "t")
+    a = CdcEngine(spark, path, n_buckets=4, ledger_scope="streamA",
+                  collect_metrics=False)
+    b = CdcEngine(spark, path, n_buckets=4, ledger_scope="streamB",
+                  collect_metrics=False)
+    feed = changefeed_df(spark, 4000)
+    slices = [feed.where((feed.seq >= i * 1000) & (feed.seq < (i + 1) * 1000))
+              for i in range(4)]
+    a.apply_batch(slices[0], 0)
+    b.apply_batch(slices[2], 0)
+    a.apply_batch(slices[1], 1)
+    b.apply_batch(slices[3], 1)
+    # replayed ids are scope-local no-ops
+    assert a.apply_batch(slices[0], 0).get("skipped")
+    assert b.apply_batch(slices[2], 0).get("skipped")
+    got = a.state()
+    expect = prepare_events(lww_resolve(changefeed_df(spark, 4000)))
+    cols = sorted(got.columns)
+    assert got.select(*cols).exceptAll(expect.select(*cols)).count() == 0
+    assert expect.select(*cols).exceptAll(got.select(*cols)).count() == 0

@@ -645,3 +645,26 @@ def test_course_stop_two_level_state_machine(spark):
     assert got[900][:3] == ("STILL", "STOP", None)          # long still
     assert got[900][3] == "1#900"                           # anchor at stop
     assert got[2000] == ("MOVE", "COURSE", "MOTION", "1#1800")
+
+
+def test_lsh_numpy_kernel_matches_expr_kernel(spark):
+    """The numpy signature kernel must be bit-identical to the SQL-fold
+    expression kernel (same dimension-order accumulation), including
+    null and wrong-dimension vectors (signature 0)."""
+    from arlas_proc_spark.operators.ann import (band_signatures_array,
+                                                random_hyperplanes)
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    rows += [(200, None), (201, [1.0, 2.0])]   # null / wrong-dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = random_hyperplanes(16, 24, seed=11)
+    got = df.select(
+        "vec_id",
+        band_signatures_array("embedding", planes, 8,
+                              kernel="numpy").alias("np_sig"),
+        band_signatures_array("embedding", planes, 8,
+                              kernel="expr").alias("ex_sig")).collect()
+    assert all(r.np_sig == r.ex_sig for r in got)
+    degenerate = {r.vec_id: r.np_sig for r in got}
+    assert degenerate[200] == [0] * 8 and degenerate[201] == [0] * 8

@@ -96,3 +96,53 @@ def test_lww_compact_broadcasts_precomputed_winners(spark):
     rep = plan_report(df)
     assert rep["sort_aggs"] == 0
     assert rep["python_udfs"] == 0
+
+
+def test_lsh_queries_never_plan_cartesian(spark):
+    """The LSH candidate join must hash-join on (band, sig) — a
+    CartesianProduct or BroadcastNestedLoopJoin here would be the exact
+    all-pairs explosion LSH exists to avoid."""
+    import __spark_entry__ as e
+    for name in ["embedding_topk_lsh", "embedding_neardups_lsh"]:
+        plan = e.queries()[name](spark, "/root/testdata/sf0.001") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Join [_band" in plan or "Join [_band".replace(
+            " ", "") in plan.replace(" ", ""), f"{name}: no band-key join"
+
+
+def test_merge_write_is_shuffle_once(spark, tmp_path):
+    """The cow merge's bucketed write must reuse the join's hash
+    partitioning: exactly ONE exchange on each join input and NONE
+    between the join and the write (shuffle.partitions=4 here divides
+    n_buckets=4, the aligned case)."""
+    from pyspark.sql import functions as F
+
+    from arlas_proc_spark.lake.table import LakeTable
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("content", T.StringType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path"], "seq", n_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "seq long, op string, repo string, path string,"
+                  " commit string, content string") \
+            .select("repo", "path", "commit", "seq", "content", "op")
+
+    t.merge_batch(batch([(1, "insert", "r", "a", "c1", "v1"),
+                         (2, "insert", "r", "b", "c2", "v2")]), 0)
+    # incremental merge against non-empty state: bucket files written by
+    # the merge == join output partitions that held rows — never more
+    # than shuffle_partitions total, and a second merge REPLACES (not
+    # grows) each touched bucket's list
+    t.merge_batch(batch([(3, "update", "r", "a", "c3", "v3")]), 1)
+    snap = t.snapshot()
+    total_files = sum(len(fs) for fs in snap["buckets"].values())
+    assert total_files <= 4  # == shuffle partitions cap, no spray
