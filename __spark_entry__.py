@@ -513,6 +513,18 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                            seed=_LSH_SEED, round_to=2)
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: inverted lists under 20 deterministic sampled
+    centroids (vec_id % 25 == 0), queries probe their 4 nearest lists
+    (near-orthogonal fixture → wide probing for recall)."""
+    from arlas_proc_spark.operators.ann import cosine_topk_ivf
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") % 25 == 0)
+    return cosine_topk_ivf(e, e.where(F.col("vec_id") < 20), "vec_id",
+                           "embedding", centroids=cents, k=3, n_probe=4,
+                           round_to=2)
+
+
 def _lsh_sig_sql() -> str:
     """Band-signature SQL from the SAME plane constants the Spark operator
     uses (random_hyperplanes is a portable LCG; coefficients are rounded
@@ -778,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
         "embedding_neardups_lsh": q_embedding_neardups_lsh,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "simhash_neardups": q_simhash_neardups,
         "nested_sink_docs": q_nested_sink_docs,
         "enriched_events": q_enriched_events,
@@ -1488,6 +1501,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, max(cosine) AS cosine
             FROM pairs WHERE cosine >= 0.3
             GROUP BY id_a, id_b""",
+        "embedding_topk_ivf": """
+            WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                           FROM embeddings WHERE vec_id % 25 = 0),
+            ca AS (SELECT e.vec_id AS nid, e.embedding AS ev, cid,
+                          round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]),
+                              CAST(cv AS DOUBLE[])), 6) AS ac
+                   FROM embeddings e CROSS JOIN cents),
+            clists AS (SELECT nid, ev, cid FROM (
+                         SELECT *, row_number() OVER (PARTITION BY nid
+                             ORDER BY ac DESC, cid ASC) AS r FROM ca) x
+                       WHERE r <= 1),
+            qprobe AS (SELECT nid AS query_id, ev AS qv, cid FROM (
+                         SELECT *, row_number() OVER (PARTITION BY nid
+                             ORDER BY ac DESC, cid ASC) AS r
+                         FROM ca WHERE nid < 20) x
+                       WHERE r <= 4),
+            sims AS (SELECT query_id, c.nid AS neighbor_id,
+                            max(round(list_cosine_similarity(
+                                CAST(qv AS DOUBLE[]),
+                                CAST(c.ev AS DOUBLE[])), 2)) AS cosine
+                     FROM clists c JOIN qprobe q ON c.cid = q.cid
+                     WHERE c.nid <> q.query_id
+                     GROUP BY query_id, c.nid)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM sims) x
+            WHERE rank <= 3""",
         "embedding_topk_lsh": f"""
             WITH {_lsh_sig_sql()},
             q AS (SELECT vec_id AS query_id, embedding AS qv, band, s

@@ -273,6 +273,60 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
+                    vec_col: str, *, centroids: DataFrame, k: int = 3,
+                    n_probe: int = 2, round_to: int = 3,
+                    assign_round: int = 6) -> DataFrame:
+    """IVF-flat ANN: corpus vectors are assigned to their nearest
+    centroid (one inverted list per centroid); each query probes its
+    ``n_probe`` nearest centroids and ranks those lists' members by
+    exact cosine. The third point in the ANN family: brute force
+    (exact), random-hyperplane LSH (data-independent buckets), IVF
+    (data-adapted cells — tighter lists when the corpus clusters).
+
+    ``centroids`` is caller-supplied (a deterministic corpus sample, or
+    trained k-means centers from any offline job) — training is NOT this
+    operator's job, which keeps it deterministic and oracle-checkable.
+
+    Scale shape: assignment is |corpus| × |centroids| cosines against a
+    BROADCAST centroid set (the standard IVF build cost), one shuffle of
+    the corpus by centroid id, then per-query work bounded by
+    n_probe/|centroids| of the corpus. Assignment cosines are rounded
+    (``assign_round``) before ranking so cross-engine float noise cannot
+    flip an argmax; rounded ties break to the lower centroid id."""
+    require_columns(corpus, id_col, vec_col)
+    cents = F.broadcast(centroids.select(F.col(id_col).alias("_cid"),
+                                         F.col(vec_col).alias("_cev")))
+
+    def assign(df: DataFrame, out_id: str, vec_alias: str,
+               top: int) -> DataFrame:
+        x = df.select(F.col(id_col).alias(out_id),
+                      F.col(vec_col).alias(vec_alias))
+        scored = x.crossJoin(cents).select(
+            out_id, vec_alias, "_cid",
+            F.round(cosine_sim_fast(F.col(vec_alias), F.col("_cev")),
+                    assign_round).alias("_ac"))
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_ac").desc(), F.col("_cid").asc())
+        return (scored.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= top).drop("_r", "_ac"))
+
+    c = assign(corpus, "neighbor_id", "_cv", 1)
+    q = assign(queries, "query_id", "_qv", n_probe)
+    sims = (c.join(F.broadcast(q), "_cid")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(cosine_sim_fast(F.col("_qv"), F.col("_cv")),
+                            round_to).alias("cosine"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("cosine").alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
 def cosine_topk_bucketed(corpus: DataFrame, queries: DataFrame, id_col: str,
                          vec_col: str, k: int = 3, d: int = 4,
                          round_to: int = 3) -> DataFrame:

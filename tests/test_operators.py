@@ -668,3 +668,19 @@ def test_lsh_numpy_kernel_matches_expr_kernel(spark):
     assert all(r.np_sig == r.ex_sig for r in got)
     degenerate = {r.vec_id: r.np_sig for r in got}
     assert degenerate[200] == [0] * 8 and degenerate[201] == [0] * 8
+
+
+def test_ivf_topk_recall_vs_brute(clustered_vecs):
+    """cosine_topk_ivf with one sampled centroid per cluster recovers
+    ≥90% of the brute-force top-3 on clustered data."""
+    from arlas_proc_spark.operators.ann import cosine_topk, cosine_topk_ivf
+    cents = clustered_vecs.where(F.col("vec_id") % 5 == 0)  # 1 per cluster
+    q = clustered_vecs.where(F.col("vec_id") < 30)
+    brute = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk(clustered_vecs, q, "vec_id", "embedding",
+                         k=3).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in
+           cosine_topk_ivf(clustered_vecs, q, "vec_id", "embedding",
+                           centroids=cents, k=3, n_probe=2).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.9, f"IVF top-k recall {recall:.2f} < 0.9"
