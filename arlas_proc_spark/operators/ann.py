@@ -273,10 +273,43 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def _ivf_assign_kernel(cids: "np.ndarray", cent_mat: "np.ndarray",
+                       top: int, assign_round: int):
+    """Pandas UDF: vec → array<long> of the ``top`` nearest centroid ids
+    by rounded cosine, descending, rounded ties to the LOWER centroid id
+    (``cids`` is sorted ascending and the argsort is stable, so ties keep
+    ascending-cid order). Invalid vectors (null / wrong dim / zero norm)
+    score 0.0 against every centroid — same as cosine_sim — so they land
+    deterministically in the lowest-cid lists."""
+    d = cent_mat.shape[1]
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cent_mat, cent_mat))
+    cunit = cent_mat / np.where(cnorm > 0, cnorm, 1.0)[:, None]
+    cunit[cnorm <= 0] = 0.0
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = len(vecs)
+        cos = np.zeros((m, len(cids)), dtype=np.float64)
+        ok = np.fromiter((v is not None and len(v) == d for v in vecs),
+                         dtype=bool, count=m)
+        if ok.any():
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v, o in zip(vecs, ok) if o])
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            raw = (V @ cunit.T) / np.where(vn > 0, vn, 1.0)[:, None]
+            raw[vn <= 0] = 0.0
+            cos[ok] = np.round(raw, assign_round)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :top]
+        return pd.Series(list(cids[order]))
+
+    return _assign
+
+
 def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
                     vec_col: str, *, centroids: DataFrame, k: int = 3,
                     n_probe: int = 2, round_to: int = 3,
-                    assign_round: int = 6) -> DataFrame:
+                    assign_round: int = 6,
+                    assign_kernel: str = "map") -> DataFrame:
     """IVF-flat ANN: corpus vectors are assigned to their nearest
     centroid (one inverted list per centroid); each query probes its
     ``n_probe`` nearest centroids and ranks those lists' members by
@@ -288,28 +321,59 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
     trained k-means centers from any offline job) — training is NOT this
     operator's job, which keeps it deterministic and oracle-checkable.
 
-    Scale shape: assignment is |corpus| × |centroids| cosines against a
-    BROADCAST centroid set (the standard IVF build cost), one shuffle of
-    the corpus by centroid id, then per-query work bounded by
-    n_probe/|centroids| of the corpus. Assignment cosines are rounded
-    (``assign_round``) before ranking so cross-engine float noise cannot
-    flip an argmax; rounded ties break to the lower centroid id."""
+    Assignment kernels (identical output, asserted in tests):
+    - 'map' (default): the centroid matrix rides in the UDF closure and
+      each Arrow batch does ONE numpy matmul + stable argsort — a pure
+      narrow map. The corpus is never exploded; its only shuffle is the
+      inverted-list join by centroid id. This is the production IVF
+      shape: assignment cost is the matmul, not the wire.
+    - 'join': crossJoin against the broadcast centroid set + window
+      top-n — |corpus| × |centroids| rows shuffled through the window;
+      kept as the pure-DataFrame reference the map kernel is checked
+      against.
+    Both round assignment cosines (``assign_round``) before ranking so
+    cross-engine float noise cannot flip an argmax; rounded ties break
+    to the lower centroid id. Centroid sets are small by definition
+    (they must broadcast), so collecting them into the closure moves no
+    more data than the broadcast itself."""
     require_columns(corpus, id_col, vec_col)
-    cents = F.broadcast(centroids.select(F.col(id_col).alias("_cid"),
-                                         F.col(vec_col).alias("_cev")))
 
-    def assign(df: DataFrame, out_id: str, vec_alias: str,
-               top: int) -> DataFrame:
-        x = df.select(F.col(id_col).alias(out_id),
-                      F.col(vec_col).alias(vec_alias))
-        scored = x.crossJoin(cents).select(
-            out_id, vec_alias, "_cid",
-            F.round(cosine_sim_fast(F.col(vec_alias), F.col("_cev")),
-                    assign_round).alias("_ac"))
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("_ac").desc(), F.col("_cid").asc())
-        return (scored.withColumn("_r", F.row_number().over(w))
-                .where(F.col("_r") <= top).drop("_r", "_ac"))
+    if assign_kernel == "map":
+        crows = sorted(centroids.select(F.col(id_col).cast("long"),
+                                        F.col(vec_col)).collect())
+        if not crows:
+            raise ValueError("centroids is empty")
+        cids = np.array([r[0] for r in crows], dtype=np.int64)
+        cent_mat = np.array([[float(x) for x in r[1]] for r in crows],
+                            dtype=np.float64)
+
+        def assign(df: DataFrame, out_id: str, vec_alias: str,
+                   top: int) -> DataFrame:
+            udf = _ivf_assign_kernel(cids, cent_mat, top, assign_round)
+            x = df.select(F.col(id_col).alias(out_id),
+                          F.col(vec_col).alias(vec_alias),
+                          udf(F.col(vec_col)).alias("_cids"))
+            if top == 1:
+                return x.select(out_id, vec_alias,
+                                F.get("_cids", 0).alias("_cid"))
+            return x.select(out_id, vec_alias,
+                            F.explode("_cids").alias("_cid"))
+    else:
+        cents = F.broadcast(centroids.select(F.col(id_col).alias("_cid"),
+                                             F.col(vec_col).alias("_cev")))
+
+        def assign(df: DataFrame, out_id: str, vec_alias: str,
+                   top: int) -> DataFrame:
+            x = df.select(F.col(id_col).alias(out_id),
+                          F.col(vec_col).alias(vec_alias))
+            scored = x.crossJoin(cents).select(
+                out_id, vec_alias, "_cid",
+                F.round(cosine_sim_fast(F.col(vec_alias), F.col("_cev")),
+                        assign_round).alias("_ac"))
+            w = Window.partitionBy(out_id).orderBy(
+                F.col("_ac").desc(), F.col("_cid").asc())
+            return (scored.withColumn("_r", F.row_number().over(w))
+                    .where(F.col("_r") <= top).drop("_r", "_ac"))
 
     c = assign(corpus, "neighbor_id", "_cv", 1)
     q = assign(queries, "query_id", "_qv", n_probe)

@@ -684,3 +684,24 @@ def test_ivf_topk_recall_vs_brute(clustered_vecs):
                            centroids=cents, k=3, n_probe=2).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.9, f"IVF top-k recall {recall:.2f} < 0.9"
+
+
+def test_ivf_map_kernel_matches_join_kernel(clustered_vecs, spark):
+    """The narrow-map assignment kernel (closure matmul, no corpus
+    explode) returns EXACTLY the crossJoin+window reference — including
+    degenerate vectors (null / zero-norm / wrong dim), which score 0.0
+    everywhere and fall to the lowest-cid lists in both forms."""
+    from arlas_proc_spark.operators.ann import cosine_topk_ivf
+    weird = spark.createDataFrame(
+        [(900, [0.0] * 16), (901, None), (902, [1.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    corpus = clustered_vecs.unionByName(weird)
+    cents = clustered_vecs.where(F.col("vec_id") % 5 == 0)
+    q = corpus.where((F.col("vec_id") < 10) | (F.col("vec_id") >= 900))
+    out = {}
+    for kern in ("map", "join"):
+        out[kern] = sorted(tuple(r) for r in cosine_topk_ivf(
+            corpus, q, "vec_id", "embedding", centroids=cents,
+            k=3, n_probe=2, assign_kernel=kern).collect())
+    assert out["map"] == out["join"]
+    assert len(out["map"]) > 0
