@@ -104,6 +104,27 @@ _SHINGLES = (
     f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
 )
 
+# MinHash-LSH candidate pairs (shared by the pairs oracle and the
+# cluster-resolution oracle that builds on it)
+_MINHASH_PAIRS_SQL = f"""
+            WITH sig AS (
+              SELECT doc_id,
+                     list_aggregate(list_transform(sh, s -> md5('0|' || s)), 'min') AS m0,
+                     list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS m1,
+                     list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS m2,
+                     list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS m3
+              FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents) d),
+            banded AS (
+              SELECT doc_id AS _id, 0 AS _band, concat(m0, '_', m1) AS _sig FROM sig
+                WHERE concat(m0, '_', m1) <> ''
+              UNION ALL
+              SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+                WHERE concat(m2, '_', m3) <> '')
+            SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_bands_shared
+            FROM banded a JOIN banded b
+              ON a._band = b._band AND a._sig = b._sig AND a._id < b._id
+            GROUP BY a._id, b._id"""
+
 # ----------------------------------------------------------------- queries
 
 
@@ -469,6 +490,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              k=4, bands=2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash-LSH candidate pairs →
+    connected components → (cluster_id, cluster_size, canonical doc).
+    The step that turns pair detection into an actual dedup decision."""
+    from arlas_proc_spark.operators.components import dedup_clusters
+    return dedup_clusters(q_minhash_lsh_pairs(spark, sf_dir),
+                          "id_a", "id_b")
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
@@ -785,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
@@ -1250,24 +1281,22 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS m2,
                    list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS m3
             FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents) d""",
-        "minhash_lsh_pairs": f"""
-            WITH sig AS (
-              SELECT doc_id,
-                     list_aggregate(list_transform(sh, s -> md5('0|' || s)), 'min') AS m0,
-                     list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS m1,
-                     list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS m2,
-                     list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS m3
-              FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents) d),
-            banded AS (
-              SELECT doc_id AS _id, 0 AS _band, concat(m0, '_', m1) AS _sig FROM sig
-                WHERE concat(m0, '_', m1) <> ''
-              UNION ALL
-              SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
-                WHERE concat(m2, '_', m3) <> '')
-            SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_bands_shared
-            FROM banded a JOIN banded b
-              ON a._band = b._band AND a._sig = b._sig AND a._id < b._id
-            GROUP BY a._id, b._id""",
+        "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lab) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+            comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                     FROM reach GROUP BY node)
+            SELECT doc_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   doc_id = cluster_id AS is_canonical
+            FROM comp""",
         "simhash_neardups": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok

@@ -686,6 +686,63 @@ def test_ivf_topk_recall_vs_brute(clustered_vecs):
     assert recall >= 0.9, f"IVF top-k recall {recall:.2f} < 0.9"
 
 
+def test_connected_components_path_cliques_and_junk(spark):
+    """A 16-node path (stresses the pointer-jumping log-rounds), a
+    triangle, an isolated pair, plus self-loops and null endpoints that
+    must be ignored."""
+    from arlas_proc_spark.operators.components import connected_components
+    edges = ([(i, i + 1) for i in range(15)]
+             + [(100, 101), (101, 102), (100, 102), (200, 201),
+                (5, 5), (None, 7)])
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(16))
+    assert got[100] == got[101] == got[102] == 100
+    assert got[200] == got[201] == 200
+    assert len(got) == 16 + 3 + 2
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """200 random edges over 120 nodes vs a plain union-find oracle."""
+    import random
+
+    from arlas_proc_spark.operators.components import connected_components
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(200)]
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in edges:
+        if a != b:
+            touched.update((a, b))
+            parent[find(a)] = find(b)
+    want = {n: min(m for m in touched if find(m) == find(n))
+            for n in touched}
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_dedup_clusters_resolution(spark):
+    """Pairs {1,2,3} (via 1-2, 2-3) and {10,11} resolve to two clusters
+    with min-id canonicals and correct sizes."""
+    from arlas_proc_spark.operators.components import dedup_clusters
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup_clusters(pairs).collect()}
+    assert {d: r.cluster_id for d, r in rows.items()} == \
+        {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert [rows[d].cluster_size for d in (1, 2, 3, 10, 11)] == \
+        [3, 3, 3, 2, 2]
+    assert {d for d, r in rows.items() if r.is_canonical} == {1, 10}
+
+
 def test_ivf_map_kernel_matches_join_kernel(clustered_vecs, spark):
     """The narrow-map assignment kernel (closure matmul, no corpus
     explode) returns EXACTLY the crossJoin+window reference — including
