@@ -11,6 +11,8 @@ floating aggregates are rounded on both sides so value-hashes match.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -125,6 +127,15 @@ _MINHASH_PAIRS_SQL = f"""
               ON a._band = b._band AND a._sig = b._sig AND a._id < b._id
             GROUP BY a._id, b._id"""
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dir for queries that materialize a lake/WAL: removed at
+    process exit, NOT earlier — the returned DataFrame reads these files
+    lazily, so cleanup must outlive the driver's collect()."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
 # ----------------------------------------------------------------- queries
 
 
@@ -146,7 +157,7 @@ def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_lake_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path: replay the feed through the snapshot lake table
     (MERGE, tombstones, ledger) and read the final state back."""
-    tmp = tempfile.mkdtemp(prefix="arlas_lake_")
+    tmp = _scratch_dir("arlas_lake_")
     engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8, collect_metrics=False)
     engine.replay(changefeed_df(spark, N_FEED))
     return engine.state().select(
@@ -158,7 +169,7 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mode ingest (O(batch) writes, read-time LWW across
     generations) and read the resolved final state back — must equal the
     same batch oracle as the copy-on-write replay."""
-    tmp = tempfile.mkdtemp(prefix="arlas_mor_")
+    tmp = _scratch_dir("arlas_mor_")
     engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
                        collect_metrics=False, write_mode="mor")
     feed = changefeed_df(spark, N_FEED)
@@ -190,7 +201,7 @@ def q_stream_version_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arlas_proc_spark.sources.readers import read_stream_parquet
     from arlas_proc_spark.streaming.stateful import latest_version_deltas
 
-    tmp = tempfile.mkdtemp(prefix="arlas_deltas_")
+    tmp = _scratch_dir("arlas_deltas_")
     write_changefeed_batches(spark, f"{tmp}/wal", N_FEED, n_batches=4)
     stream = read_stream_parquet(spark, f"{tmp}/wal", EVENT_SCHEMA,
                                  max_files_per_trigger=1)
