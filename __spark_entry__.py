@@ -180,6 +180,21 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "seq", "ts_s", "lang", "content", "content_sha256")
 
 
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed OUT of the lake (the downstream half of the
+    CDC loop): apply the feed in two batches, then read the
+    insert/update/delete deltas between the two snapshots — what a
+    consumer at v1 must apply to reach v2."""
+    tmp = _scratch_dir("arlas_cdf_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False)
+    feed = changefeed_df(spark, N_FEED)
+    half = N_FEED // 2
+    engine.apply_batch(feed.where(feed.seq < half), 0)   # -> v1
+    engine.apply_batch(feed.where(feed.seq >= half), 1)  # -> v2
+    return engine.table.read_changes(1, 2)
+
+
 def q_cdc_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-repo final-state rollup via the skew-safe two-phase salted agg."""
     final = lww_resolve(changefeed_df(spark, N_FEED))
@@ -792,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_change_feed": q_cdc_change_feed,
         "cdc_repo_stats": q_cdc_repo_stats,
         "stream_version_deltas": q_stream_version_deltas,
         "cdc_normalized_langs": q_cdc_normalized_langs,
@@ -982,6 +998,51 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_final_state": final,
         "cdc_lake_replay": final,
         "cdc_mor_replay": final,
+        "cdc_change_feed": f"""
+            WITH w1 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY repo, path
+                    ORDER BY seq DESC, commit DESC) AS rn
+                FROM ({feed}) f WHERE seq < {N_FEED // 2}) x WHERE rn = 1),
+            w2 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY repo, path
+                    ORDER BY seq DESC, commit DESC) AS rn
+                FROM ({feed}) f) x WHERE rn = 1),
+            j AS (
+              SELECT coalesce(n.repo, o.repo) AS repo,
+                     coalesce(n.path, o.path) AS path,
+                     o.commit AS o_commit, o.seq AS o_seq, o.ts_s AS o_ts_s,
+                     o.lang AS o_lang, o.content AS o_content,
+                     n.commit AS n_commit, n.seq AS n_seq, n.ts_s AS n_ts_s,
+                     n.lang AS n_lang, n.content AS n_content,
+                     (o.seq IS NOT NULL AND o.op <> 'delete') AS alive_o,
+                     (n.seq IS NOT NULL AND n.op <> 'delete') AS alive_n,
+                     (o.seq IS DISTINCT FROM n.seq
+                      OR o.commit IS DISTINCT FROM n.commit) AS moved
+              FROM w1 o FULL OUTER JOIN w2 n
+                ON o.repo = n.repo AND o.path = n.path)
+            SELECT repo, path,
+                   CASE WHEN change_type = 'delete' THEN o_commit
+                        ELSE n_commit END AS commit,
+                   CASE WHEN change_type = 'delete' THEN o_seq
+                        ELSE n_seq END AS seq,
+                   CASE WHEN change_type = 'delete' THEN o_ts_s
+                        ELSE n_ts_s END AS ts_s,
+                   CASE WHEN change_type = 'delete' THEN o_lang
+                        ELSE n_lang END AS lang,
+                   CASE WHEN change_type = 'delete' THEN o_content
+                        ELSE n_content END AS content,
+                   sha256(CASE WHEN change_type = 'delete' THEN o_content
+                               ELSE n_content END) AS content_sha256,
+                   change_type
+            FROM (SELECT *,
+                    CASE WHEN alive_n AND NOT alive_o THEN 'insert'
+                         WHEN alive_o AND alive_n AND moved
+                              THEN 'update_postimage'
+                         WHEN alive_o AND NOT alive_n THEN 'delete'
+                    END AS change_type FROM j) c
+            WHERE change_type IS NOT NULL""",
         "cdc_repo_stats": f"""
             SELECT repo, COUNT(path) AS n_files, MAX(seq) AS max_seq
             FROM ({final}) fs GROUP BY repo""",

@@ -454,3 +454,78 @@ def test_engine_accepts_injected_tableio(spark, tmp_path):
         " ts_s long, lang string, content string")
     eng.apply_batch(batch, 5)
     assert ("merge", "5") in calls
+
+
+def test_read_changes_cow(spark, tmp_path):
+    """Change feed between CoW snapshots: insert/update/delete emitted,
+    unchanged keys silent; delete carries the pre-image row."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    t.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "va1"),
+        _ev(2, "insert", "r1", "b.py", "c2", "vb1"),
+        _ev(3, "insert", "r1", "c.py", "c3", "vc1"),
+    ]), 0)                                                    # v1
+    t.merge_batch(_batch(spark, [
+        _ev(4, "update", "r1", "a.py", "c4", "va2"),
+        _ev(5, "delete", "r1", "b.py", "c5", None),
+        _ev(6, "insert", "r1", "d.py", "c6", "vd1"),
+    ]), 1)                                                    # v2
+    ch = {r.path: r for r in t.read_changes(1, 2).collect()}
+    assert {p: r.change_type for p, r in ch.items()} == {
+        "a.py": "update_postimage", "b.py": "delete", "d.py": "insert"}
+    assert (ch["a.py"].content, ch["a.py"].seq) == ("va2", 4)
+    assert (ch["b.py"].content, ch["b.py"].seq) == ("vb1", 2)  # pre-image
+    assert ch["d.py"].content == "vd1"
+    # bootstrap feed: empty v0 -> current; the deleted key never appears
+    boot = {r.path: r.change_type for r in t.read_changes(0).collect()}
+    assert boot == {"a.py": "insert", "c.py": "insert", "d.py": "insert"}
+    assert t.read_changes(2, 2).count() == 0
+    with pytest.raises(ValueError):
+        t.read_changes(1, 99)
+    with pytest.raises(ValueError):
+        t.read_changes(2, 1)
+
+
+def test_read_changes_mor_and_schema_evolution(spark, tmp_path):
+    """MoR generations resolve to LWW winners per snapshot; a column
+    added between the two versions reads as null on pre-image rows."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    t.append_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "va1"),
+        _ev(2, "insert", "r1", "b.py", "c2", "vb1"),
+    ]), 0)                                                    # v1 (mor)
+    wide = spark.createDataFrame(
+        [(3, "update", "r1", "a.py", "c3", "va2", "py"),
+         (4, "delete", "r1", "b.py", "c4", None, None)],
+        "seq long, op string, repo string, path string, commit string,"
+        " content string, lang string"
+    ).select("repo", "path", "commit", "seq", "content", "lang", "op")
+    t.append_batch(wide, 1)                                   # v2, +lang
+    ch = {r.path: r for r in t.read_changes(1, 2).collect()}
+    assert {p: r.change_type for p, r in ch.items()} == {
+        "a.py": "update_postimage", "b.py": "delete"}
+    assert (ch["a.py"].content, ch["a.py"].lang) == ("va2", "py")
+    assert (ch["b.py"].content, ch["b.py"].lang) == ("vb1", None)
+
+
+def test_read_changes_prunes_untouched_buckets(spark, tmp_path):
+    """A one-key commit scans ONLY that key's bucket files in both
+    snapshots — quiet buckets are pruned from the manifests driver-side
+    and never reach the parquet scan."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=8)
+    t.merge_batch(_batch(spark, [
+        _ev(i, "insert", "r1", f"f{i}.py", f"c{i}", f"v{i}")
+        for i in range(24)
+    ]), 0)                                                    # v1: all buckets
+    t.merge_batch(_batch(spark, [
+        _ev(100, "update", "r1", "f0.py", "cx", "v0b"),
+    ]), 1)                                                    # v2: one bucket
+    ch = t.read_changes(1, 2)
+    rows = ch.collect()
+    assert [(r.path, r.change_type) for r in rows] == \
+        [("f0.py", "update_postimage")]
+    buckets = {f.rsplit("/", 1)[-1].split("-")[1] for f in ch.inputFiles()}
+    assert len(buckets) == 1, buckets
