@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from arlas_proc_spark.cdc.engine import CdcEngine, lww_resolve, prepare_events
 from arlas_proc_spark.cdc.salting import salted_agg
+from arlas_proc_spark.lake.ivm import IncrementalAggView
 from arlas_proc_spark.operators.ann import cosine_topk, cosine_topk_bucketed
 from arlas_proc_spark.operators.dedup_fuzzy import (
     embedding_near_dups,
@@ -193,6 +194,27 @@ def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.apply_batch(feed.where(feed.seq < half), 0)   # -> v1
     engine.apply_batch(feed.where(feed.seq >= half), 1)  # -> v2
     return engine.table.read_changes(1, 2)
+
+
+def q_cdc_ivm_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup (lake/ivm.py): per (repo, lang)
+    file count + total content length, kept in sync from the change feed
+    in O(delta) per refresh — refreshed after each of two source batches,
+    never recomputed from the table."""
+    tmp = _scratch_dir("arlas_ivm_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False)
+    view = IncrementalAggView(spark, f"{tmp}/view", engine.table,
+                              ["repo", "lang"],
+                              {"sum_len": "length(content)"},
+                              count_col="n_files", n_buckets=8)
+    feed = changefeed_df(spark, N_FEED)
+    half = N_FEED // 2
+    engine.apply_batch(feed.where(feed.seq < half), 0)
+    view.refresh()
+    engine.apply_batch(feed.where(feed.seq >= half), 1)
+    view.refresh()
+    return view.df()
 
 
 def q_cdc_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_ivm_lang_stats": q_cdc_ivm_lang_stats,
         "cdc_repo_stats": q_cdc_repo_stats,
         "stream_version_deltas": q_stream_version_deltas,
         "cdc_normalized_langs": q_cdc_normalized_langs,
@@ -1046,6 +1069,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_repo_stats": f"""
             SELECT repo, COUNT(path) AS n_files, MAX(seq) AS max_seq
             FROM ({final}) fs GROUP BY repo""",
+        "cdc_ivm_lang_stats": f"""
+            SELECT repo, lang, COUNT(*) AS n_files,
+                   coalesce(SUM(CAST(length(content) AS DOUBLE)), 0)
+                       AS sum_len
+            FROM ({final}) fs GROUP BY repo, lang""",
         "stream_version_deltas": f"""
             SELECT repo, path, seq, commit, op FROM (
               SELECT *, row_number() OVER (PARTITION BY repo, path

@@ -1,3 +1,4 @@
 from arlas_proc_spark.lake.schema_evolution import align_to_schema, evolve_schema  # noqa: F401
 from arlas_proc_spark.lake.schema_evolution import SchemaEvolutionError  # noqa: F401
 from arlas_proc_spark.lake.table import ConcurrentCommitError, LakeTable  # noqa: F401
+from arlas_proc_spark.lake.ivm import IncrementalAggView  # noqa: F401

@@ -1,0 +1,169 @@
+"""Incremental materialized-view maintenance over the snapshot change feed.
+
+The reference recomputes its summary tables from scratch on every run
+(e.g. ``fragments/FragmentSummaryTransformer.scala`` re-aggregates the
+whole fragment set per pipeline execution). At CDC scale the downstream
+half of the engine cannot afford O(table) recomputes per micro-batch:
+this module keeps grouped ADDITIVE aggregates (count / sum — and
+anything derivable from them, e.g. avg = sum/count) in sync with the
+source ``LakeTable`` in **O(changed rows)** using the retraction
+pattern from Delta CDF / Flink changelog streams:
+
+    insert, update_postimage  ->  +1 contribution
+    delete, update_preimage   ->  -1 contribution
+
+One ``refresh()`` = one pass over ``source.read_changes(cursor, v,
+include_update_preimages=True)`` (itself pruned to the buckets whose
+manifests changed), a tiny per-group delta aggregation, a key-partitioned
+join against ONLY the touched view buckets for the old values, and a
+bucket-pruned LWW merge of the new group rows (groups whose count drops
+to zero are deleted). Refreshes are exactly-once via the view table's
+own ledger (scope ``ivm``, batch id = source version): a crash between
+the merge commit and the cursor write replays as a ledger-skipped no-op
+and then advances the cursor, so redeliveries converge.
+
+Null measures: ``SUM`` over an all-null group is defined as 0.0 here
+(a running additive state has no way to distinguish "no non-null values
+yet" from "contributions cancelled out"); document-side oracles must
+``coalesce(sum(x), 0)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from arlas_proc_spark.lake.table import LakeTable, bucket_expr
+
+
+class IncrementalAggView:
+    """A grouped count/sum rollup of ``source``, maintained incrementally.
+
+    ``measures``: {output_column: SQL expression over source rows}; each
+    is summed per group (cast to double). ``count_col`` always carries
+    the live row count per group.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, source: LakeTable,
+                 group_cols: list[str], measures: dict[str, str], *,
+                 count_col: str = "n_rows", n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.measures = dict(measures)
+        self.count_col = count_col
+        self.cursor_path = os.path.join(path, "cursor.json")
+        state_path = os.path.join(path, "state")
+        if LakeTable.exists(spark, state_path):
+            self.table = LakeTable(spark, state_path)
+        else:
+            src_fields = {f.name: f for f in source.schema.fields}
+            missing = [c for c in self.group_cols if c not in src_fields]
+            if missing:
+                raise ValueError(f"group column(s) {missing} not in source "
+                                 f"schema {sorted(src_fields)}")
+            schema = StructType(
+                [src_fields[c] for c in self.group_cols]
+                + [StructField(count_col, LongType(), True)]
+                + [StructField(m, DoubleType(), True) for m in self.measures]
+                + [StructField("_src_version", LongType(), True)])
+            os.makedirs(path, exist_ok=True)
+            self.table = LakeTable.create(spark, state_path, schema,
+                                          self.group_cols, "_src_version",
+                                          n_buckets=n_buckets)
+
+    # ----------------------------------------------------------------- state
+    def cursor(self) -> int:
+        """Last source version folded into the view (0 = nothing yet)."""
+        if not os.path.exists(self.cursor_path):
+            return 0
+        with open(self.cursor_path) as f:
+            return int(json.load(f)["version"])
+
+    def _advance_cursor(self, version: int) -> None:
+        tmp = os.path.join(self.path, f".cursor.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self.cursor_path)
+
+    def df(self) -> DataFrame:
+        """Current view state (group cols + count + measures)."""
+        return self.table.read().drop("_src_version")
+
+    # --------------------------------------------------------------- refresh
+    def refresh(self) -> dict:
+        """Fold all source commits past the cursor into the view."""
+        src_v = self.source.snapshot()["version"]
+        last = self.cursor()
+        if src_v <= last:
+            return {"skipped": True, "source_version": last}
+
+        ch = self.source.read_changes(last, src_v,
+                                      include_update_preimages=True)
+        sign = F.when(F.col("change_type").isin("insert", "update_postimage"),
+                      F.lit(1)).otherwise(F.lit(-1))
+        delta = ch.groupBy(*self.group_cols).agg(
+            F.sum(sign).cast("long").alias("_d_rows"),
+            *[F.sum(sign.cast("double") * F.expr(expr).cast("double"))
+              .alias(f"_d_{name}") for name, expr in self.measures.items()])
+
+        # delta is O(touched groups) — small; persist so the touched-bucket
+        # discovery does not recompute the change-feed join
+        n_b = self.table.snapshot()["n_buckets"]
+        delta = delta.withColumn(
+            "_b", bucket_expr(self.group_cols, n_b)).persist()
+        try:
+            # one tiny aggregation over the persisted delta yields both
+            # the touched view buckets and the group count
+            bstats = (delta.groupBy("_b").count().collect())
+            touched = [int(r["_b"]) for r in bstats]
+            n_groups = int(sum(r["count"] for r in bstats))
+            if not touched:
+                self._advance_cursor(src_v)
+                return {"source_version": src_v, "groups_touched": 0,
+                        "view_buckets_touched": 0}
+
+            # old values for exactly the touched groups: read ONLY their
+            # view buckets, key-partitioned shuffle join (an outer join
+            # cannot broadcast its preserved small side, and both inputs
+            # here are already bounded by the touched buckets)
+            old = self.table.read(buckets=touched)
+            j = delta.join(old, self.group_cols, "left_outer")
+            new_n = (F.coalesce(F.col(self.count_col), F.lit(0))
+                     + F.col("_d_rows"))
+            batch = j.select(
+                *self.group_cols,
+                new_n.alias(self.count_col),
+                *[(F.coalesce(F.col(m), F.lit(0.0))
+                   + F.coalesce(F.col(f"_d_{m}"), F.lit(0.0))).alias(m)
+                  for m in self.measures],
+                F.lit(src_v).cast("long").alias("_src_version"),
+                F.when(new_n <= 0, F.lit("delete"))
+                .otherwise(F.lit("upsert")).alias("op"))
+            res = self.table.merge_batch(
+                batch, f"src-{src_v}", batch_compacted=True,
+                touched_buckets=touched, ledger_scope="ivm",
+                collect_metrics=False)
+        finally:
+            delta.unpersist()
+        self._advance_cursor(src_v)
+        return {"source_version": src_v, "groups_touched": n_groups,
+                "view_buckets_touched": len(touched),
+                **{k: v for k, v in res.items() if k != "batch_id"}}
+
+    # ------------------------------------------------------------ validation
+    def recompute_df(self) -> DataFrame:
+        """The same rollup from a full scan of the source — O(table); the
+        ground truth ``refresh()`` must converge to (test/audit path)."""
+        return (self.source.read()
+                .groupBy(*self.group_cols)
+                .agg(F.count(F.lit(1)).alias(self.count_col),
+                     *[F.coalesce(F.sum(F.expr(expr).cast("double")),
+                                  F.lit(0.0)).alias(name)
+                       for name, expr in self.measures.items()]))

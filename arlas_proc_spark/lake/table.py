@@ -248,7 +248,8 @@ class LakeTable(TableIO):
             return json.load(f)
 
     def read_changes(self, from_version: int,
-                     to_version: int | None = None) -> DataFrame:
+                     to_version: int | None = None, *,
+                     include_update_preimages: bool = False) -> DataFrame:
         """Row-level change feed between two committed snapshots — the
         downstream half of a CDC engine (Delta CDF / Iceberg
         changelog-scan analog): what would a consumer at ``from_version``
@@ -258,6 +259,10 @@ class LakeTable(TableIO):
         {'insert', 'update_postimage', 'delete'} — the post-image for
         inserts/updates, the pre-image row for deletes (projected up to
         the current schema; dropped-in-between values read as null).
+        With ``include_update_preimages`` each updated key ALSO emits its
+        old row as 'update_preimage' (Delta CDF's four-type feed) — the
+        retraction stream that lets a downstream consumer maintain
+        additive aggregates in O(delta) (see lake/ivm.py).
         Unchanged keys emit nothing; a key whose winner is identical in
         both snapshots (same seq/commit) emits nothing even if its
         bucket was rewritten in between.
@@ -317,14 +322,25 @@ class LakeTable(TableIO):
         ct = (F.when(alive_n & ~alive_o, F.lit("insert"))
               .when(alive_o & alive_n & moved, F.lit("update_postimage"))
               .when(alive_o & ~alive_n, F.lit("delete")))
-        use_old = F.col("change_type") == "delete"
-        return (j.withColumn("change_type", ct)
-                .where(F.col("change_type").isNotNull())
+        # one pass over the join: each key yields 0-2 output rows built as
+        # an array of structs and exploded (explode drops the null array
+        # of unchanged keys), so the pre-image variant never re-reads or
+        # re-joins the snapshots
+        post = F.struct(
+            *[F.when(ct == "delete", F.col(f"_o.{c}"))
+              .otherwise(F.col(f"_n.{c}")).alias(c) for c in non_key],
+            ct.alias("change_type"))
+        rows = F.when(ct.isNotNull(), F.array(post))
+        if include_update_preimages:
+            pre = F.struct(
+                *[F.col(f"_o.{c}").alias(c) for c in non_key],
+                F.lit("update_preimage").alias("change_type"))
+            rows = (F.when(ct == "update_postimage", F.array(pre, post))
+                    .otherwise(rows))
+        return (j.select(*kc, F.explode(rows).alias("_r"))
                 .select(*kc,
-                        *[F.when(use_old, F.col(f"_o.{c}"))
-                          .otherwise(F.col(f"_n.{c}")).alias(c)
-                          for c in non_key],
-                        "change_type")
+                        *[F.col(f"_r.{c}").alias(c) for c in non_key],
+                        F.col("_r.change_type").alias("change_type"))
                 .select(*[f.name for f in out_schema.fields]))
 
     # ----------------------------------------------------------------- merge
