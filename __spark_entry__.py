@@ -203,7 +203,7 @@ def q_cdc_ivm_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     never recomputed from the table."""
     tmp = _scratch_dir("arlas_ivm_")
     engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
-                       collect_metrics=False)
+                       collect_metrics=False, changefeed=True)
     view = IncrementalAggView(spark, f"{tmp}/view", engine.table,
                               ["repo", "lang"],
                               {"sum_len": "length(content)"},

@@ -68,7 +68,8 @@ class CdcEngine:
                  ledger_scope: str = "default",
                  write_mode: str = "cow",
                  quarantine_dir: str | None = None,
-                 table_io=None):
+                 table_io=None,
+                 changefeed: bool = False):
         """``broadcast_key_limit``: batches touching more distinct keys
         than this fall back from the broadcast join-back to the wide-argmax
         compaction — the winner set must fit in every executor for a
@@ -122,7 +123,7 @@ class CdcEngine:
         else:
             self.table = LakeTable.create(
                 spark, table_path, TABLE_SCHEMA, KEY_COLS, SEQ_COL,
-                n_buckets=n_buckets)
+                n_buckets=n_buckets, changefeed=changefeed)
 
     def apply_batch(self, events: DataFrame, batch_id: int | str, *,
                     assume_all_buckets: bool = False) -> dict:

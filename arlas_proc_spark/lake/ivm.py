@@ -104,8 +104,13 @@ class IncrementalAggView:
         if src_v <= last:
             return {"skipped": True, "source_version": last}
 
-        ch = self.source.read_changes(last, src_v,
-                                      include_update_preimages=True)
+        # prefer the per-commit change files emitted at merge time
+        # (source created with changefeed=True): an O(changed rows) file
+        # read; read_changes (two-snapshot diff over changed buckets) is
+        # the fallback for tables without an emitted log
+        reader = getattr(self.source, "read_change_log",
+                         self.source.read_changes)
+        ch = reader(last, src_v, include_update_preimages=True)
         sign = F.when(F.col("change_type").isin("insert", "update_postimage"),
                       F.lit(1)).otherwise(F.lit(-1))
         delta = ch.groupBy(*self.group_cols).agg(
@@ -114,7 +119,7 @@ class IncrementalAggView:
               .alias(f"_d_{name}") for name, expr in self.measures.items()])
 
         # delta is O(touched groups) — small; persist so the touched-bucket
-        # discovery does not recompute the change-feed join
+        # discovery does not recompute the change-feed read
         n_b = self.table.snapshot()["n_buckets"]
         delta = delta.withColumn(
             "_b", bucket_expr(self.group_cols, n_b)).persist()
@@ -129,27 +134,23 @@ class IncrementalAggView:
                 return {"source_version": src_v, "groups_touched": 0,
                         "view_buckets_touched": 0}
 
-            # old values for exactly the touched groups: read ONLY their
-            # view buckets, key-partitioned shuffle join (an outer join
-            # cannot broadcast its preserved small side, and both inputs
-            # here are already bounded by the touched buckets)
-            old = self.table.read(buckets=touched)
-            j = delta.join(old, self.group_cols, "left_outer")
-            new_n = (F.coalesce(F.col(self.count_col), F.lit(0))
-                     + F.col("_d_rows"))
-            batch = j.select(
+            # single-join refresh: the deltas go straight into the merge
+            # as ADDITIVE columns — merge_batch's own full-outer join
+            # supplies the old values (tombstone-guarded), and the
+            # count-folds-to-zero deletion is its delete_condition. No
+            # pre-join against the view state.
+            batch = delta.select(
                 *self.group_cols,
-                new_n.alias(self.count_col),
-                *[(F.coalesce(F.col(m), F.lit(0.0))
-                   + F.coalesce(F.col(f"_d_{m}"), F.lit(0.0))).alias(m)
-                  for m in self.measures],
+                F.col("_d_rows").alias(self.count_col),
+                *[F.col(f"_d_{m}").alias(m) for m in self.measures],
                 F.lit(src_v).cast("long").alias("_src_version"),
-                F.when(new_n <= 0, F.lit("delete"))
-                .otherwise(F.lit("upsert")).alias("op"))
+                F.lit("upsert").alias("op"))
             res = self.table.merge_batch(
                 batch, f"src-{src_v}", batch_compacted=True,
                 touched_buckets=touched, ledger_scope="ivm",
-                collect_metrics=False)
+                collect_metrics=False,
+                additive_cols=[self.count_col, *self.measures],
+                delete_condition=lambda v: v[self.count_col] <= 0)
         finally:
             delta.unpersist()
         self._advance_cursor(src_v)

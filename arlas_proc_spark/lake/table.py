@@ -46,6 +46,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import (
     BooleanType,
     StringType,
@@ -90,11 +91,20 @@ class LakeTable(TableIO):
         self.meta_dir = os.path.join(path, "meta")
         self.data_dir = os.path.join(path, "data")
         self.lineage_dir = os.path.join(path, "lineage")
+        self.changes_dir = os.path.join(path, "changes")
 
     # ---------------------------------------------------------------- create
     @classmethod
     def create(cls, spark: SparkSession, path: str, schema: StructType,
-               key_cols: list[str], seq_col: str, n_buckets: int = 16) -> "LakeTable":
+               key_cols: list[str], seq_col: str, n_buckets: int = 16,
+               changefeed: bool = False) -> "LakeTable":
+        """``changefeed=True`` (Delta's delta.enableChangeDataFeed): every
+        ``merge_batch`` ALSO writes its change rows (insert /
+        update_preimage / update_postimage / delete) as a per-commit file,
+        emitted from the merge join itself — so ``read_change_log`` costs
+        O(changed rows) instead of a two-snapshot diff over the touched
+        buckets. Worth it whenever downstream consumers (incremental
+        views, replication) tail the table."""
         t = cls(spark, path)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -104,6 +114,7 @@ class LakeTable(TableIO):
             "key_cols": key_cols,
             "seq_col": seq_col,
             "n_buckets": n_buckets,
+            "changefeed": bool(changefeed),
             "buckets": {},          # bucket -> [{file, schema_v}]
             # scopes: per-stream exactly-once watermarks (Delta txnAppId)
             "ledger": {"scopes": {}, "recent": [], "metrics": {}},
@@ -247,6 +258,12 @@ class LakeTable(TableIO):
         with open(p) as f:
             return json.load(f)
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: the table exactly as of a committed snapshot
+        (Iceberg ``VERSION AS OF``). Same pruned/lazy read path as
+        ``read()``, just against the historical manifest."""
+        return self.read(snapshot=self.snapshot_at(version))
+
     def read_changes(self, from_version: int,
                      to_version: int | None = None, *,
                      include_update_preimages: bool = False) -> DataFrame:
@@ -351,12 +368,28 @@ class LakeTable(TableIO):
                     batch_compacted: bool = False,
                     touched_buckets: list[int] | None = None,
                     ledger_scope: str = "default",
-                    extra_metrics: dict | None = None) -> dict:
+                    extra_metrics: dict | None = None,
+                    additive_cols: list[str] | None = None,
+                    delete_condition=None) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         ``extra_metrics``: caller-supplied metrics (e.g. quarantine
         counts) folded into the batch's ledger entry so they are visible
         through ``lineage()``.
+
+        ``additive_cols``: columns merged as RUNNING TOTALS instead of
+        replaced — winner value = old + batch contribution (tombstoned
+        old rows contribute zero; a batch-less key keeps its old value).
+        This is what lets an incremental-view consumer (lake/ivm.py)
+        fold per-group deltas in the merge's OWN join instead of
+        pre-joining old values — one key-partitioned join per refresh,
+        not two. Additive merges are NOT per-row idempotent: exactly-once
+        depends on the ledger layer (layer 2), so callers must use
+        strictly-increasing ``seq`` per batch and never bypass batch ids.
+        ``delete_condition``: callable mapping {column: merged-value
+        Column} → boolean Column; a matched key whose merged values
+        satisfy it is deleted (e.g. a counter folding to zero) — only
+        knowable POST-merge, which is why it is not an op value.
 
         Semantics (Iceberg ``MERGE INTO t USING s ON key``):
           WHEN MATCHED AND s.seq > t.seq AND s.op =  'delete' THEN DELETE
@@ -506,19 +539,66 @@ class LakeTable(TableIO):
                               F.coalesce(F.col("_e_commit"), F.lit(""))))
         use_new = has_n & (~has_e | newer)
 
-        picked = [
-            (F.coalesce(F.col(f"_n_{f.name}"), F.col(f"_e_{f.name}"))
-             if f.name in key_cols
-             else F.when(use_new, F.col(f"_n_{f.name}"))
-                   .otherwise(F.col(f"_e_{f.name}"))).alias(f.name)
-            for f in table_schema.fields
-        ]
-        is_delete = F.when(use_new, F.col(f"_n_{op_col}") == F.lit(delete_value)) \
-                     .otherwise(F.col(f"_e_{_TOMB}"))
+        def _val(f):
+            if f.name in key_cols:
+                return F.coalesce(F.col(f"_n_{f.name}"),
+                                  F.col(f"_e_{f.name}"))
+            if additive_cols and f.name in additive_cols:
+                # running-total merge: winner = old + batch contribution,
+                # with a tombstoned old row (a previously-deleted key being
+                # revived) contributing zero, not its stale stored value
+                zero = F.lit(0).cast(f.dataType)
+                e_val = F.when(~F.col(f"_e_{_TOMB}"),
+                               F.col(f"_e_{f.name}")).otherwise(zero)
+                summed = (F.coalesce(e_val, zero)
+                          + F.coalesce(F.col(f"_n_{f.name}"), zero))
+                return F.when(use_new, summed) \
+                        .otherwise(F.col(f"_e_{f.name}"))
+            return F.when(use_new, F.col(f"_n_{f.name}")) \
+                    .otherwise(F.col(f"_e_{f.name}"))
+
+        vals = {f.name: _val(f) for f in table_schema.fields}
+        picked = [vals[name].alias(name) for name in vals]
+        del_now = F.col(f"_n_{op_col}") == F.lit(delete_value)
+        if delete_condition is not None:
+            # value-derived deletion (e.g. a counter folding to zero),
+            # evaluated over the MERGED values — only additive consumers
+            # can know deletion post-merge
+            del_now = del_now | F.coalesce(delete_condition(vals),
+                                           F.lit(False))
+        is_delete = F.when(use_new, del_now).otherwise(F.col(f"_e_{_TOMB}"))
+        # change-data-feed emission (opt-in at create): the merge join is
+        # the ONE place that sees both the pre-image and the winner, so the
+        # per-commit change rows come out as a by-product — classified
+        # here, materialized after the state write from the cached join
+        # output. An idempotent re-apply (same seq+commit) emits nothing.
+        cdf_on = bool(snap.get("changefeed"))
+        cdf_cols = []
+        if cdf_on:
+            alive_e = has_e & ~F.col(f"_e_{_TOMB}")
+            new_is_del = del_now
+            cdf_moved = ~F.col(f"_n_{seq_col}").eqNullSafe(
+                F.col(f"_e_{seq_col}"))
+            if "commit" in {f.name for f in table_schema.fields}:
+                cdf_moved = cdf_moved | ~F.col("_n_commit").eqNullSafe(
+                    F.col("_e_commit"))
+            cdf_type = (
+                F.when(use_new & ~new_is_del & ~alive_e, F.lit("insert"))
+                .when(use_new & ~new_is_del & alive_e & cdf_moved,
+                      F.lit("update_postimage"))
+                .when(use_new & new_is_del & alive_e, F.lit("delete")))
+            cdf_cols = [
+                F.struct(*[F.col(f"_e_{f.name}").alias(f.name)
+                           for f in table_schema.fields]).alias("_pre"),
+                cdf_type.alias("_cdf")]
         merged = j.select(*picked, is_delete.alias(_TOMB),
                           use_new.alias("_is_new"),
-                          (use_new & (F.col(f"_n_{op_col}") == delete_value)
-                           ).alias("_is_del"))
+                          (use_new & del_now).alias("_is_del"), *cdf_cols)
+        if cdf_on:
+            # two actions consume the join (state write, change write);
+            # cache it so the second reads O(touched buckets) from local
+            # storage instead of re-running the merge
+            merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
 
         # 6. metrics ride the write action itself via Observation — zero
         #    extra pass (a separate .agg() would re-execute the whole merge
@@ -526,9 +606,10 @@ class LakeTable(TableIO):
         metrics = {"batch_id": bid, "buckets_touched": len(touched),
                    **base_metrics}
         obs = None
+        observed = merged
         if collect_metrics:
             obs = Observation()
-            merged = merged.observe(
+            observed = merged.observe(
                 obs,
                 F.sum(F.when(F.col("_is_new") & ~F.col("_is_del"), 1)
                       .otherwise(0)).alias("rows_upserted"),
@@ -539,7 +620,7 @@ class LakeTable(TableIO):
 
         # deletes persist as tombstone rows (compaction may drop them once
         # no lower-seq event can still arrive)
-        out = merged.select(
+        out = observed.select(
             *[f.name for f in table_schema.fields], _TOMB,
             bucket_expr(key_cols, n_buckets).alias(_BUCKET))
 
@@ -558,6 +639,37 @@ class LakeTable(TableIO):
                 "rows_deleted": int(got["rows_deleted"] or 0),
                 "keys_considered": int(got["keys_considered"] or 0),
             })
+        if cdf_on:
+            try:
+                fields = table_schema.fields
+                post = F.struct(
+                    *[F.col(f.name) for f in fields],
+                    F.col("_cdf").alias("change_type"))
+
+                def _pre(tag: str):
+                    return F.struct(
+                        *[F.col(f"_pre.{f.name}").alias(f.name)
+                          for f in fields],
+                        F.lit(tag).alias("change_type"))
+
+                ch_rows = (
+                    F.when(F.col("_cdf") == "insert", F.array(post))
+                    .when(F.col("_cdf") == "update_postimage",
+                          F.array(_pre("update_preimage"), post))
+                    .when(F.col("_cdf") == "delete",
+                          F.array(_pre("delete"))))
+                ch = (merged.where(F.col("_cdf").isNotNull())
+                      .select(F.explode(ch_rows).alias("_r"))
+                      .select("_r.*"))
+                snap["changes"] = self._write_change_files(
+                    ch, version, schema_v, token)
+                metrics["changes_rows"] = snap["changes"]["rows"]
+            finally:
+                merged.unpersist()
+        else:
+            # a feed-less commit must not inherit the PREVIOUS version's
+            # change-file entry through the mutated snapshot dict
+            snap.pop("changes", None)
         for b in touched:
             snap["buckets"][str(b)] = staged.get(int(b), [])
         # the cow rewrite collapsed each touched bucket to one generation —
@@ -575,6 +687,95 @@ class LakeTable(TableIO):
                                                        token=token))
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
+
+    def _write_change_files(self, ch: DataFrame, version: int,
+                            schema_v: int, token: str) -> dict:
+        """Materialize one commit's change rows (table columns +
+        change_type) under changes/; names carry the commit-attempt token
+        (losing writers leave orphans, GC-able) and are recorded in the
+        committing snapshot only, so each snapshot references exactly its
+        own version's feed."""
+        os.makedirs(self.changes_dir, exist_ok=True)
+        stage = os.path.join(self.path, f".chstage-{uuid.uuid4().hex}")
+        ch.write.mode("overwrite").parquet(stage)
+        import pyarrow.parquet as pq
+        files, rows = [], 0
+        for i, part in enumerate(sorted(
+                glob.glob(os.path.join(stage, "part-*.parquet")))):
+            meta = pq.ParquetFile(part).metadata
+            if meta.num_rows == 0:
+                continue
+            name = f"c{version}-{i}-{token}.parquet"
+            os.replace(part, os.path.join(self.changes_dir, name))
+            files.append(name)
+            rows += meta.num_rows
+        shutil.rmtree(stage, ignore_errors=True)
+        return {"version": version, "files": files, "schema_v": schema_v,
+                "rows": int(rows)}
+
+    def read_change_log(self, from_version: int,
+                        to_version: int | None = None, *,
+                        include_update_preimages: bool = False) -> DataFrame:
+        """The change feed between two versions, served from the per-commit
+        change files written at merge time (``create(changefeed=True)``)
+        whenever they exist — an O(changed rows) file read with no
+        snapshot join. Version steps without an emitted file (append-mode
+        commits, overwrites, pre-changefeed history) are snapshot-diffed
+        via ``read_changes``, with CONSECUTIVE file-less steps collapsed
+        into one diff. Logical no-op commits (compaction, empty batches)
+        contribute nothing without any scan.
+
+        Semantics differ from ``read_changes`` exactly as Delta CDF
+        differs from a snapshot diff: the log is per-commit, so a key
+        changed twice emits both transitions (net-zero pairs included);
+        additive consumers (lake/ivm.py) fold either form identically."""
+        cur_v = self.snapshot()["version"]
+        if to_version is None:
+            to_version = cur_v
+        if not 0 <= from_version <= to_version <= cur_v:
+            raise ValueError(f"need 0 <= from {from_version} <= to "
+                             f"{to_version} <= current {cur_v}")
+        table_schema = StructType.fromJson(
+            self.snapshot_at(to_version)["schema"])
+        out_schema = StructType(list(table_schema.fields) +
+                                [StructField("change_type", StringType(),
+                                             True)])
+        parts: list[DataFrame] = []
+        v = from_version + 1
+        while v <= to_version:
+            s = self.snapshot_at(v)
+            entry = s.get("changes")
+            if entry is not None and entry.get("version") == v:
+                if entry["files"]:
+                    fsch = StructType.fromJson(
+                        s["schemas"][str(entry["schema_v"])])
+                    ch_schema = StructType(
+                        list(fsch.fields)
+                        + [StructField("change_type", StringType(), True)])
+                    df = self.spark.read.schema(ch_schema).parquet(
+                        *[os.path.join(self.changes_dir, f)
+                          for f in entry["files"]])
+                    if not include_update_preimages:
+                        df = df.where(
+                            F.col("change_type") != "update_preimage")
+                    parts.append(align_to_schema(df, out_schema))
+                v += 1
+            else:
+                start = v - 1
+                while v <= to_version:
+                    e = self.snapshot_at(v).get("changes")
+                    if e is not None and e.get("version") == v:
+                        break
+                    v += 1
+                parts.append(align_to_schema(
+                    self.read_changes(
+                        start, v - 1,
+                        include_update_preimages=include_update_preimages),
+                    out_schema))
+        if not parts:
+            return (self.spark.createDataFrame([], out_schema)
+                    .where(F.lit(False)))
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def _write_bucket_files(self, df: DataFrame, version: int, schema_v: int,
                             n_buckets: int, key_cols: list[str] | None = None,
@@ -777,6 +978,10 @@ class LakeTable(TableIO):
             snap["buckets"][str(b)].extend(files)
             mor.add(str(b))
         snap["mor_buckets"] = sorted(mor, key=int)
+        # append mode has no pre-images in hand (that's its whole point:
+        # no current-state read) — no change file; read_change_log
+        # snapshot-diffs this step
+        snap.pop("changes", None)
         metrics["buckets_touched"] = len(staged)
         snap["version"] = version
         metrics["wall_s"] = round(time.time() - t0, 3)
@@ -806,6 +1011,10 @@ class LakeTable(TableIO):
             if _ledger_contains(snap["ledger"], bid, scope):
                 return {"batch_id": bid, "skipped": True}
             snap["version"] += 1
+            # logical no-op: read_change_log skips this step without a scan
+            snap["changes"] = {"version": snap["version"], "files": [],
+                               "schema_v": max(int(x) for x in snap["schemas"]),
+                               "rows": 0}
             metrics = {"batch_id": bid, "empty": True,
                        **(extra_metrics or {})}
             _ledger_add(snap["ledger"], bid, metrics, scope)
@@ -852,6 +1061,7 @@ class LakeTable(TableIO):
                                           key_cols=key_cols, token=token)
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
+        snap.pop("changes", None)  # full replace: step is snapshot-diffed
         snap["version"] = version
         metrics = {"batch_id": str(batch_id), "overwrite": True}
         _ledger_add(snap["ledger"], str(batch_id), metrics)
@@ -902,6 +1112,9 @@ class LakeTable(TableIO):
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
         snap["mor_buckets"] = sorted(mor - {str(b) for b in victims}, key=int)
+        # compaction never changes logical state: a change-log no-op
+        snap["changes"] = {"version": version, "files": [],
+                           "schema_v": schema_v, "rows": 0}
         snap["version"] = version
         metrics = {"compacted_buckets": len(victims),
                    "batch_id": batch_id or f"compact-{version}"}
@@ -926,12 +1139,15 @@ class LakeTable(TableIO):
         keep = set(names[-keep_last:]) | {current}
         referenced: set[str] = set()
         referenced_lineage: set[str] = set()
+        referenced_changes: set[str] = set()
         for name in keep:
             with open(os.path.join(self.meta_dir, name)) as f:
                 snap = json.load(f)
             for files in snap["buckets"].values():
                 referenced.update(e["file"] for e in files)
             referenced_lineage.update(snap.get("lineage_files", []))
+            referenced_changes.update((snap.get("changes") or
+                                       {}).get("files", []))
         dropped_snaps = 0
         for name in names:
             if name not in keep:
@@ -953,9 +1169,21 @@ class LakeTable(TableIO):
                 if fname not in referenced_lineage:
                     os.remove(os.path.join(self.lineage_dir, fname))
                     dropped_lineage += 1
+        # change-feed retention mirrors snapshot retention: each snapshot
+        # references exactly its own commit's change files, so expiring a
+        # snapshot expires its slice of the feed (Delta CDF's retention
+        # rule); consumers further behind fall back to snapshot diffs
+        # while those snapshots last, then fail loudly in snapshot_at
+        dropped_changes = 0
+        if os.path.isdir(self.changes_dir):
+            for fname in os.listdir(self.changes_dir):
+                if fname not in referenced_changes:
+                    os.remove(os.path.join(self.changes_dir, fname))
+                    dropped_changes += 1
         return {"snapshots_expired": dropped_snaps,
                 "orphan_files_removed": dropped_files,
                 "orphan_lineage_removed": dropped_lineage,
+                "orphan_changes_removed": dropped_changes,
                 "snapshots_retained": len(keep)}
 
     # --------------------------------------------------------------- lineage

@@ -44,7 +44,8 @@ class StreamingIngest:
                  stream_dedup: bool = True, collect_metrics: bool = True,
                  event_schema=None, wal_format: str = "parquet",
                  write_mode: str = "cow", compact_every: int | None = None,
-                 quarantine_dir: str | None = None):
+                 quarantine_dir: str | None = None,
+                 views: list | None = None):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -59,7 +60,12 @@ class StreamingIngest:
         so periodic availableNow drains (each constructing a fresh
         StreamingIngest) still compact on schedule. Compaction commits
         its own ledgered snapshot; a crash between apply and compact
-        loses only the compaction, never data."""
+        loses only the compaction, never data.
+        ``views``: IncrementalAggView instances over this table, refreshed
+        after every committed micro-batch — the full production loop
+        (WAL → table → rollups) stays O(delta) end to end. Each view's
+        cursor/ledger makes the refresh exactly-once, so a crash between
+        table commit and view refresh replays safely on resume."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -75,6 +81,7 @@ class StreamingIngest:
         self.event_schema = event_schema or EVENT_SCHEMA
         self.wal_format = wal_format
         self.compact_every = compact_every
+        self.views = list(views or [])
 
     def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
         raw = read_stream(self.spark, wal_dir, self.event_schema,
@@ -134,6 +141,11 @@ class StreamingIngest:
                         max_files_per_bucket=self.compact_every - 1,
                         batch_id=f"autocompact-{self.engine.ledger_scope[:8]}"
                                  f"-v{snap['version']}")
+            # downstream rollups ride the same loop: each refresh folds
+            # exactly this batch's change feed (O(delta)); skipped
+            # redeliveries refresh as no-ops via the view cursor
+            for v in self.views:
+                v.refresh()
 
         writer = (events.writeStream
                   .foreachBatch(_apply)

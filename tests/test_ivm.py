@@ -179,3 +179,32 @@ def test_mor_source_change_feed_drives_view(spark, tmp_path, src):
     ]), 1)
     view.refresh()
     assert _snap(view) == {("r1",): (1, 4.0)} == _truth(view)
+
+
+def test_view_over_changefeed_table_uses_emitted_log(spark, tmp_path):
+    """With a changefeed=True source, refresh folds the merge-emitted
+    per-commit files (net-zero pairs included) to the same state as the
+    snapshot-diff fallback and the full recompute."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                           ["repo", "path"], "seq", n_buckets=4,
+                           changefeed=True)
+    view = _mk_view(spark, tmp_path, src, n_buckets=4)
+    src.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "xx"),
+        _ev(2, "insert", "r2", "b.py", "c2", "yyy"),
+    ]), 0)
+    view.refresh()
+    # two commits folded at once: a.py changes twice -> the per-commit log
+    # emits BOTH transitions; additive folding must still net out
+    src.merge_batch(_batch(spark, [
+        _ev(3, "update", "r1", "a.py", "c3", "xxxx"),
+    ]), 1)
+    src.merge_batch(_batch(spark, [
+        _ev(4, "update", "r1", "a.py", "c4", "xxxxxx"),
+        _ev(5, "delete", "r2", "b.py", "c5", None),
+    ]), 2)
+    log = src.read_change_log(1, 3, include_update_preimages=True)
+    # v2: a.py pre+post; v3: a.py pre+post, b.py delete preimage
+    assert log.count() == 5
+    view.refresh()
+    assert _snap(view) == {("r1",): (1, 6.0)} == _truth(view)

@@ -529,3 +529,121 @@ def test_read_changes_prunes_untouched_buckets(spark, tmp_path):
         [("f0.py", "update_postimage")]
     buckets = {f.rsplit("/", 1)[-1].split("-")[1] for f in ch.inputFiles()}
     assert len(buckets) == 1, buckets
+
+
+def test_change_log_emitted_at_merge_time(spark, tmp_path):
+    """changefeed=True tables write per-commit change files from the merge
+    join; read_change_log serves them (preimages included) without a
+    snapshot diff, and matches read_changes for single steps."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4,
+                         changefeed=True)
+    m = t.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "old"),
+        _ev(2, "insert", "r1", "b.py", "c2", "keep"),
+    ]), 0)
+    assert m["changes_rows"] == 2
+    m = t.merge_batch(_batch(spark, [
+        _ev(3, "update", "r1", "a.py", "c3", "new!"),
+        _ev(4, "delete", "r1", "b.py", "c4", None),
+        _ev(5, "insert", "r1", "c.py", "c5", "ins"),
+    ]), 1)
+    assert m["changes_rows"] == 4  # pre+post, delete preimage, insert
+    # served purely from the emitted files (no diff): every snapshot
+    # carries its own version's file list
+    assert t.snapshot_at(2)["changes"]["version"] == 2
+    got = {(r.path, r.change_type): r.content
+           for r in t.read_change_log(
+               1, 2, include_update_preimages=True).collect()}
+    assert got == {
+        ("a.py", "update_preimage"): "old",
+        ("a.py", "update_postimage"): "new!",
+        ("b.py", "delete"): "keep",
+        ("c.py", "insert"): "ins",
+    }
+    # without preimages == the snapshot-diff feed
+    log3 = {(r.path, r.change_type) for r in t.read_change_log(1, 2).collect()}
+    diff3 = {(r.path, r.change_type) for r in t.read_changes(1, 2).collect()}
+    assert log3 == diff3
+    # idempotent redelivery of batch 1 emits nothing (ledger skip)
+    t.merge_batch(_batch(spark, [
+        _ev(3, "update", "r1", "a.py", "c3", "new!"),
+    ]), 1)
+    assert t.snapshot()["version"] == 2
+
+
+def test_change_log_mixed_steps_and_noops(spark, tmp_path):
+    """Log-less steps (append-mode commits) snapshot-diff; compaction and
+    empty batches contribute nothing; the multi-version log folds to the
+    same additive net as the collapsed diff."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4,
+                         changefeed=True)
+    t.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+    ]), 0)                                                   # v1: log
+    t.append_batch(_batch(spark, [
+        _ev(2, "update", "r1", "a.py", "c2", "v2"),
+        _ev(3, "insert", "r1", "b.py", "c3", "w1"),
+    ]), 1)                                                   # v2: no log
+    t.commit_empty_batch(4)                                  # v3: noop
+    t.merge_batch(_batch(spark, [
+        _ev(5, "update", "r1", "b.py", "c5", "w2"),
+    ]), 5)                                                   # v4: log
+    log = {(r.path, r.change_type, r.content)
+           for r in t.read_change_log(0, 4).collect()}
+    assert log == {
+        ("a.py", "insert", "v1"),
+        ("a.py", "update_postimage", "v2"),   # diffed step
+        ("b.py", "insert", "w1"),
+        ("b.py", "update_postimage", "w2"),
+    }
+    # noop steps alone produce an empty feed
+    assert t.read_change_log(2, 3).count() == 0
+
+
+def test_expire_snapshots_gcs_change_files(spark, tmp_path):
+    import os as _os
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2,
+                         changefeed=True)
+    for i in range(4):
+        t.merge_batch(_batch(spark, [
+            _ev(i + 1, "insert", "r1", f"f{i}.py", f"c{i}", f"v{i}"),
+        ]), i)
+    n_before = len(_os.listdir(t.changes_dir))
+    out = t.expire_snapshots(keep_last=2)
+    assert out["orphan_changes_removed"] > 0
+    assert len(_os.listdir(t.changes_dir)) < n_before
+    # retained window still serves its log
+    assert t.read_change_log(3, 4).count() == 1
+
+
+def test_additive_merge_and_delete_condition(spark, tmp_path):
+    """additive_cols merge as running totals inside the merge join:
+    old + contribution, tombstoned old rows contribute zero (revival),
+    batch-less keys keep their value; delete_condition drops keys whose
+    merged counter folds to zero."""
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["k"], "seq",
+                         n_buckets=2)
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "k string, n long, seq long, op string")
+
+    kw = dict(batch_compacted=True, additive_cols=["n"],
+              delete_condition=lambda v: v["n"] <= 0)
+    t.merge_batch(b([("a", 2, 1, "upsert"), ("b", 5, 1, "upsert")]), 0, **kw)
+    t.merge_batch(b([("a", 3, 2, "upsert")]), 1, **kw)          # b untouched
+    assert {r.k: r.n for r in t.read().collect()} == {"a": 5, "b": 5}
+    t.merge_batch(b([("a", -5, 3, "upsert")]), 2, **kw)         # fold to 0
+    assert {r.k: r.n for r in t.read().collect()} == {"b": 5}
+    t.merge_batch(b([("a", 7, 4, "upsert")]), 3, **kw)          # revival:
+    # the tombstone's stored 0 must contribute 0, not resurrect stale state
+    assert {r.k: r.n for r in t.read().collect()} == {"a": 7, "b": 5}

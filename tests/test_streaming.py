@@ -319,3 +319,64 @@ def test_stream_orc_wal_segments(spark, tmp_path):
                           collect_metrics=False, wal_format="orc")
     ing.run_to_completion(wal, str(tmp_path / "ckpt"), max_files_per_trigger=1)
     assert _state(ing) == _oracle(800)
+
+
+def test_streaming_views_ride_the_ingest_loop(spark, tmp_path):
+    """IncrementalAggViews passed to StreamingIngest refresh after every
+    micro-batch; after the drain they equal a full recompute, and a
+    resumed drain with the same checkpoint leaves them unchanged."""
+    from arlas_proc_spark.lake.ivm import IncrementalAggView
+
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, N, n_batches=4)
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=8,
+                          collect_metrics=False)
+    view = IncrementalAggView(spark, str(tmp_path / "view"),
+                              ing.engine.table, ["repo"],
+                              {"sum_len": "length(content)"}, n_buckets=8)
+    ing.views.append(view)
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"),
+                          max_files_per_trigger=2)
+    assert view.cursor() == ing.engine.table.snapshot()["version"]
+    inc = {r.repo: (r.n_rows, r.sum_len) for r in view.df().collect()}
+    full = {r.repo: (r.n_rows, r.sum_len)
+            for r in view.recompute_df().collect()}
+    assert inc == full and len(inc) > 0
+    # redelivered drain: table ledger skips, view cursor no-ops
+    ing2 = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=8,
+                           collect_metrics=False, views=[view])
+    ing2.run_to_completion(wal, str(tmp_path / "ckpt"),
+                           max_files_per_trigger=2)
+    assert {r.repo: (r.n_rows, r.sum_len)
+            for r in view.df().collect()} == inc
+
+
+def test_read_version_time_travel(spark, tmp_path):
+    """read_version(v) reproduces the table exactly as of snapshot v."""
+    from arlas_proc_spark.lake.table import LakeTable
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("content", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path"], "seq", n_buckets=4)
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "seq long, op string, repo string, path string,"
+            " commit string, content string"
+        ).select("repo", "path", "commit", "seq", "content", "op")
+
+    t.merge_batch(b([(1, "insert", "r1", "a.py", "c1", "v1")]), 0)   # v1
+    t.merge_batch(b([(2, "update", "r1", "a.py", "c2", "v2"),
+                     (3, "insert", "r1", "b.py", "c3", "w1")]), 1)   # v2
+    assert [(r.path, r.content) for r in
+            t.read_version(1).orderBy("path").collect()] == [("a.py", "v1")]
+    assert [(r.path, r.content) for r in
+            t.read_version(2).orderBy("path").collect()] == \
+        [("a.py", "v2"), ("b.py", "w1")]
