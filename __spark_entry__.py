@@ -196,6 +196,27 @@ def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.table.read_changes(1, 2)
 
 
+def q_cdc_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chaining: apply the feed to a changefeed=True source table,
+    then keep a SECOND lake table in sync by streaming the source's
+    emitted change files (streaming/replicate.py). The replica must land
+    on the same final state as a direct replay."""
+    from arlas_proc_spark.streaming.replicate import ChangeLogReplicator
+    tmp = _scratch_dir("arlas_repl_")
+    engine = CdcEngine(spark, f"{tmp}/src", n_buckets=8,
+                       collect_metrics=False, changefeed=True)
+    feed = changefeed_df(spark, N_FEED)
+    half = N_FEED // 2
+    engine.apply_batch(feed.where(feed.seq < half), 0)
+    engine.apply_batch(feed.where(feed.seq >= half), 1)
+    rep = ChangeLogReplicator(spark, engine.table, f"{tmp}/replica",
+                              n_buckets=8)
+    rep.run_to_completion(f"{tmp}/ckpt")
+    return rep.state().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
 def q_cdc_ivm_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained rollup (lake/ivm.py): per (repo, lang)
     file count + total content length, kept in sync from the change feed
@@ -831,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_ivm_lang_stats": q_cdc_ivm_lang_stats,
+        "cdc_replicated": q_cdc_replicated,
         "cdc_repo_stats": q_cdc_repo_stats,
         "stream_version_deltas": q_stream_version_deltas,
         "cdc_normalized_langs": q_cdc_normalized_langs,
@@ -1021,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_final_state": final,
         "cdc_lake_replay": final,
         "cdc_mor_replay": final,
+        "cdc_replicated": final,
         "cdc_change_feed": f"""
             WITH w1 AS (
               SELECT * FROM (

@@ -658,9 +658,16 @@ class LakeTable(TableIO):
                           F.array(_pre("update_preimage"), post))
                     .when(F.col("_cdf") == "delete",
                           F.array(_pre("delete"))))
+                # _change_version stamps replay order: a delete row
+                # reuses its pre-image's (seq, commit), so data columns
+                # alone cannot order a key's transitions — the commit
+                # version can (Delta CDF's _commit_version). Readers with
+                # a pinned schema (read_change_log) simply project it out.
                 ch = (merged.where(F.col("_cdf").isNotNull())
                       .select(F.explode(ch_rows).alias("_r"))
-                      .select("_r.*"))
+                      .select("_r.*",
+                              F.lit(version).cast("long")
+                              .alias("_change_version")))
                 snap["changes"] = self._write_change_files(
                     ch, version, schema_v, token)
                 metrics["changes_rows"] = snap["changes"]["rows"]

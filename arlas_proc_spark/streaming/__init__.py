@@ -1,1 +1,2 @@
 from arlas_proc_spark.streaming.ingest import StreamingIngest  # noqa: F401
+from arlas_proc_spark.streaming.replicate import ChangeLogReplicator  # noqa: F401

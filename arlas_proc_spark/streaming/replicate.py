@@ -1,0 +1,121 @@
+"""Lake-to-lake replication by tailing the change-data-feed.
+
+A ``changefeed=True`` table's ``changes/`` directory is itself an ordered
+WAL: one file set per commit, append-only, never rewritten. So the
+DOWNSTREAM hop of a CDC chain is the same machinery as the upstream one —
+a Structured Streaming file source tails the change files and a
+``foreachBatch`` merges them into a replica ``LakeTable``:
+
+    source lake  --merge_batch-->  changes/  --readStream-->  replica lake
+
+Exactly-once composes the same three layers as ingest (checkpointed
+offsets → replica ledger scoped by checkpoint → keyed LWW merge), so
+redelivered change files converge. Ordering needs no coordination:
+every change row carries the SOURCE row's seq (the delete row carries
+the deleted winner's pre-image seq), and the replica's LWW rule makes
+late/duplicated rows lose exactly when they should — an update at seq 9
+arriving before a stale delete pre-image at seq 5 leaves the update in
+place.
+
+Reference analog: the reference pushes final state to an external store
+(``sql/WritableDataFrame.scala:83-107``, Elasticsearch doc-id upsert);
+here the downstream store is another lake table and the feed is the
+table's own CDF, so a chain of tables stays in sync incrementally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from arlas_proc_spark.lake.table import LakeTable
+
+
+class ChangeLogReplicator:
+    def __init__(self, spark: SparkSession, source: LakeTable,
+                 target_path: str, *, n_buckets: int | None = None,
+                 change_schema: StructType | None = None):
+        """``n_buckets`` defaults to the source's (buckets need not match
+        — the replica re-buckets by its own transform). ``change_schema``
+        pins the file-source schema; pass a WIDENED one after upstream
+        schema evolution, like StreamingIngest's ``event_schema`` (a file
+        source cannot discover new columns mid-stream)."""
+        self.spark = spark
+        self.source = source
+        src = source.snapshot()
+        if not src.get("changefeed"):
+            raise ValueError(
+                "source table was not created with changefeed=True; "
+                "replication tails the emitted change files")
+        table_schema = StructType.fromJson(src["schema"])
+        self.key_cols = list(src["key_cols"])
+        self.change_schema = change_schema or StructType(
+            list(table_schema.fields)
+            + [StructField("change_type", StringType(), True),
+               StructField("_change_version", LongType(), True)])
+        if LakeTable.exists(spark, target_path):
+            self.target = LakeTable(spark, target_path)
+        else:
+            self.target = LakeTable.create(
+                spark, target_path, table_schema, src["key_cols"],
+                src["seq_col"], n_buckets=n_buckets or src["n_buckets"])
+
+    def start(self, checkpoint_dir: str, *, max_files_per_trigger: int = 8,
+              available_now: bool = True):
+        scope = "replica-" + hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
+        raw = (self.spark.readStream.schema(self.change_schema)
+               .option("maxFilesPerTrigger", str(max_files_per_trigger))
+               .parquet(self.source.changes_dir))
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            # post-images upsert, delete pre-images delete; update
+            # pre-images are retraction bookkeeping, not state
+            batch = (batch_df
+                     .where(F.col("change_type") != "update_preimage")
+                     .withColumn("op", F.when(
+                         F.col("change_type") == "delete",
+                         F.lit("delete")).otherwise(F.lit("upsert")))
+                     .drop("change_type"))
+            # one micro-batch may span several source commits touching
+            # the same key; compact to the NEWEST transition by commit
+            # version — a delete row reuses its pre-image's (seq, commit),
+            # so the table's own LWW columns cannot order transitions
+            # within a batch (across batches the merge's tie-goes-to-batch
+            # rule handles it)
+            cols = [c for c in batch.columns if c != "_change_version"]
+            ordered = ["_change_version"] + cols
+            batch = (batch.groupBy(*self.key_cols)
+                     .agg(F.max(F.struct(*ordered)).alias("_w"))
+                     .select("_w.*").select(*cols))
+            self.target.merge_batch(batch, batch_id, ledger_scope=scope,
+                                    collect_metrics=False,
+                                    batch_compacted=True)
+
+        writer = (raw.writeStream.foreachBatch(_apply)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, checkpoint_dir: str, *,
+                          max_files_per_trigger: int = 8,
+                          timeout_s: int = 600) -> None:
+        q = self.start(checkpoint_dir,
+                       max_files_per_trigger=max_files_per_trigger,
+                       available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                f"replication did not drain the change backlog within "
+                f"{timeout_s}s; replica is partial (resume with the same "
+                f"checkpoint to continue)")
+
+    def state(self) -> DataFrame:
+        return self.target.read()
