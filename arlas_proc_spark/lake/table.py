@@ -258,6 +258,71 @@ class LakeTable(TableIO):
         with open(p) as f:
             return json.load(f)
 
+    def lookup(self, **key) -> DataFrame:
+        """Point lookup: prune to the ONE bucket the key hashes to, then
+        let the key predicate push into that bucket's parquet scan — at
+        any table size the read touches 1/n_buckets of the data, and the
+        pushed filter skips row groups inside it. The bucket id is
+        computed with the same Spark expression the writer used (a
+        LocalRelation-backed one-row job — no Python reimplementation of
+        murmur3 to drift out of sync)."""
+        snap = self.snapshot()
+        kc, n = snap["key_cols"], snap["n_buckets"]
+        missing = [k for k in kc if k not in key]
+        if missing:
+            raise ValueError(f"lookup needs all key columns {kc}; "
+                             f"missing {missing}")
+        row = self.spark.createDataFrame(
+            [tuple(key[k] for k in kc)],
+            StructType([f for f in StructType.fromJson(snap["schema"])
+                        if f.name in kc]))
+        b = row.select(bucket_expr(kc, n).alias("b")).collect()[0]["b"]
+        df = self.read(buckets=[int(b)], snapshot=snap)
+        for k in kc:
+            df = df.where(F.col(k) == F.lit(key[k]))
+        return df
+
+    def rebucket(self, new_n_buckets: int, *,
+                 batch_id: str | None = None) -> dict:
+        """Bucket-count evolution: rewrite the table under a new bucket
+        transform in one atomic snapshot commit (Iceberg's partition-spec
+        evolution, restricted to the bucket width). The day-1 bucket
+        count never fits year 2 at 10^10-event scale — this is the
+        operational escape hatch. One full read + one clustered write;
+        ledger, schema history and changefeed flag carry over, so
+        exactly-once ingest continues across the rewrite. Merge-on-read
+        generations are LWW-resolved on the way through (the rewrite is
+        also a full compaction)."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        snap = self.snapshot()
+        bid = batch_id or f"rebucket-{snap['version'] + 1}"
+        if _ledger_contains(snap["ledger"], bid):
+            return {"batch_id": bid, "skipped": True}
+        key_cols = snap["key_cols"]
+        df = _resolve_lww(self.read(snapshot=snap, with_tombstones=True),
+                          key_cols, snap["seq_col"])
+        out = df.withColumn(_BUCKET, bucket_expr(key_cols, new_n_buckets))
+        version = snap["version"] + 1
+        schema_v = max(int(v) for v in snap["schemas"])
+        token = uuid.uuid4().hex[:12]
+        staged = self._write_bucket_files(out, version, schema_v,
+                                          new_n_buckets, key_cols=key_cols,
+                                          token=token)
+        snap["buckets"] = {str(b): fs for b, fs in staged.items()}
+        snap["mor_buckets"] = []
+        snap["n_buckets"] = new_n_buckets
+        # logical no-op for the change log, like compaction
+        snap["changes"] = {"version": version, "files": [],
+                           "schema_v": schema_v, "rows": 0}
+        snap["version"] = version
+        metrics = {"batch_id": bid, "rebucketed_to": new_n_buckets}
+        _ledger_add(snap["ledger"], bid, metrics)
+        self._record_lineage(snap, self._write_lineage(version, bid, staged,
+                                                       token=token))
+        self._commit_snapshot(snap, expected_version=version - 1)
+        return metrics
+
     def read_version(self, version: int) -> DataFrame:
         """Time travel: the table exactly as of a committed snapshot
         (Iceberg ``VERSION AS OF``). Same pruned/lazy read path as

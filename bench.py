@@ -107,9 +107,10 @@ def main() -> None:
         #     the increment is a 1% micro-batch. ---
         from arlas_proc_spark.lake.ivm import IncrementalAggView
         GEN_CDF = dict(n_repos=2000, files_per_repo=2000)
+        n_cdf = n_events // 4  # setup cost only; refresh is flat in table size
         cdf = CdcEngine(spark, f"{tmp}/cdf", n_buckets=cpus,
                         collect_metrics=False, changefeed=True)
-        cdf.replay(changefeed_df(spark, n_events, parallelism=cpus * 2,
+        cdf.replay(changefeed_df(spark, n_cdf, parallelism=cpus * 2,
                                  **GEN_CDF))
         view = IncrementalAggView(spark, f"{tmp}/view", cdf.table,
                                   ["repo", "lang"],
@@ -121,7 +122,7 @@ def main() -> None:
         for r in range(reps):
             inc_v = changefeed_df(spark, n_inc, parallelism=cpus, **GEN_CDF)
             inc_v = inc_v.withColumn(
-                "seq", inc_v.seq + n_events * (2 + r))
+                "seq", inc_v.seq + n_cdf * (2 + r))
             cdf.apply_batch(inc_v, f"ivm-inc-{r}")
             t0 = time.time()
             view.refresh()

@@ -647,3 +647,47 @@ def test_additive_merge_and_delete_condition(spark, tmp_path):
     t.merge_batch(b([("a", 7, 4, "upsert")]), 3, **kw)          # revival:
     # the tombstone's stored 0 must contribute 0, not resurrect stale state
     assert {r.k: r.n for r in t.read().collect()} == {"a": 7, "b": 5}
+
+
+def test_lookup_prunes_to_one_bucket(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=8)
+    t.merge_batch(_batch(spark, [
+        _ev(i, "insert", "r1", f"f{i}.py", f"c{i}", f"v{i}")
+        for i in range(32)
+    ]), 0)
+    got = t.lookup(repo="r1", path="f7.py")
+    rows = got.collect()
+    assert [(r.path, r.content) for r in rows] == [("f7.py", "v7")]
+    buckets = {f.rsplit("/", 1)[-1].split("-")[1] for f in got.inputFiles()}
+    assert len(buckets) == 1
+    assert t.lookup(repo="r1", path="nope.py").count() == 0
+    with pytest.raises(ValueError, match="missing"):
+        t.lookup(repo="r1")
+
+
+def test_rebucket_preserves_state_and_ledger(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2)
+    t.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+        _ev(2, "insert", "r1", "b.py", "c2", "w1"),
+        _ev(3, "delete", "r1", "b.py", "c3", None),   # tombstone survives
+    ]), 0)
+    before = {(r.repo, r.path): (r.seq, r.content) for r in t.read().collect()}
+    out = t.rebucket(8)
+    assert out["rebucketed_to"] == 8
+    assert t.snapshot()["n_buckets"] == 8
+    assert {(r.repo, r.path): (r.seq, r.content)
+            for r in t.read().collect()} == before
+    # tombstone still out-ranks a stale re-insert after the rewrite
+    t.merge_batch(_batch(spark, [
+        _ev(2, "insert", "r1", "b.py", "c2", "w1"),   # stale redelivery
+    ]), 1)
+    assert {r.path for r in t.read().collect()} == {"a.py"}
+    # ledger carried over: batch 0 still exactly-once
+    assert t.merge_batch(_batch(spark, [
+        _ev(9, "insert", "r1", "z.py", "c9", "zz"),
+    ]), 0)["skipped"] is True
+    # lookup agrees with the new layout
+    assert t.lookup(repo="r1", path="a.py").count() == 1
