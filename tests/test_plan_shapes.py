@@ -146,3 +146,48 @@ def test_merge_write_is_shuffle_once(spark, tmp_path):
     snap = t.snapshot()
     total_files = sum(len(fs) for fs in snap["buckets"].values())
     assert total_files <= 4  # == shuffle partitions cap, no spray
+
+
+def test_change_log_serves_files_without_join(spark, tmp_path):
+    """read_change_log over changefeed-emitted files is a pure file scan —
+    no snapshot join anywhere in the plan (the diff fallback would show a
+    SortMergeJoin/ShuffledHashJoin over two snapshot reads)."""
+    import pyspark.sql.types as T
+    from arlas_proc_spark.lake.table import LakeTable
+    sch = T.StructType([T.StructField("k", T.StringType(), False),
+                        T.StructField("n", T.LongType(), True),
+                        T.StructField("seq", T.LongType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, ["k"], "seq",
+                         n_buckets=2, changefeed=True)
+
+    def b(rows):
+        return spark.createDataFrame(rows, "k string, n long, seq long,"
+                                     " op string")
+    t.merge_batch(b([("a", 1, 1, "upsert")]), 0)
+    t.merge_batch(b([("a", 2, 2, "upsert"), ("b", 3, 2, "upsert")]), 1)
+    plan = explain_str(t.read_change_log(0, 2))
+    assert "Join" not in plan, plan
+    # the diff path (no emitted log) DOES join — pin the contrast
+    # (from v1, not v0: a diff against the empty bootstrap snapshot is
+    # join-ELIMINATED by the LocalRelation optimization, by design)
+    plan_diff = explain_str(t.read_changes(1, 2))
+    assert "Join" in plan_diff
+
+
+def test_lookup_pushes_key_filters_into_one_bucket_scan(spark, tmp_path):
+    import pyspark.sql.types as T
+    from arlas_proc_spark.lake.table import LakeTable
+    sch = T.StructType([T.StructField("repo", T.StringType(), False),
+                        T.StructField("path", T.StringType(), False),
+                        T.StructField("seq", T.LongType(), True),
+                        T.StructField("content", T.StringType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, ["repo", "path"],
+                         "seq", n_buckets=8)
+    t.merge_batch(spark.createDataFrame(
+        [("r1", f"f{i}.py", i, "x", "insert") for i in range(32)],
+        "repo string, path string, seq long, content string, op string"), 0)
+    got = t.lookup(repo="r1", path="f3.py")
+    plan = explain_str(got)
+    assert "PushedFilters" in plan and "EqualTo(path,f3.py)" in plan, plan
+    assert len({f.rsplit("/", 1)[-1].split("-")[1]
+                for f in got.inputFiles()}) == 1
