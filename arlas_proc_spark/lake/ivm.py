@@ -51,13 +51,21 @@ class IncrementalAggView:
 
     def __init__(self, spark: SparkSession, path: str, source: LakeTable,
                  group_cols: list[str], measures: dict[str, str], *,
-                 count_col: str = "n_rows", n_buckets: int = 16):
+                 count_col: str = "n_rows", n_buckets: int = 16,
+                 derived: dict[str, str] | None = None):
+        """``derived``: {output_column: SQL expression over the stored
+        columns} projected at READ time (``df()``/``recompute_df()``) —
+        how non-additive aggregates that decompose into additive state
+        are expressed (avg = sum/count, rates, ratios). Derived columns
+        are never stored, so they can be added or changed without
+        touching view state."""
         self.spark = spark
         self.path = path
         self.source = source
         self.group_cols = list(group_cols)
         self.measures = dict(measures)
         self.count_col = count_col
+        self.derived = dict(derived or {})
         self.cursor_path = os.path.join(path, "cursor.json")
         state_path = os.path.join(path, "state")
         if LakeTable.exists(spark, state_path):
@@ -92,9 +100,14 @@ class IncrementalAggView:
             json.dump({"version": version}, f)
         os.replace(tmp, self.cursor_path)
 
+    def _with_derived(self, df: DataFrame) -> DataFrame:
+        for name, expr in self.derived.items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+
     def df(self) -> DataFrame:
-        """Current view state (group cols + count + measures)."""
-        return self.table.read().drop("_src_version")
+        """Current view state (group cols + count + measures + derived)."""
+        return self._with_derived(self.table.read().drop("_src_version"))
 
     # --------------------------------------------------------------- refresh
     def refresh(self) -> dict:
@@ -162,9 +175,10 @@ class IncrementalAggView:
     def recompute_df(self) -> DataFrame:
         """The same rollup from a full scan of the source — O(table); the
         ground truth ``refresh()`` must converge to (test/audit path)."""
-        return (self.source.read()
-                .groupBy(*self.group_cols)
-                .agg(F.count(F.lit(1)).alias(self.count_col),
-                     *[F.coalesce(F.sum(F.expr(expr).cast("double")),
-                                  F.lit(0.0)).alias(name)
-                       for name, expr in self.measures.items()]))
+        return self._with_derived(
+            self.source.read()
+            .groupBy(*self.group_cols)
+            .agg(F.count(F.lit(1)).alias(self.count_col),
+                 *[F.coalesce(F.sum(F.expr(expr).cast("double")),
+                              F.lit(0.0)).alias(name)
+                   for name, expr in self.measures.items()]))

@@ -272,10 +272,10 @@ class LakeTable(TableIO):
         if missing:
             raise ValueError(f"lookup needs all key columns {kc}; "
                              f"missing {missing}")
+        fields = {f.name: f for f in StructType.fromJson(snap["schema"])}
         row = self.spark.createDataFrame(
             [tuple(key[k] for k in kc)],
-            StructType([f for f in StructType.fromJson(snap["schema"])
-                        if f.name in kc]))
+            StructType([fields[k] for k in kc]))
         b = row.select(bucket_expr(kc, n).alias("b")).collect()[0]["b"]
         df = self.read(buckets=[int(b)], snapshot=snap)
         for k in kc:

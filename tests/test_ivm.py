@@ -208,3 +208,21 @@ def test_view_over_changefeed_table_uses_emitted_log(spark, tmp_path):
     assert log.count() == 5
     view.refresh()
     assert _snap(view) == {("r1",): (1, 6.0)} == _truth(view)
+
+
+def test_derived_measures_projected_at_read_time(spark, tmp_path, src):
+    """avg = sum/count is a read-time projection over additive state —
+    identical between the incremental view and the recompute, and
+    changeable without touching stored state."""
+    view = IncrementalAggView(
+        spark, str(tmp_path / "view"), src, ["repo"],
+        {"sum_len": "length(content)"},
+        derived={"avg_len": "sum_len / n_rows"}, n_buckets=4)
+    src.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "xx"),
+        _ev(2, "insert", "r1", "b.py", "c2", "xxxxxx"),
+    ]), 0)
+    view.refresh()
+    got = {r.repo: r.avg_len for r in view.df().collect()}
+    truth = {r.repo: r.avg_len for r in view.recompute_df().collect()}
+    assert got == truth == {"r1": 4.0}
