@@ -163,3 +163,60 @@ def test_schema_evolution_under_random_batches(spark, tmp_path_factory,
                                  None if size is None else int(size),
                                  None if score is None else float(score))
     assert got == _evolve_oracle(batches)
+
+
+@st.composite
+def view_logs(draw):
+    """An ordered event log split into batches, plus which batch
+    boundaries get a view refresh — exercises multi-commit folds, empty
+    deltas, delete-to-zero groups, revivals, CDF vs diff serving."""
+    n = draw(st.integers(min_value=1, max_value=30))
+    events = []
+    for seq in range(n):
+        repo, path = draw(st.sampled_from(KEYS))
+        op = draw(st.sampled_from(["insert", "update", "delete"]))
+        content = None if op == "delete" else draw(
+            st.text(alphabet="abcXY", min_size=0, max_size=6))
+        events.append((seq, op, repo, path, f"c{seq}",
+                       1_700_000_000 + seq, "py", content))
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(draw(st.lists(st.integers(0, n), min_size=n_batches - 1,
+                                max_size=n_batches - 1)))
+    bounds = [0, *cuts, n]
+    batches = [events[a:b] for a, b in zip(bounds, bounds[1:])]
+    refresh_after = [draw(st.booleans()) for _ in batches]
+    cdf = draw(st.booleans())
+    return batches, refresh_after, cdf
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(spec=view_logs())
+def test_incremental_view_always_matches_recompute(spark, tmp_path_factory,
+                                                   spec):
+    """ANY log, ANY batch split, refreshes at ANY subset of boundaries
+    (plus one final), over a CDF or diff-served source: the incremental
+    view equals the full recompute of the final state."""
+    from arlas_proc_spark.cdc.engine import CdcEngine
+    from arlas_proc_spark.lake.ivm import IncrementalAggView
+    batches, refresh_after, cdf = spec
+    root = tmp_path_factory.mktemp("ivmprop")
+    engine = CdcEngine(spark, str(root / "t"), n_buckets=4,
+                       collect_metrics=False, changefeed=cdf)
+    view = IncrementalAggView(
+        spark, str(root / "v"), engine.table, ["repo"],
+        {"sum_len": "length(content)"}, n_buckets=4)
+    for i, batch in enumerate(batches):
+        if batch:
+            df = spark.createDataFrame(
+                batch, "seq long, op string, repo string, path string, "
+                       "commit string, ts_s long, lang string, content string")
+            engine.apply_batch(df, i)
+        if refresh_after[i]:
+            view.refresh()
+    view.refresh()
+    got = {r.repo: (r.n_rows, r.sum_len) for r in view.df().collect()}
+    want = {r.repo: (r.n_rows, r.sum_len)
+            for r in view.recompute_df().collect()}
+    assert got == want
