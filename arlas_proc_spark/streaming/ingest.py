@@ -45,7 +45,8 @@ class StreamingIngest:
                  event_schema=None, wal_format: str = "parquet",
                  write_mode: str = "cow", compact_every: int | None = None,
                  quarantine_dir: str | None = None,
-                 views: list | None = None):
+                 views: list | None = None,
+                 changefeed: bool = False):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -65,17 +66,23 @@ class StreamingIngest:
         after every committed micro-batch — the full production loop
         (WAL → table → rollups) stays O(delta) end to end. Each view's
         cursor/ledger makes the refresh exactly-once, so a crash between
-        table commit and view refresh replays safely on resume."""
+        table commit and view refresh replays safely on resume.
+        ``changefeed``: create the table with per-commit change-file
+        emission (ignored for pre-existing tables) so downstream
+        consumers — replicas, views — tail the merge-emitted log instead
+        of snapshot diffs."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
         self.collect_metrics = collect_metrics
         self.write_mode = write_mode
         self.quarantine_dir = quarantine_dir
+        self.changefeed = changefeed
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
                                 collect_metrics=collect_metrics,
                                 write_mode=write_mode,
-                                quarantine_dir=quarantine_dir)
+                                quarantine_dir=quarantine_dir,
+                                changefeed=changefeed)
         self.watermark = watermark
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
@@ -113,7 +120,8 @@ class StreamingIngest:
                 self.spark, self.table_path, n_buckets=self.n_buckets,
                 collect_metrics=self.collect_metrics, ledger_scope=scope,
                 write_mode=self.write_mode,
-                quarantine_dir=self.quarantine_dir)
+                quarantine_dir=self.quarantine_dir,
+                changefeed=self.changefeed)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             # persist: apply_batch scans the batch twice (narrow LWW argmax,

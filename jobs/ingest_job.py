@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=None,
                     help="fold a bucket's merge-on-read generations once "
                          "it reaches this many files")
+    ap.add_argument("--changefeed", action="store_true",
+                    help="emit per-commit change files (CDF) for "
+                         "downstream replicas / incremental views")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --wal first (demo)")
     ap.add_argument("--master", default=None)
@@ -58,7 +61,8 @@ def main() -> None:
     ing = StreamingIngest(spark, args.table, n_buckets=args.buckets,
                           watermark=args.watermark,
                           write_mode=args.write_mode,
-                          compact_every=args.compact_every)
+                          compact_every=args.compact_every,
+                          changefeed=args.changefeed)
     if args.continuous:
         q = ing.start(args.wal, args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger,

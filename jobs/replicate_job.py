@@ -1,0 +1,60 @@
+"""spark-submit entrypoint: keep a replica lake table in sync with a
+changefeed-enabled source by tailing its emitted change files.
+
+Cluster usage:
+
+    spark-submit --py-files /tmp/arlas_proc_spark.zip jobs/replicate_job.py \
+        --source s3://bucket/table --replica s3://bucket/replica \
+        --checkpoint s3://bucket/replica_ckpt --continuous
+
+The source must have been created with changefeed on
+(``jobs/ingest_job.py --changefeed``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arlas_proc_spark.config import build_session  # noqa: E402
+from arlas_proc_spark.lake.table import LakeTable  # noqa: E402
+from arlas_proc_spark.streaming.replicate import ChangeLogReplicator  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True, help="source lake table path")
+    ap.add_argument("--replica", required=True, help="replica table path")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="replica bucket count (default: source's)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=8)
+    ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="cdc-replicate", master=args.master)
+    rep = ChangeLogReplicator(spark, LakeTable(spark, args.source),
+                              args.replica, n_buckets=args.buckets)
+    if args.continuous:
+        q = rep.start(args.checkpoint,
+                      max_files_per_trigger=args.max_files_per_trigger,
+                      available_now=False)
+        q.awaitTermination()
+    else:
+        rep.run_to_completion(
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            timeout_s=24 * 3600)
+        print(json.dumps({"replica_rows": rep.state().count(),
+                          "replica_version":
+                              rep.target.snapshot()["version"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -98,3 +98,30 @@ def test_replicator_requires_changefeed_source(spark, tmp_path):
                            ["repo", "path"], "seq", n_buckets=2)
     with pytest.raises(ValueError, match="changefeed"):
         ChangeLogReplicator(spark, src, str(tmp_path / "replica"))
+
+
+def test_streaming_ingest_feeds_replica_chain(spark, tmp_path):
+    """The full production loop: WAL --stream--> CDF table --stream-->
+    replica. Both hops exactly-once; replica equals source after drain."""
+    from arlas_proc_spark.sources.changefeed import (
+        final_state_sql,
+        write_changefeed_batches,
+    )
+    from arlas_proc_spark.streaming.ingest import StreamingIngest
+    import duckdb
+
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, 2000, n_batches=4)
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=8,
+                          collect_metrics=False, changefeed=True)
+    ing.run_to_completion(wal, str(tmp_path / "ck1"),
+                          max_files_per_trigger=2)
+    rep = ChangeLogReplicator(spark, ing.engine.table,
+                              str(tmp_path / "replica"))
+    rep.run_to_completion(str(tmp_path / "ck2"))
+    got = {(r.repo, r.path): (r.seq, r.content_sha256)
+           for r in rep.state().collect()}
+    oracle = duckdb.sql(final_state_sql(2000, dialect="duckdb")).fetchdf()
+    want = {(r.repo, r.path): (int(r.seq), r.content_sha256)
+            for r in oracle.itertuples()}
+    assert got == want
