@@ -308,7 +308,7 @@ class LakeTable(TableIO):
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v,
                                           new_n_buckets, key_cols=key_cols,
-                                          token=token)
+                                          token=token, sort_cols=key_cols)
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap["n_buckets"] = new_n_buckets
@@ -852,7 +852,8 @@ class LakeTable(TableIO):
     def _write_bucket_files(self, df: DataFrame, version: int, schema_v: int,
                             n_buckets: int, key_cols: list[str] | None = None,
                             token: str | None = None,
-                            already_clustered: bool = False)\
+                            already_clustered: bool = False,
+                            sort_cols: list[str] | None = None)\
             -> dict[int, list[dict]]:
         """Write df (carrying _bucket) hive-partitioned to a staging dir,
         then move files into data/ under snapshot-versioned names.
@@ -880,6 +881,12 @@ class LakeTable(TableIO):
             clustered = df.repartition(n_buckets, *[F.col(c) for c in key_cols])
         else:
             clustered = df.repartition(n_buckets, F.col(_BUCKET))
+        if sort_cols:
+            # task-local sort (no shuffle): key-clustered row groups give
+            # the parquet min/max stats real selectivity, so point lookups
+            # skip row groups inside the bucket, not just buckets
+            clustered = clustered.sortWithinPartitions(
+                *[F.col(c) for c in sort_cols])
         (clustered.write.partitionBy(_BUCKET).mode("overwrite").parquet(stage))
         import pyarrow.parquet as pq
         staged: dict[int, list[dict]] = {}
@@ -1159,6 +1166,10 @@ class LakeTable(TableIO):
         mor buckets still under the threshold keep their (cheap, bounded)
         read-time resolve rather than forcing a rewrite — compaction cost
         stays proportional to the fragmented fraction, not the table.
+        Rewritten buckets are KEY-SORTED (task-local sort, no shuffle), so
+        their parquet row-group min/max stats become selective and point
+        lookups skip row groups inside the bucket — the natural place to
+        pay the sort, since merge-time sorting would tax every batch.
         Idempotent per ``batch_id`` (a redelivered compaction id is a
         no-op)."""
         snap = self.snapshot()
@@ -1180,7 +1191,8 @@ class LakeTable(TableIO):
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=snap["key_cols"],
-                                          token=token)
+                                          token=token,
+                                          sort_cols=snap["key_cols"])
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
         snap["mor_buckets"] = sorted(mor - {str(b) for b in victims}, key=int)

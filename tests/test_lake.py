@@ -691,3 +691,26 @@ def test_rebucket_preserves_state_and_ledger(spark, tmp_path):
     ]), 0)["skipped"] is True
     # lookup agrees with the new layout
     assert t.lookup(repo="r1", path="a.py").count() == 1
+
+
+def test_compaction_sorts_buckets_by_key(spark, tmp_path):
+    """Compacted bucket files are key-sorted so parquet row-group stats
+    get selective for point lookups (merge-time files are not — the sort
+    is paid once at compaction, not per batch)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2)
+    for b in range(5):
+        t.append_batch(_batch(spark, [
+            _ev(b * 10 + i, "insert", "r1", f"f{(b * 7 + i) % 20}.py",
+                f"c{b}{i}", "x") for i in range(4)
+        ]), b)
+    out = t.compact(max_files_per_bucket=2)
+    assert out["compacted_buckets"] == 2
+    import pyarrow.parquet as pq
+    snap = t.snapshot()
+    for files in snap["buckets"].values():
+        for e in files:
+            paths = pq.read_table(
+                f"{t.data_dir}/{e['file']}", columns=["path"]
+            )["path"].to_pylist()
+            assert paths == sorted(paths), e["file"]
