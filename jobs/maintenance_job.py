@@ -1,0 +1,63 @@
+"""spark-submit entrypoint: lake table maintenance — compaction,
+snapshot/orphan expiry, optional bucket-count evolution.
+
+Run on a schedule beside a continuous ingest (all operations commit
+atomically and tolerate a concurrent writer — compaction and rebucket
+are ledgered, expiry never touches the CURRENT pointer):
+
+    spark-submit --py-files /tmp/arlas_proc_spark.zip jobs/maintenance_job.py \
+        --table s3://bucket/table --compact-over 8 \
+        --tombstone-horizon 123456789 --keep-snapshots 4
+
+    python jobs/maintenance_job.py --table /tmp/table --rebucket 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arlas_proc_spark.config import build_session  # noqa: E402
+from arlas_proc_spark.lake.table import LakeTable  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--compact-over", type=int, default=None,
+                    help="rewrite buckets holding more than this many "
+                         "files (key-sorted output)")
+    ap.add_argument("--tombstone-horizon", type=int, default=None,
+                    help="GC delete tombstones with seq <= this (the "
+                         "stream's low-watermark) during compaction")
+    ap.add_argument("--keep-snapshots", type=int, default=None,
+                    help="expire all but the newest K snapshots and "
+                         "remove orphan data/lineage/change files")
+    ap.add_argument("--rebucket", type=int, default=None,
+                    help="rewrite the table under this bucket count")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="cdc-maintenance", master=args.master)
+    t = LakeTable(spark, args.table)
+    report: dict = {"table": args.table,
+                    "version_before": t.snapshot()["version"]}
+    if args.compact_over is not None:
+        report["compact"] = t.compact(
+            max_files_per_bucket=args.compact_over,
+            tombstone_horizon_seq=args.tombstone_horizon)
+    if args.rebucket is not None:
+        report["rebucket"] = t.rebucket(args.rebucket)
+    if args.keep_snapshots is not None:
+        report["expire"] = t.expire_snapshots(keep_last=args.keep_snapshots)
+    report["version_after"] = t.snapshot()["version"]
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
