@@ -714,3 +714,25 @@ def test_compaction_sorts_buckets_by_key(spark, tmp_path):
                 f"{t.data_dir}/{e['file']}", columns=["path"]
             )["path"].to_pylist()
             assert paths == sorted(paths), e["file"]
+
+
+def test_read_changes_spans_rebucket_boundary(spark, tmp_path):
+    """A diff across a rebucket commit compares manifests whose bucket
+    ids mean different things — the diff must still emit ONLY the real
+    key changes, not phantom rows from the relayout."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2)
+    t.merge_batch(_batch(spark, [
+        _ev(i, "insert", "r1", f"f{i}.py", f"c{i}", f"v{i}")
+        for i in range(12)
+    ]), 0)                                                    # v1
+    t.rebucket(8)                                             # v2: relayout
+    t.merge_batch(_batch(spark, [
+        _ev(100, "update", "r1", "f3.py", "cx", "v3b"),
+        _ev(101, "delete", "r1", "f7.py", "cy", None),
+    ]), 1)                                                    # v3
+    ch = {(r.path, r.change_type) for r in t.read_changes(1, 3).collect()}
+    assert ch == {("f3.py", "update_postimage"), ("f7.py", "delete")}
+    # the rebucket step alone is silent both ways
+    assert t.read_changes(1, 2).count() == 0
+    assert t.read_change_log(1, 2).count() == 0

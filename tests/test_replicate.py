@@ -125,3 +125,35 @@ def test_streaming_ingest_feeds_replica_chain(spark, tmp_path):
     want = {(r.repo, r.path): (int(r.seq), r.content_sha256)
             for r in oracle.itertuples()}
     assert got == want
+
+
+def test_replica_follows_source_schema_evolution(spark, tmp_path):
+    """Upstream schema widens mid-stream: the resumed replicator gets a
+    WIDENED change_schema (file sources cannot discover columns), old
+    change files read the new column as null, and the replica's own
+    merge evolves its schema."""
+    from pyspark.sql import types as T2
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                           ["repo", "path"], "seq", n_buckets=2,
+                           changefeed=True)
+    src.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+    ]), 0)
+    rep = ChangeLogReplicator(spark, src, str(tmp_path / "replica"))
+    rep.run_to_completion(str(tmp_path / "ckpt"))
+
+    wide = spark.createDataFrame(
+        [("r1", "b.py", "c2", 2, "w1", "py", "insert"),
+         ("r1", "a.py", "c3", 3, "v2", "rs", "update")],
+        "repo string, path string, commit string, seq long,"
+        " content string, lang string, op string")
+    src.merge_batch(wide, 1)                        # source evolves +lang
+    wide_schema = T2.StructType(
+        list(T2.StructType.fromJson(src.snapshot()["schema"]).fields)
+        + [T2.StructField("change_type", T2.StringType(), True),
+           T2.StructField("_change_version", T2.LongType(), True)])
+    rep2 = ChangeLogReplicator(spark, src, str(tmp_path / "replica"),
+                               change_schema=wide_schema)
+    rep2.run_to_completion(str(tmp_path / "ckpt"))
+    got = {r.path: (r.content, r.lang) for r in rep2.state().collect()}
+    assert got == {"a.py": ("v2", "rs"), "b.py": ("w1", "py")}
