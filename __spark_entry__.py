@@ -761,10 +761,10 @@ def q_tempo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     base = ev.select("user_id", F.col("ts").alias("ets"),
                      ((F.col("value") * 10).cast("long") + 1).alias("dur"))
-    out = with_tempo(base, "user_id", "ets", "dur", _TEMPO_MODEL_A,
-                     out_col="tempo_a")
-    out = with_tempo(out, "user_id", "ets", "dur", _TEMPO_MODEL_B,
-                     out_col="tempo_b")
+    from arlas_proc_spark.operators.tempo import with_tempo_multi
+    out = with_tempo_multi(base, "user_id", "ets", "dur",
+                           {"tempo_a": _TEMPO_MODEL_A,
+                            "tempo_b": _TEMPO_MODEL_B})
     out = with_tempo_proportions(out, "tempo_a",
                                  {"p_fast": "tempo_fast",
                                   "p_slow": "tempo_slow"})

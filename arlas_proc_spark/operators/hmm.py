@@ -135,6 +135,18 @@ def viterbi_decode(values: np.ndarray, model: dict) -> list[str]:
         log_start = np.log(np.asarray(model["start"], dtype=float))
         log_trans = np.log(np.asarray(model["trans"], dtype=float))
     log_emit = _log_emissions(np.asarray(values, dtype=float), model)
+    # memoryless fast path: when every transition ROW is identical, the
+    # best previous state is the same whatever state follows, so the DP
+    # decouples and the whole path is a vectorized per-row argmax of
+    # (transition-row + emission) — no Python loop over timesteps. The
+    # tempo models (uniform transitions = pure emission classifiers) and
+    # any no-memory model take this branch; true sequential models fall
+    # through to the classic DP below.
+    if n > 1 and np.array_equal(
+            log_trans, np.broadcast_to(log_trans[0], log_trans.shape)):
+        idx = np.argmax(log_trans[0] + log_emit, axis=1)
+        idx[0] = int(np.argmax(log_start + log_emit[0]))
+        return [states[i] for i in idx]
     dp = np.zeros((n, m))
     back = np.zeros((n, m), dtype=int)
     dp[0] = log_start + log_emit[0]
@@ -184,6 +196,43 @@ def with_hmm_states(df: DataFrame, id_col: str, ts_col: str, value_col: str,
             pdf[out_col] = viterbi_decode(pdf[value_col].to_numpy(), model)
         except Exception:
             pdf[out_col] = UNKNOWN_RESULT
+        return pdf
+
+    return (chunked.groupBy(id_col, "_chunk")
+            .applyInPandas(decode, schema=out_schema)
+            .drop("_chunk"))
+
+
+def with_hmm_states_multi(df: DataFrame, id_col: str, ts_col: str,
+                          value_col: str, models: dict[str, dict | str],
+                          chunk_size: int = 5000) -> DataFrame:
+    """Decode SEVERAL models over the same value series in ONE pass:
+    one window sort, one shuffle, one Arrow round-trip — the frame
+    crosses the Python boundary once however many models vote
+    (``models``: output column → model dict or JSON path). Running
+    ``with_hmm_states`` per model instead pays the dominant costs
+    (sort + transfer) N times for the same rows; only the numpy Viterbi
+    kernel is genuinely per-model."""
+    require_columns(df, id_col, ts_col, value_col)
+    resolved = {
+        out: (load_hmm_model(m) if isinstance(m, str)
+              else (DEFAULT_MODEL if m is None else normalize_hmm_model(m)))
+        for out, m in models.items()}
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    chunked = df.withColumn(
+        "_chunk", F.floor((F.row_number().over(w) - 1) / F.lit(chunk_size)))
+    out_schema = T.StructType(
+        list(chunked.schema.fields)
+        + [T.StructField(out, T.StringType(), True) for out in resolved])
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        vals = pdf[value_col].to_numpy()
+        for out, model in resolved.items():
+            try:
+                pdf[out] = viterbi_decode(vals, model)
+            except Exception:
+                pdf[out] = UNKNOWN_RESULT
         return pdf
 
     return (chunked.groupBy(id_col, "_chunk")

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from arlas_proc_spark.operators.base import require_columns
-from arlas_proc_spark.operators.hmm import with_hmm_states
+from arlas_proc_spark.operators.hmm import with_hmm_states, with_hmm_states_multi
 
 IRREGULAR_TEMPO = "tempo_irregular"
 
@@ -68,6 +68,24 @@ def with_tempo(df: DataFrame, id_col: str, ts_col: str, duration_col: str,
         F.when(F.col(out_col).isNull() |
                (F.col(out_col) == "Unknown"), F.lit(irregular))
         .otherwise(F.col(out_col)))
+
+
+def with_tempo_multi(df: DataFrame, id_col: str, ts_col: str,
+                     duration_col: str, models: dict[str, dict | str],
+                     chunk_size: int = 5000,
+                     irregular: str = IRREGULAR_TEMPO) -> DataFrame:
+    """All tempo models decoded in ONE applyInPandas pass (one sort, one
+    Arrow round-trip — see with_hmm_states_multi); identical semantics
+    to chaining ``with_tempo`` once per model."""
+    decoded = with_hmm_states_multi(df, id_col, ts_col, duration_col,
+                                    models, chunk_size=chunk_size)
+    for out_col in models:
+        decoded = decoded.withColumn(
+            out_col,
+            F.when(F.col(out_col).isNull() |
+                   (F.col(out_col) == "Unknown"), F.lit(irregular))
+            .otherwise(F.col(out_col)))
+    return decoded
 
 
 def with_tempo_proportions(df: DataFrame, tempo_col: str,

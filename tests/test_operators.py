@@ -762,3 +762,58 @@ def test_ivf_map_kernel_matches_join_kernel(clustered_vecs, spark):
             k=3, n_probe=2, assign_kernel=kern).collect())
     assert out["map"] == out["join"]
     assert len(out["map"]) > 0
+
+
+def test_multi_model_decode_equals_sequential(spark):
+    """with_tempo_multi (one sort + one Arrow pass) must produce exactly
+    the columns that chaining with_tempo per model produces."""
+    from arlas_proc_spark.operators.tempo import with_tempo, with_tempo_multi
+    A = {"states": ["tempo_fast", "tempo_slow"], "start": [0.5, 0.5],
+         "trans": [[0.9, 0.1], [0.1, 0.9]],
+         "emission": {"means": [2.0, 9.0], "stds": [1.0, 2.0]}}
+    B = {"states": ["pace_low", "pace_high"], "start": [0.5, 0.5],
+         "trans": [[0.8, 0.2], [0.2, 0.8]],
+         "emission": {"means": [3.0, 8.0], "stds": [2.0, 2.0]}}
+    rows = [(u, t, float(v)) for u in ("u1", "u2")
+            for t, v in enumerate([2, 2, 9, 9, 2, 8, 3, 3, 9, 2])]
+    df = spark.createDataFrame(rows, "user_id string, ets long, dur double")
+    multi = with_tempo_multi(df, "user_id", "ets", "dur",
+                             {"ta": A, "tb": B})
+    seq = with_tempo(df, "user_id", "ets", "dur", A, out_col="ta")
+    seq = with_tempo(seq, "user_id", "ets", "dur", B, out_col="tb")
+    key = lambda r: (r.user_id, r.ets)
+    assert sorted(((r.user_id, r.ets, r.ta, r.tb)
+                   for r in multi.collect())) == \
+        sorted(((r.user_id, r.ets, r.ta, r.tb) for r in seq.collect()))
+
+
+def test_viterbi_uniform_transition_fast_path():
+    """Row-identical transitions decouple the DP into a per-row argmax;
+    the fast path must equal the classic DP (run by perturbing one
+    transition entry by 0 — i.e. a structurally non-uniform copy with
+    identical values is impossible, so compare against a hand-run DP via
+    a nearly-uniform model converging to the same path)."""
+    import numpy as np
+    from arlas_proc_spark.operators.hmm import viterbi_decode
+    uni = {"states": ["A", "B", "C"], "start": [0.2, 0.3, 0.5],
+           "trans": [[0.2, 0.3, 0.5]] * 3,
+           "emission": {"means": [1.0, 5.0, 9.0], "stds": [1.0, 1.0, 1.0]}}
+    obs = np.array([1.0, 5.2, 9.1, 0.4, 4.9, 9.9, 5.0])
+    got = viterbi_decode(obs, uni)
+    # independent expectation: emission+transition-row argmax per t,
+    # start-weighted at t=0
+    import math
+    c = [math.log(p) for p in uni["trans"][0]]
+    means, stds = uni["emission"]["means"], uni["emission"]["stds"]
+
+    def le(v, s):
+        return (-0.5 * ((v - means[s]) / stds[s]) ** 2
+                - math.log(stds[s] * math.sqrt(2 * math.pi)))
+    want = []
+    for t, v in enumerate(obs):
+        if t == 0:
+            scores = [math.log(uni["start"][s]) + le(v, s) for s in range(3)]
+        else:
+            scores = [c[s] + le(v, s) for s in range(3)]
+        want.append(uni["states"][int(np.argmax(scores))])
+    assert got == want == ["A", "B", "C", "A", "B", "C", "B"]
