@@ -736,3 +736,42 @@ def test_read_changes_spans_rebucket_boundary(spark, tmp_path):
     # the rebucket step alone is silent both ways
     assert t.read_changes(1, 2).count() == 0
     assert t.read_change_log(1, 2).count() == 0
+
+
+def test_concurrent_writers_changefeed_race(spark, tmp_path, monkeypatch):
+    """Same full-commit race on a changefeed table: the loser's CHANGE
+    files are token-named orphans (never clobber the winner's), the
+    retried merge emits a correct change file for its new version, and
+    the composed log replays to the converged state."""
+    from arlas_proc_spark.lake.table import ConcurrentCommitError
+    path = str(tmp_path / "t")
+    a = LakeTable.create(spark, path, SCHEMA, ["repo", "path"], "seq",
+                         n_buckets=4, changefeed=True)
+    b = LakeTable(spark, path)
+    batch_a = _batch(spark, [_ev(1, "insert", "rA", "a.py", "cA", "vA")])
+    batch_b = _batch(spark, [_ev(2, "insert", "rB", "b.py", "cB", "vB")])
+
+    real_commit = LakeTable._commit_snapshot
+    fired = []
+
+    def hijack(self, snap, expected_version):
+        if self is a and not fired:
+            fired.append(True)
+            b.merge_batch(batch_b, "writer-b")
+        return real_commit(self, snap, expected_version)
+
+    monkeypatch.setattr(LakeTable, "_commit_snapshot", hijack)
+    with pytest.raises(ConcurrentCommitError):
+        a.merge_batch(batch_a, "writer-a")
+    a.merge_batch(batch_a, "writer-a")  # retry converges -> v2
+    log = {(r.path, r.change_type) for r in a.read_change_log(0).collect()}
+    assert log == {("a.py", "insert"), ("b.py", "insert")}
+    # each surviving snapshot references exactly its own change files;
+    # the loser's change files are orphans and GC'd
+    import os as _os
+    n_before = len(_os.listdir(a.changes_dir))
+    gc = a.expire_snapshots(keep_last=10)
+    assert gc["orphan_changes_removed"] >= 1
+    assert len(_os.listdir(a.changes_dir)) < n_before
+    assert {(r.path, r.change_type)
+            for r in a.read_change_log(0).collect()} == log
