@@ -258,6 +258,25 @@ class LakeTable(TableIO):
         with open(p) as f:
             return json.load(f)
 
+    def bucket_stats(self) -> list[dict]:
+        """Per-bucket file/row/byte totals of the CURRENT snapshot, from
+        the manifest's recorded parquet-footer stats — a pure driver-side
+        JSON read, no Spark job, no data scan. The operational skew
+        check: a bucket whose rows dwarf the mean means the bucket
+        transform is fighting a pathological key distribution (or
+        n_buckets is overdue for ``rebucket``)."""
+        snap = self.snapshot()
+        mor = {str(b) for b in snap.get("mor_buckets", [])}
+        out = []
+        for b, files in sorted(snap["buckets"].items(), key=lambda kv:
+                               int(kv[0])):
+            rows = sum(int(e.get("rows", 0)) for e in files)
+            out.append({"bucket": int(b), "files": len(files),
+                        "rows": rows,
+                        "bytes": sum(int(e.get("bytes", 0)) for e in files),
+                        "mor": b in mor})
+        return out
+
     def lookup(self, **key) -> DataFrame:
         """Point lookup: prune to the ONE bucket the key hashes to, then
         let the key predicate push into that bucket's parquet scan — at

@@ -55,6 +55,12 @@ def main() -> None:
     if args.keep_snapshots is not None:
         report["expire"] = t.expire_snapshots(keep_last=args.keep_snapshots)
     report["version_after"] = t.snapshot()["version"]
+    stats = t.bucket_stats()
+    rows = [s["rows"] for s in stats] or [0]
+    report["bucket_skew"] = {
+        "buckets": len(stats), "rows_total": sum(rows),
+        "rows_max": max(rows),
+        "rows_mean": round(sum(rows) / max(len(rows), 1), 1)}
     print(json.dumps(report))
     spark.stop()
 

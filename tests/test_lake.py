@@ -775,3 +775,39 @@ def test_concurrent_writers_changefeed_race(spark, tmp_path, monkeypatch):
     assert len(_os.listdir(a.changes_dir)) < n_before
     assert {(r.path, r.change_type)
             for r in a.read_change_log(0).collect()} == log
+
+
+def test_change_log_files_project_up_after_evolution(spark, tmp_path):
+    """Change files written under an older schema are read with their own
+    schema and projected up by read_change_log — the evolved-in column
+    reads as null on old change rows."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2,
+                         changefeed=True)
+    t.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+    ]), 0)                                       # v1: change file, schema 0
+    wide = spark.createDataFrame(
+        [("r1", "b.py", "c2", 2, "w1", "py", "insert")],
+        "repo string, path string, commit string, seq long,"
+        " content string, lang string, op string")
+    t.merge_batch(wide, 1)                       # v2: +lang
+    log = {r.path: (r.change_type, r.content, r.lang)
+           for r in t.read_change_log(0, 2).collect()}
+    assert log == {"a.py": ("insert", "v1", None),
+                   "b.py": ("insert", "w1", "py")}
+
+
+def test_bucket_stats_driver_side(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    t.merge_batch(_batch(spark, [
+        _ev(i, "insert", "r1", f"f{i}.py", f"c{i}", "x") for i in range(16)
+    ]), 0)
+    t.append_batch(_batch(spark, [
+        _ev(100, "update", "r1", "f0.py", "cx", "y"),
+    ]), 1)
+    stats = t.bucket_stats()
+    assert sum(s["rows"] for s in stats) == 17   # 16 cow + 1 mor gen
+    assert all(s["bytes"] > 0 and s["files"] >= 1 for s in stats)
+    assert any(s["mor"] for s in stats) and not all(s["mor"] for s in stats)
