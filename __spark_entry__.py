@@ -238,6 +238,21 @@ def q_cdc_ivm_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.df()
 
 
+def q_cdc_vendored_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo duplicate (vendored) file detection over the replayed
+    final state: group the live table by content hash, keep hashes seen
+    in more than one copy, count copies and distinct repos. The code-
+    payload analog of exact document dedup, run against the lake's own
+    per-row sha256 invariant column."""
+    final = lww_resolve(changefeed_df(spark, N_FEED))
+    final = prepare_events(final)
+    return (final.groupBy("content_sha256")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.countDistinct("repo").alias("n_repos"),
+                 F.min("path").alias("first_path"))
+            .where(F.col("n_copies") > 1))
+
+
 def q_cdc_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-repo final-state rollup via the skew-safe two-phase salted agg."""
     final = lww_resolve(changefeed_df(spark, N_FEED))
@@ -854,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ivm_lang_stats": q_cdc_ivm_lang_stats,
         "cdc_replicated": q_cdc_replicated,
         "cdc_repo_stats": q_cdc_repo_stats,
+        "cdc_vendored_files": q_cdc_vendored_files,
         "stream_version_deltas": q_stream_version_deltas,
         "cdc_normalized_langs": q_cdc_normalized_langs,
         "period_filter": q_period_filter,
@@ -1092,6 +1108,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_repo_stats": f"""
             SELECT repo, COUNT(path) AS n_files, MAX(seq) AS max_seq
             FROM ({final}) fs GROUP BY repo""",
+        "cdc_vendored_files": f"""
+            SELECT content_sha256, COUNT(*) AS n_copies,
+                   COUNT(DISTINCT repo) AS n_repos,
+                   MIN(path) AS first_path
+            FROM ({final}) fs GROUP BY content_sha256
+            HAVING COUNT(*) > 1""",
         "cdc_ivm_lang_stats": f"""
             SELECT repo, lang, COUNT(*) AS n_files,
                    coalesce(SUM(CAST(length(content) AS DOUBLE)), 0)
