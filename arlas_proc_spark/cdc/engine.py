@@ -124,6 +124,22 @@ class CdcEngine:
             self.table = LakeTable.create(
                 spark, table_path, TABLE_SCHEMA, KEY_COLS, SEQ_COL,
                 n_buckets=n_buckets, changefeed=changefeed)
+        # fail at construction, not at the first micro-batch: mor appends
+        # emit no change rows, so a changefeed table ingested with mor
+        # would silently starve CDF consumers (append_batch also refuses,
+        # as the backstop)
+        if write_mode == "mor":
+            try:
+                cf = bool(self.table.snapshot().get("changefeed"))
+            except Exception:
+                cf = changefeed
+            if cf or changefeed:
+                raise ValueError(
+                    "write_mode='mor' cannot be combined with a "
+                    "changefeed=True table: merge-on-read commits emit no "
+                    "change rows and downstream CDF consumers would "
+                    "silently diverge. Use write_mode='cow' for changefeed "
+                    "tables.")
 
     def apply_batch(self, events: DataFrame, batch_id: int | str, *,
                     assume_all_buckets: bool = False) -> dict:
@@ -172,7 +188,19 @@ class CdcEngine:
             any_null = _reduce(lambda a, b: a | b,
                                [F.col(k).isNull() for k in KEY_COLS])
             null_flag = F.max(F.when(any_null, 1).otherwise(0)).alias("_nn")
-            if self.write_mode == "mor" or assume_all_buckets:
+            # Bucket metadata comes from the snapshot when the backend
+            # records it (LakeTable) and falls back to the TableIO
+            # object's own attributes (IcebergTableIO carries key_cols /
+            # n_buckets directly; its snapshot() is just identifier +
+            # properties). Backends exposing neither simply skip bucket
+            # discovery — their merge_batch ignores touched_buckets.
+            key_cols = snap.get("key_cols") or getattr(
+                self.table, "key_cols", None)
+            n_buckets = snap.get("n_buckets") or getattr(
+                self.table, "n_buckets", None)
+            has_bucket_meta = key_cols is not None and n_buckets is not None
+            if (self.write_mode == "mor" or assume_all_buckets
+                    or not has_bucket_meta):
                 # append mode never reads current state, so bucket
                 # discovery is unnecessary (the staged files define the
                 # touched set); replays treat the batch as touching all
@@ -186,8 +214,7 @@ class CdcEngine:
                 # keys it carries, and whether any key is null
                 # (≤ n_buckets result rows — tiny collect)
                 per_bucket = (winners.groupBy(
-                    bucket_expr(snap["key_cols"],
-                                snap["n_buckets"]).alias("_b"))
+                    bucket_expr(key_cols, n_buckets).alias("_b"))
                     .agg(F.count(F.lit(1)).alias("count"), null_flag)
                     .collect())
                 touched = [r["_b"] for r in per_bucket]
@@ -198,16 +225,12 @@ class CdcEngine:
                     "null key column in change feed (key columns are NOT "
                     "NULL); configure quarantine_dir to route violators "
                     "to a side store instead")
-                # empty micro-batch (availableNow drains often end with
-                # one): nothing to merge, and skipping here saves callers a
-                # separate isEmpty() action per batch. The id IS still
-                # ledgered (cheap data-free snapshot commit) — otherwise
-                # the contiguous-prefix watermark would stall at the gap
-                # and `pending` would grow unboundedly on a long tail.
-                if not touched:
-                    return self.table.commit_empty_batch(
-                        batch_id, scope=self.ledger_scope,
-                        extra_metrics=extra_metrics)
+            # empty micro-batch (availableNow drains often end with one):
+            # nothing to merge. The id IS still ledgered (cheap data-free
+            # snapshot commit) — otherwise the contiguous-prefix watermark
+            # would stall at the gap and `pending` would grow unboundedly
+            # on a long tail. n_keys==0 covers BOTH modes (touched is None
+            # in mor mode, so it cannot stand in for emptiness).
             # giant batches (winner set too big to broadcast) compact via
             # the wide argmax instead
             if n_keys == 0:

@@ -17,10 +17,14 @@ include_update_preimages=True)`` (itself pruned to the buckets whose
 manifests changed), a tiny per-group delta aggregation, a key-partitioned
 join against ONLY the touched view buckets for the old values, and a
 bucket-pruned LWW merge of the new group rows (groups whose count drops
-to zero are deleted). Refreshes are exactly-once via the view table's
-own ledger (scope ``ivm``, batch id = source version): a crash between
-the merge commit and the cursor write replays as a ledger-skipped no-op
-and then advances the cursor, so redeliveries converge.
+to zero are deleted). Refreshes are exactly-once because the cursor (the
+highest source version folded in) is committed ATOMICALLY with the merge
+itself, as a snapshot property of the view table
+(``merge_batch(set_properties={"ivm.cursor": v})``) — no crash window can
+separate "delta applied" from "cursor advanced", so a replayed or
+re-derived window is never re-folded even if OTHER source commits landed
+in between (the hole a side cursor file + batch-id-only dedup left open:
+batch id ``src-{v'}`` ≠ ``src-{v}`` would not be ledger-skipped).
 
 Null measures: ``SUM`` over an all-null group is defined as 0.0 here
 (a running additive state has no way to distinguish "no non-null values
@@ -87,12 +91,24 @@ class IncrementalAggView:
                                           n_buckets=n_buckets)
 
     # ----------------------------------------------------------------- state
+    _CURSOR_PROP = "ivm.cursor"
+
     def cursor(self) -> int:
-        """Last source version folded into the view (0 = nothing yet)."""
+        """Last source version folded into the view (0 = nothing yet).
+
+        Authoritative record: the ``ivm.cursor`` snapshot property of the
+        view table, written atomically with each refresh's merge commit.
+        The side cursor file remains as (a) the record for EMPTY windows
+        (no merge happens, so no snapshot to stamp — and an empty window
+        re-fold is harmless by definition) and (b) a legacy fallback for
+        views written before the property existed. Taking the max of the
+        two is always safe: each states "everything ≤ N is folded in"."""
+        prop = int(self.table.snapshot().get("properties", {})
+                   .get(self._CURSOR_PROP, 0))
         if not os.path.exists(self.cursor_path):
-            return 0
+            return prop
         with open(self.cursor_path) as f:
-            return int(json.load(f)["version"])
+            return max(prop, int(json.load(f)["version"]))
 
     def _advance_cursor(self, version: int) -> None:
         tmp = os.path.join(self.path, f".cursor.{uuid.uuid4().hex}")
@@ -163,10 +179,14 @@ class IncrementalAggView:
                 touched_buckets=touched, ledger_scope="ivm",
                 collect_metrics=False,
                 additive_cols=[self.count_col, *self.measures],
-                delete_condition=lambda v: v[self.count_col] <= 0)
+                delete_condition=lambda v: v[self.count_col] <= 0,
+                # the cursor advances IN the merge's own snapshot commit —
+                # a crash anywhere around this call either leaves both
+                # behind (retry re-folds the identical window, ledger- or
+                # cursor-skipped) or lands both together
+                set_properties={self._CURSOR_PROP: src_v})
         finally:
             delta.unpersist()
-        self._advance_cursor(src_v)
         return {"source_version": src_v, "groups_touched": n_groups,
                 "view_buckets_touched": len(touched),
                 **{k: v for k, v in res.items() if k != "batch_id"}}

@@ -388,8 +388,11 @@ class LakeTable(TableIO):
             return (self.spark.createDataFrame([], out_schema)
                     .where(F.lit(False)))
         s1 = self.snapshot_at(from_version)
-        mor1 = set(s1.get("mor_buckets", []))
-        mor2 = set(s2.get("mor_buckets", []))
+        # snapshots persist mor_buckets as JSON (strings or ints depending
+        # on writer) — normalize to int so the membership test below is
+        # live, not vacuously False
+        mor1 = {int(x) for x in s1.get("mor_buckets", [])}
+        mor2 = {int(x) for x in s2.get("mor_buckets", [])}
         changed = sorted(
             (int(b) for b in set(s1["buckets"]) | set(s2["buckets"])
              if s1["buckets"].get(b) != s2["buckets"].get(b)
@@ -454,12 +457,20 @@ class LakeTable(TableIO):
                     ledger_scope: str = "default",
                     extra_metrics: dict | None = None,
                     additive_cols: list[str] | None = None,
-                    delete_condition=None) -> dict:
+                    delete_condition=None,
+                    set_properties: dict | None = None) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         ``extra_metrics``: caller-supplied metrics (e.g. quarantine
         counts) folded into the batch's ledger entry so they are visible
         through ``lineage()``.
+
+        ``set_properties``: table properties committed ATOMICALLY with
+        this merge (Iceberg snapshot-summary-property pattern; persisted
+        under the snapshot's ``properties`` key and carried forward by
+        every later commit). This is how a consumer records its own
+        progress marker (e.g. lake/ivm.py's source cursor) such that no
+        crash window can separate "merge applied" from "cursor advanced".
 
         ``additive_cols``: columns merged as RUNNING TOTALS instead of
         replaced — winner value = old + batch contribution (tombstoned
@@ -772,6 +783,10 @@ class LakeTable(TableIO):
             (b for b in {str(x) for x in snap.get("mor_buckets", [])}
              if b not in touched_set), key=int)
         snap["version"] = version
+        if set_properties:
+            props = dict(snap.get("properties", {}))
+            props.update(set_properties)
+            snap["properties"] = props
         metrics["wall_s"] = round(time.time() - t0, 3)
         _ledger_add(led, bid, metrics, ledger_scope)
         self._record_lineage(snap, self._write_lineage(version, bid, staged,
@@ -868,20 +883,37 @@ class LakeTable(TableIO):
                     .where(F.lit(False)))
         return reduce(lambda a, b: a.unionByName(b), parts)
 
+    # per-commit file count above which footer stats run as a distributed
+    # job instead of a driver loop (a Spark job costs ~0.1s fixed; a
+    # driver-side pyarrow footer read costs ~1ms/file — crossover ≈ 100)
+    _STATS_DISTRIBUTED_OVER = 128
+
     def _write_bucket_files(self, df: DataFrame, version: int, schema_v: int,
                             n_buckets: int, key_cols: list[str] | None = None,
                             token: str | None = None,
                             already_clustered: bool = False,
                             sort_cols: list[str] | None = None)\
             -> dict[int, list[dict]]:
-        """Write df (carrying _bucket) hive-partitioned to a staging dir,
-        then move files into data/ under snapshot-versioned names.
+        """Write df (carrying _bucket) hive-partitioned DIRECTLY to its
+        final location: a per-commit-attempt directory
+        ``data/c{version}-{token}/`` whose files are recorded in the
+        snapshot by RELATIVE path. There is no rename pass — at 100-TB
+        commit sizes (10^4-10^5 files) a per-file driver-side os.replace
+        loop serializes the commit; here the driver's per-file work is
+        one directory listing, O(1) syscalls per file list entry.
 
-        ``token`` (a per-commit-attempt uuid) is part of every file name:
-        two writers racing toward the same version stage DISJOINT names, so
+        ``token`` (a per-commit-attempt uuid) keys the directory: two
+        writers racing toward the same version write DISJOINT trees, so
         the loser's files are true orphans (GC-able by expire_snapshots)
-        instead of silently clobbering the winner's committed data. Readers
-        never derive names — they use the names recorded in the snapshot.
+        instead of silently clobbering the winner's committed data.
+        Readers never derive names — they use the paths recorded in the
+        snapshot.
+
+        Per-file rows/bytes for lineage come from parquet FOOTERS — read
+        driver-side below _STATS_DISTRIBUTED_OVER files, and as a tiny
+        distributed metadata job (mapPartitions over the path list; no
+        data scanned) above it, keeping commit metadata work off the
+        driver at scale.
 
         Repartitioning by the KEY columns into exactly ``n_buckets``
         partitions aligns 1:1 with the bucket transform (see bucket_expr),
@@ -889,7 +921,8 @@ class LakeTable(TableIO):
         bucket. Falls back to repartitioning by the bucket column when the
         frame lacks the keys."""
         token = token or uuid.uuid4().hex[:12]
-        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        commit_dir = f"c{version}-{token}"
+        out_dir = os.path.join(self.data_dir, commit_dir)
         if already_clustered:
             # caller guarantees each incoming partition holds exactly one
             # bucket (merge join output — see merge_batch); partitionBy
@@ -906,23 +939,38 @@ class LakeTable(TableIO):
             # skip row groups inside the bucket, not just buckets
             clustered = clustered.sortWithinPartitions(
                 *[F.col(c) for c in sort_cols])
-        (clustered.write.partitionBy(_BUCKET).mode("overwrite").parquet(stage))
-        import pyarrow.parquet as pq
+        (clustered.write.partitionBy(_BUCKET).mode("overwrite")
+         .parquet(out_dir))
         staged: dict[int, list[dict]] = {}
-        for bdir in glob.glob(os.path.join(stage, f"{_BUCKET}=*")):
+        entries: list[tuple[dict, str]] = []  # (entry, absolute path)
+        for bdir in glob.glob(os.path.join(out_dir, f"{_BUCKET}=*")):
             b = int(bdir.rsplit("=", 1)[1])
             staged[b] = []
-            for i, part in enumerate(sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))):
-                name = f"v{version}-b{b}-{i}-{token}.parquet"
-                target = os.path.join(self.data_dir, name)
-                os.replace(part, target)
-                # per-partition lineage from the parquet FOOTER — metadata
-                # read only, no Spark job, no data scan
-                staged[b].append({"file": name, "schema_v": schema_v,
-                                  "rows": pq.ParquetFile(target).metadata.num_rows,
-                                  "bytes": os.path.getsize(target)})
-        shutil.rmtree(stage, ignore_errors=True)
+            for part in sorted(glob.glob(os.path.join(bdir,
+                                                      "part-*.parquet"))):
+                rel = os.path.join(commit_dir, f"{_BUCKET}={b}",
+                                   os.path.basename(part))
+                e = {"file": rel, "schema_v": schema_v}
+                staged[b].append(e)
+                entries.append((e, part))
+        for (e, _), (rows, nbytes) in zip(
+                entries, self._footer_stats([p for _, p in entries])):
+            e["rows"], e["bytes"] = rows, nbytes
         return staged
+
+    def _footer_stats(self, paths: list[str]) -> list[tuple[int, int]]:
+        """(num_rows, size_bytes) per parquet path, in order. Metadata
+        only — never scans data pages."""
+        def _one(p: str) -> tuple[int, int]:
+            import pyarrow.parquet as pq
+            return (pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
+        if len(paths) <= self._STATS_DISTRIBUTED_OVER:
+            return [_one(p) for p in paths]
+        sc = self.spark.sparkContext
+        n = max(1, min(len(paths) // 32, sc.defaultParallelism))
+        stats = dict(sc.parallelize(paths, n)
+                     .map(lambda p: (p, _one(p))).collect())
+        return [stats[p] for p in paths]
 
     # --------------------------------------------------------------- lineage
     def _write_lineage(self, version: int, batch_id: str,
@@ -1078,8 +1126,14 @@ class LakeTable(TableIO):
         snap["mor_buckets"] = sorted(mor, key=int)
         # append mode has no pre-images in hand (that's its whole point:
         # no current-state read) — no change file; read_change_log
-        # snapshot-diffs this step
+        # snapshot-diffs this step. On a changefeed table, stamp the gap
+        # durably (carried forward by every later commit, surviving
+        # compaction clearing mor_buckets): raw-file feed tailers
+        # (ChangeLogReplicator) cannot serve across a log-less commit and
+        # must be able to detect one even long after it happened.
         snap.pop("changes", None)
+        if snap.get("changefeed"):
+            snap["log_gap_version"] = version
         metrics["buckets_touched"] = len(staged)
         snap["version"] = version
         metrics["wall_s"] = round(time.time() - t0, 3)
@@ -1160,6 +1214,9 @@ class LakeTable(TableIO):
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap.pop("changes", None)  # full replace: step is snapshot-diffed
+        if snap.get("changefeed"):
+            # durable gap marker for raw-file feed tailers (see append_batch)
+            snap["log_gap_version"] = version
         snap["version"] = version
         metrics = {"batch_id": str(batch_id), "overwrite": True}
         _ledger_add(snap["ledger"], str(batch_id), metrics)
@@ -1257,10 +1314,20 @@ class LakeTable(TableIO):
                 os.remove(os.path.join(self.meta_dir, name))
                 dropped_snaps += 1
         dropped_files = 0
-        for fname in os.listdir(self.data_dir):
-            if fname not in referenced:
-                os.remove(os.path.join(self.data_dir, fname))
-                dropped_files += 1
+        # data files live under per-commit directories (relative paths in
+        # the manifest) — walk recursively; flat names cover legacy
+        # layouts and planted orphans. Spark's _SUCCESS markers are never
+        # referenced and are swept with their commit's orphans.
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fname in files:
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, self.data_dir)
+                if rel not in referenced and fname not in referenced:
+                    os.remove(full)
+                    dropped_files += 1
+        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not os.listdir(root):
+                os.rmdir(root)
         # lineage GC: files referenced by no retained snapshot (rotated out
         # of the bounded lineage_files list, written by a crashed commit, or
         # staged by a concurrency-losing writer) are orphans — without this

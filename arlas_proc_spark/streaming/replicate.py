@@ -35,6 +35,38 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from arlas_proc_spark.lake.table import LakeTable
 
 
+def _compact_changes(batch_df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One micro-batch may span several source commits touching the same
+    key; keep each key's NEWEST transition by commit version — a delete
+    row reuses its pre-image's (seq, commit), so the table's own LWW
+    columns cannot order transitions within a batch (across batches the
+    merge's tie-goes-to-batch rule handles it).
+
+    Shape: numeric max + broadcast left-semi join-back, NOT
+    max(struct(...)) — a struct/string aggregation buffer plans as
+    non-codegen SortAggregate (the engine-wide argmax discipline, see
+    plans/diagnostics.py sort_aggs); the long-max compacts map-side and
+    the winner frame is ~key+8B/row, safely broadcast at micro-batch
+    sizes. (keys, _change_version) is unique after the pre-image filter —
+    one commit emits at most one non-preimage transition per key — so the
+    semi join keeps exactly one row per key.
+
+    Post-images upsert; delete pre-images delete; update pre-images are
+    retraction bookkeeping, not state."""
+    batch = (batch_df
+             .where(F.col("change_type") != "update_preimage")
+             .withColumn("op", F.when(
+                 F.col("change_type") == "delete",
+                 F.lit("delete")).otherwise(F.lit("upsert")))
+             .drop("change_type"))
+    cols = [c for c in batch.columns if c != "_change_version"]
+    winners = (batch.groupBy(*key_cols)
+               .agg(F.max("_change_version").alias("_change_version")))
+    return (batch.join(F.broadcast(winners),
+                       [*key_cols, "_change_version"], "left_semi")
+            .select(*cols))
+
+
 class ChangeLogReplicator:
     def __init__(self, spark: SparkSession, source: LakeTable,
                  target_path: str, *, n_buckets: int | None = None,
@@ -51,6 +83,7 @@ class ChangeLogReplicator:
             raise ValueError(
                 "source table was not created with changefeed=True; "
                 "replication tails the emitted change files")
+        self._check_feed_gap(src)
         table_schema = StructType.fromJson(src["schema"])
         self.key_cols = list(src["key_cols"])
         self.change_schema = change_schema or StructType(
@@ -64,6 +97,33 @@ class ChangeLogReplicator:
                 spark, target_path, table_schema, src["key_cols"],
                 src["seq_col"], n_buckets=n_buckets or src["n_buckets"])
 
+    @staticmethod
+    def _check_feed_gap(src: dict) -> None:
+        """A changefeed table may carry LOG-LESS commits (append-mode /
+        overwrite steps — allowed, and served correctly by
+        ``read_change_log``'s snapshot-diff fallback), but a raw-file
+        tailer like this replicator would silently SKIP them. Such
+        commits stamp a durable ``log_gap_version`` marker (and mor
+        generations are visible in ``mor_buckets`` until compacted) —
+        refuse rather than diverge."""
+        gap = src.get("log_gap_version")
+        if gap is not None:
+            raise ValueError(
+                f"source change feed has a log-less commit at version "
+                f"{gap} (append-mode or overwrite step emits no change "
+                f"files): tailing the raw feed would silently skip it. "
+                f"Re-seed the replica from a full source read, or use "
+                f"read_change_log (snapshot-diff fallback) consumers "
+                f"like IncrementalAggView instead.")
+        if src.get("mor_buckets"):
+            # legacy belt: tables written before the gap marker existed
+            raise ValueError(
+                "source table has merge-on-read generations "
+                f"(mor_buckets={src['mor_buckets']}): those commits carry "
+                "no change files, so tailing the feed would silently "
+                "diverge. Compact the source and re-seed the replica from "
+                "a full read, or re-ingest with write_mode='cow'.")
+
     def start(self, checkpoint_dir: str, *, max_files_per_trigger: int = 8,
               available_now: bool = True):
         scope = "replica-" + hashlib.sha256(
@@ -73,25 +133,11 @@ class ChangeLogReplicator:
                .parquet(self.source.changes_dir))
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
-            # post-images upsert, delete pre-images delete; update
-            # pre-images are retraction bookkeeping, not state
-            batch = (batch_df
-                     .where(F.col("change_type") != "update_preimage")
-                     .withColumn("op", F.when(
-                         F.col("change_type") == "delete",
-                         F.lit("delete")).otherwise(F.lit("upsert")))
-                     .drop("change_type"))
-            # one micro-batch may span several source commits touching
-            # the same key; compact to the NEWEST transition by commit
-            # version — a delete row reuses its pre-image's (seq, commit),
-            # so the table's own LWW columns cannot order transitions
-            # within a batch (across batches the merge's tie-goes-to-batch
-            # rule handles it)
-            cols = [c for c in batch.columns if c != "_change_version"]
-            ordered = ["_change_version"] + cols
-            batch = (batch.groupBy(*self.key_cols)
-                     .agg(F.max(F.struct(*ordered)).alias("_w"))
-                     .select("_w.*").select(*cols))
+            # a log-less source commit can land MID-stream; one manifest
+            # read per micro-batch (driver-side JSON, negligible next to
+            # the merge) fails the stream at the gap instead of past it
+            self._check_feed_gap(self.source.snapshot())
+            batch = _compact_changes(batch_df, self.key_cols)
             self.target.merge_batch(batch, batch_id, ledger_scope=scope,
                                     collect_metrics=False,
                                     batch_compacted=True)

@@ -5,8 +5,17 @@ clusters at N and 4N executors):
 
     cd /root/repo && zip -r /tmp/arlas_proc_spark.zip arlas_proc_spark
     spark-submit --py-files /tmp/arlas_proc_spark.zip jobs/ingest_job.py \
-        --wal s3://bucket/wal --table s3://bucket/table \
-        --checkpoint s3://bucket/ckpt --buckets 512 --continuous
+        --wal s3a://bucket/wal --table /mnt/shared/table \
+        --checkpoint s3a://bucket/ckpt --buckets 512 --continuous
+
+Path schemes: ``--wal`` and ``--checkpoint`` go through Spark/Hadoop and
+take any configured filesystem (s3a://, hdfs://, file://). ``--table``
+uses the BUNDLED LakeTable backend, whose manifest commits are plain
+POSIX file ops on the driver — it needs a driver-visible local or
+shared-posix path (NFS etc.), NOT an object-store URI. For an
+object-store table, inject the Iceberg backend instead
+(lake/iceberg.py, CdcEngine(table_io=IcebergTableIO(...)); requires the
+Iceberg runtime jar + catalog on the cluster).
 
 Local replay (the sandbox mode):
 
@@ -50,6 +59,11 @@ def main() -> None:
                     help="generate N synthetic events into --wal first (demo)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.write_mode == "mor" and args.changefeed:
+        ap.error("--write-mode mor cannot be combined with --changefeed: "
+                 "merge-on-read commits emit no change rows, so CDF "
+                 "consumers (replicas, incremental views) would silently "
+                 "diverge; use --write-mode cow")
 
     spark = build_session(app_name="cdc-ingest", master=args.master)
 

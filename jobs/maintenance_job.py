@@ -6,10 +6,15 @@ atomically and tolerate a concurrent writer — compaction and rebucket
 are ledgered, expiry never touches the CURRENT pointer):
 
     spark-submit --py-files /tmp/arlas_proc_spark.zip jobs/maintenance_job.py \
-        --table s3://bucket/table --compact-over 8 \
+        --table /mnt/shared/table --compact-over 8 \
         --tombstone-horizon 123456789 --keep-snapshots 4
 
     python jobs/maintenance_job.py --table /tmp/table --rebucket 128
+
+``--table`` is a bundled-LakeTable path: manifest commits are POSIX file
+ops on the driver, so it needs a driver-visible local or shared-posix
+path (NFS etc.), not an object-store URI (use the Iceberg backend in
+lake/iceberg.py for catalog/object-store tables).
 """
 
 from __future__ import annotations

@@ -4,8 +4,14 @@ changefeed-enabled source by tailing its emitted change files.
 Cluster usage:
 
     spark-submit --py-files /tmp/arlas_proc_spark.zip jobs/replicate_job.py \
-        --source s3://bucket/table --replica s3://bucket/replica \
-        --checkpoint s3://bucket/replica_ckpt --continuous
+        --source /mnt/shared/table --replica /mnt/shared/replica \
+        --checkpoint s3a://bucket/replica_ckpt --continuous
+
+``--source``/``--replica`` are bundled-LakeTable paths: manifest commits
+are POSIX file ops on the driver, so they need driver-visible local or
+shared-posix paths (NFS etc.), not object-store URIs (the Iceberg
+backend in lake/iceberg.py is the object-store path). ``--checkpoint``
+goes through Spark and takes any configured filesystem.
 
 The source must have been created with changefeed on
 (``jobs/ingest_job.py --changefeed``).

@@ -345,3 +345,94 @@ def test_two_engines_interleaved_converge(spark, tmp_path):
     cols = sorted(got.columns)
     assert got.select(*cols).exceptAll(expect.select(*cols)).count() == 0
     assert expect.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+
+def test_mor_empty_batch_commits_empty_nonempty_never(spark, tmp_path):
+    """Regression (r2 VERDICT wrong #1): mor-mode `touched` is None, so
+    emptiness must be decided by n_keys alone — an empty mor batch
+    commits a data-free ledger entry, a non-empty one never does."""
+    engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4,
+                       write_mode="mor")
+    feed = changefeed_df(spark, 200)
+    res0 = engine.apply_batch(feed, 0)
+    assert not res0.get("empty") and not res0.get("skipped")
+    assert engine.state().count() > 0
+    res1 = engine.apply_batch(feed.where("seq < 0"), 1)
+    assert res1.get("empty")
+    led = engine.table.snapshot()["ledger"]["scopes"]["default"]
+    assert led["watermark"] == 1 and led["pending"] == []
+
+
+def test_mor_engine_refuses_changefeed(spark, tmp_path):
+    """mor commits emit no change rows — combining write_mode='mor' with
+    a changefeed table must fail at construction, not diverge silently."""
+    with pytest.raises(ValueError, match="changefeed"):
+        CdcEngine(spark, str(tmp_path / "t"), n_buckets=4,
+                  write_mode="mor", changefeed=True)
+    # existing changefeed table + a second engine opened in mor mode
+    CdcEngine(spark, str(tmp_path / "t2"), n_buckets=4, changefeed=True)
+    with pytest.raises(ValueError, match="changefeed"):
+        CdcEngine(spark, str(tmp_path / "t2"), n_buckets=4,
+                  write_mode="mor")
+
+
+def test_cow_engine_over_metadata_less_tableio(spark, tmp_path):
+    """The TableIO seam with a backend whose snapshot() carries no
+    key_cols/n_buckets (e.g. IcebergTableIO: identifier + properties
+    only): cow-mode apply_batch must take bucket metadata from the
+    backend object's own attributes — or skip discovery when the backend
+    exposes neither — instead of KeyError-ing before any merge."""
+    from arlas_proc_spark.lake.io import TableIO
+
+    class RecordingIO(TableIO):
+        # like IcebergTableIO: metadata as attributes, not in snapshot()
+        key_cols = ["repo", "path"]
+        n_buckets = 4
+
+        def __init__(self):
+            self.merged = []
+
+        def merge_batch(self, batch, batch_id, **kw):
+            self.merged.append((str(batch_id), batch.count(),
+                                kw.get("touched_buckets")))
+            return {"batch_id": str(batch_id)}
+
+        def append_batch(self, batch, batch_id, **kw):
+            raise AssertionError("cow engine must not append")
+
+        def commit_empty_batch(self, batch_id, scope="default",
+                               extra_metrics=None):
+            return {"batch_id": str(batch_id), "empty": True}
+
+        def read(self, buckets=None, *a, **kw):
+            raise AssertionError("engine reads state via merge only")
+
+        def compact(self, **kw):
+            return {}
+
+        def lineage(self):
+            return []
+
+        def snapshot(self):
+            return {"identifier": "cat.db.t", "properties": {}}
+
+    io = RecordingIO()
+    engine = CdcEngine(spark, str(tmp_path / "unused"), table_io=io)
+    feed = changefeed_df(spark, 200)
+    engine.apply_batch(feed, 0)
+    assert len(io.merged) == 1
+    bid, nrows, touched = io.merged[0]
+    assert bid == "0" and nrows > 0
+    assert touched is not None and set(touched) <= set(range(4))
+    # empty batch still ledgered through the seam
+    assert engine.apply_batch(feed.where("seq < 0"), 1).get("empty")
+
+    class BareIO(RecordingIO):
+        # no bucket metadata anywhere -> discovery skipped entirely
+        key_cols = None
+        n_buckets = None
+
+    bare = BareIO()
+    engine2 = CdcEngine(spark, str(tmp_path / "unused2"), table_io=bare)
+    engine2.apply_batch(feed, 0)
+    assert bare.merged[0][2] is None

@@ -226,3 +226,34 @@ def test_derived_measures_projected_at_read_time(spark, tmp_path, src):
     got = {r.repo: r.avg_len for r in view.df().collect()}
     truth = {r.repo: r.avg_len for r in view.recompute_df().collect()}
     assert got == truth == {"r1": 4.0}
+
+
+def test_no_double_fold_after_crash_with_intervening_commit(spark, tmp_path,
+                                                            src):
+    """The r2 ADVICE exactly-once hole: a crash between the refresh merge
+    and the side-cursor write, followed by ANOTHER source commit before
+    the next refresh, used to re-fold the already-applied window under a
+    fresh batch id (src-{v'} is not ledger-skipped) — double-counting
+    additive state. The cursor now rides the merge commit itself as a
+    snapshot property, so the re-derived window starts AFTER the applied
+    one no matter what the side file says."""
+    view = _mk_view(spark, tmp_path, src, n_buckets=4)
+    src.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "xx"),
+    ]), 0)                                                     # src v1
+    view.refresh()
+    src.merge_batch(_batch(spark, [
+        _ev(2, "insert", "r1", "b.py", "c2", "yyy"),
+    ]), 1)                                                     # src v2
+    view.refresh()                                             # folds (1,2]
+    # crash window: merge committed, side cursor never written
+    if os.path.exists(view.cursor_path):
+        os.remove(view.cursor_path)
+    assert view.cursor() == 2  # authoritative record survives the crash
+    src.merge_batch(_batch(spark, [
+        _ev(3, "insert", "r2", "c.py", "c3", "zzzz"),
+    ]), 2)                                                     # src v3
+    out = view.refresh()
+    assert out["source_version"] == 3
+    assert _snap(view) == _truth(view) == {("r1",): (2, 5.0),
+                                           ("r2",): (1, 4.0)}

@@ -157,3 +157,23 @@ def test_replica_follows_source_schema_evolution(spark, tmp_path):
     rep2.run_to_completion(str(tmp_path / "ckpt"))
     got = {r.path: (r.content, r.lang) for r in rep2.state().collect()}
     assert got == {"a.py": ("v2", "rs"), "b.py": ("w1", "py")}
+
+
+def test_replicator_refuses_log_gap_in_source(spark, tmp_path):
+    """A log-less commit (append-mode / overwrite) on a changefeed table
+    emits no change files; a raw-file tailer would silently skip it. The
+    replicator must refuse on the durable gap marker — even after later
+    merges/compaction erase every other trace (ADVICE r2)."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                           ["repo", "path"], "seq", n_buckets=4,
+                           changefeed=True)
+    src.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+    ]), 0)
+    src.append_batch(_batch(spark, [
+        _ev(2, "insert", "r1", "b.py", "c2", "w1"),
+    ]), 1)                                    # log-less commit
+    src.compact(max_files_per_bucket=0)       # erases the mor generation
+    assert src.snapshot()["mor_buckets"] == []
+    with pytest.raises(ValueError, match="log-less"):
+        ChangeLogReplicator(spark, src, str(tmp_path / "replica"))
