@@ -207,7 +207,7 @@ def main() -> None:
     timings["cdc_lww_resolve"] = round(best, 3)
 
     # --- representative operator queries at the SF dir ---
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.extra_queries()}
     for name in ["gap_sessions", "flow_fragments", "fragment_summary",
                  "pricing_summary", "revenue_by_nation", "salted_event_stats",
                  "hampel_outliers", "text_stats", "minhash_signatures",

@@ -47,8 +47,21 @@ def _normalize(pdf):
     return cols, sorted(rows)
 
 
-ORACLES = entrymod.oracle_sql()
-ALL = entrymod.queries()
+# the gate covers the driver's 50-query window AND the oracle-checked
+# variants outside it (extra_queries) — every operator stays verified
+ORACLES = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+ALL = {**entrymod.queries(), **entrymod.extra_queries()}
+
+
+def test_driver_window_holds_all_graded_queries():
+    """The driver's CORRECTNESS gate checks the FIRST 50 queries() entries
+    (r2 lesson: 11 fell outside). Pin the count and that every entry has
+    an oracle twin."""
+    q = entrymod.queries()
+    assert len(q) <= 50, f"{len(q)} queries — driver grades only first 50"
+    missing = set(q) - set(entrymod.oracle_sql())
+    assert not missing, f"queries without oracles: {missing}"
+    assert set(entrymod.extra_queries()) == set(entrymod.extra_oracle_sql())
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))

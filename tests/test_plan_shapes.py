@@ -103,8 +103,8 @@ def test_lsh_queries_never_plan_cartesian(spark):
     CartesianProduct or BroadcastNestedLoopJoin here would be the exact
     all-pairs explosion LSH exists to avoid."""
     import __spark_entry__ as e
-    for name in ["embedding_topk_lsh", "embedding_neardups_lsh"]:
-        plan = e.queries()[name](spark, "/root/testdata/sf0.001") \
+    for name in ["embedding_topk_lsh", "embedding_neardups"]:
+        plan = {**e.queries(), **e.extra_queries()}[name](spark, "/root/testdata/sf0.001") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -191,3 +191,25 @@ def test_lookup_pushes_key_filters_into_one_bucket_scan(spark, tmp_path):
     assert "PushedFilters" in plan and "EqualTo(path,f3.py)" in plan, plan
     assert len({f.rsplit("/", 1)[-1].split("-")[1]
                 for f in got.inputFiles()}) == 1
+
+
+def test_replicator_compaction_is_codegen_argmax(spark):
+    """_compact_changes must plan as numeric HashAggregate + broadcast
+    semi join-back — no SortAggregate (the struct-max anti-pattern) and
+    no payload through an aggregation buffer."""
+    from arlas_proc_spark.streaming.replicate import _compact_changes
+    batch = spark.createDataFrame(
+        [("r1", "a.py", "c1", 1, "v1", "insert", 1),
+         ("r1", "a.py", "c2", 2, "v2", "update_postimage", 2),
+         ("r1", "b.py", "c3", 3, "w1", "insert", 2)],
+        "repo string, path string, commit string, seq long,"
+        " content string, change_type string, _change_version long")
+    out = _compact_changes(batch, ["repo", "path"])
+    rep = plan_report(out)
+    assert rep["sort_aggs"] == 0, "struct-max SortAggregate crept back in"
+    s = explain_str(out)
+    assert "BroadcastHashJoin" in s and "LeftSemi" in s
+    got = {(r.repo, r.path): (r.seq, r.content, r.op)
+           for r in out.collect()}
+    assert got == {("r1", "a.py"): (2, "v2", "upsert"),
+                   ("r1", "b.py"): (3, "w1", "upsert")}
