@@ -3,11 +3,12 @@
 Spark-side contract (real and tested): media rows are
 ``(id, media_type, payload binary, meta struct)``; decode / feature
 extraction run as Arrow-batched ``mapInPandas`` so each task streams
-record batches and never materializes a partition of blobs. The actual
-codec calls are STUBBED (no image/audio libs in this container) behind
-``decoder=`` hooks — ``deterministic_fake_decoder`` keeps the pipeline
-runnable + testable; plugging Pillow/librosa in production changes only
-that callable, not the plan shape.
+record batches and never materializes a partition of blobs. Codec calls
+go through ``decoder=``/``resizer=`` hooks: ``real_decoder`` /
+``real_resizer`` use Pillow when importable (env-gated tests — Pillow is
+not bundled in this container), ``deterministic_fake_*`` keep the
+pipeline runnable + exactly testable everywhere; swapping the callable
+never changes the plan shape.
 
 Partitioning guidance at 100 TB: blobs dominate bytes — repartition by a
 size-balanced key (e.g. pmod(hash(id), N)) BEFORE the decode stage,
@@ -39,11 +40,42 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_DIM = 8
 
 
+def pillow_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def real_decoder(payload: bytes, media_type: str) -> np.ndarray:
-    """Where Pillow/torchaudio/pyav would go. Not available here."""
-    raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "pass decoder=deterministic_fake_decoder or a real codec")
+    """Real image decode when Pillow is importable (it is not bundled in
+    this container — tests env-gate on ``pillow_available()``, the same
+    pattern as the protobuf-gated transformWithStateInPandas twin):
+    decode → grayscale → mean-pool FEATURE_DIM horizontal strips into a
+    fixed-dim feature. Audio/video codecs (torchaudio/pyav) are not
+    bundled anywhere this runs; those media types raise — callers that
+    need the pipeline runnable without codecs pass
+    ``decoder=deterministic_fake_decoder``."""
+    if media_type != "image":
+        raise NotImplementedError(
+            f"no {media_type} codec is bundled (torchaudio/pyav); pass "
+            f"decoder=deterministic_fake_decoder or a real codec")
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; pass "
+            "decoder=deterministic_fake_decoder or install Pillow") from None
+    img = Image.open(io.BytesIO(bytes(payload or b""))).convert("L")
+    a = np.asarray(img, dtype=np.float64) / 255.0
+    if a.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    strips = np.array_split(a, FEATURE_DIM, axis=0)
+    return np.array([s.mean() if s.size else 0.0 for s in strips],
+                    dtype=np.float64)
 
 
 def deterministic_fake_decoder(payload: bytes, media_type: str) -> np.ndarray:
@@ -101,10 +133,23 @@ def extract_features(df: DataFrame,
 
 def real_resizer(payload: bytes, w0: int | None, h0: int | None,
                  w: int, h: int) -> bytes:
-    """Where Pillow's Image.resize would go. Not available here."""
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "pass resizer=deterministic_fake_resizer or a real codec")
+    """Real image resize when Pillow is importable (env-gated like
+    ``real_decoder``): decode → bilinear resize to (w, h) → re-encode
+    PNG. PNG encoding is deterministic for a given Pillow version, so
+    replays produce identical bytes."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; pass "
+            "resizer=deterministic_fake_resizer or install "
+            "Pillow") from None
+    img = Image.open(io.BytesIO(bytes(payload or b"")))
+    out = io.BytesIO()
+    img.resize((w, h), Image.BILINEAR).save(out, format="PNG")
+    return out.getvalue()
 
 
 def deterministic_fake_resizer(payload: bytes, w0: int | None,

@@ -811,3 +811,58 @@ def test_bucket_stats_driver_side(spark, tmp_path):
     assert sum(s["rows"] for s in stats) == 17   # 16 cow + 1 mor gen
     assert all(s["bytes"] > 0 and s["files"] >= 1 for s in stats)
     assert any(s["mor"] for s in stats) and not all(s["mor"] for s in stats)
+
+
+def test_changefeed_log_gap_marker_stamped_and_durable(spark, tmp_path):
+    """Log-less commits (append-mode / overwrite) on a changefeed table
+    are allowed — read_change_log snapshot-diffs them — but must stamp a
+    DURABLE gap marker that raw-file feed tailers (ChangeLogReplicator)
+    can refuse on, surviving later merges and compaction clearing
+    mor_buckets (ADVICE r2)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4,
+                         changefeed=True)
+    t.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1")]), 0)
+    assert t.snapshot().get("log_gap_version") is None
+    t.append_batch(_batch(spark, [
+        _ev(2, "insert", "r1", "b.py", "c2", "w1")]), 1)      # v2: gap
+    assert t.snapshot()["log_gap_version"] == 2
+    # the marker survives a cow merge that clears the mor generation
+    t.merge_batch(_batch(spark, [
+        _ev(3, "update", "r1", "b.py", "c3", "w2")]), 2)
+    t.compact()
+    assert t.snapshot()["mor_buckets"] == []
+    assert t.snapshot()["log_gap_version"] == 2
+    # read_change_log still serves across the gap (diff fallback)
+    log = {(r.path, r.change_type, r.content)
+           for r in t.read_change_log(0).collect()}
+    assert ("b.py", "update_postimage", "w2") in log
+    # overwrite stamps too
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA,
+                          ["repo", "path"], "seq", n_buckets=4,
+                          changefeed=True)
+    t2.overwrite(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1")]).drop("op"))
+    assert t2.snapshot()["log_gap_version"] == 1
+
+
+def test_merge_set_properties_committed_atomically(spark, tmp_path):
+    """set_properties lands in the SAME snapshot as the merge and is
+    carried forward by later commits (Iceberg snapshot-summary
+    pattern) — the substrate of lake/ivm.py's crash-safe cursor."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    t.merge_batch(_batch(spark, [_ev(1, "insert", "r1", "a.py", "c1", "v")]),
+                  0, set_properties={"ivm.cursor": 7})
+    assert t.snapshot()["properties"] == {"ivm.cursor": 7}
+    # later commits (merge without properties, append, compact) carry it
+    t.merge_batch(_batch(spark, [_ev(2, "update", "r1", "a.py", "c2", "w")]),
+                  1)
+    assert t.snapshot()["properties"] == {"ivm.cursor": 7}
+    t.append_batch(_batch(spark, [_ev(3, "insert", "r2", "b.py", "c3", "x")]),
+                   2)
+    assert t.snapshot()["properties"] == {"ivm.cursor": 7}
+    t.merge_batch(_batch(spark, [_ev(4, "update", "r2", "b.py", "c4", "y")]),
+                  3, set_properties={"ivm.cursor": 9, "other": "z"})
+    assert t.snapshot()["properties"] == {"ivm.cursor": 9, "other": "z"}
