@@ -884,9 +884,13 @@ class LakeTable(TableIO):
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     # per-commit file count above which footer stats run as a distributed
-    # job instead of a driver loop (a Spark job costs ~0.1s fixed; a
-    # driver-side pyarrow footer read costs ~1ms/file — crossover ≈ 100)
-    _STATS_DISTRIBUTED_OVER = 128
+    # job instead of a driver loop. Measured (BENCH/profile_commit.py,
+    # 1,024-file commit): local-posix footer reads cost ~75µs/file driver-
+    # side vs ~0.27s fixed for the Spark job — local crossover ≈ 4,000
+    # files. On remote/object-store filesystems every footer is a network
+    # RTT (~1-50ms) and the distributed path wins from a few hundred
+    # files; deployments there should lower this.
+    _STATS_DISTRIBUTED_OVER = 4096
 
     def _write_bucket_files(self, df: DataFrame, version: int, schema_v: int,
                             n_buckets: int, key_cols: list[str] | None = None,

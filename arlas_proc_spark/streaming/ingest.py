@@ -46,7 +46,8 @@ class StreamingIngest:
                  write_mode: str = "cow", compact_every: int | None = None,
                  quarantine_dir: str | None = None,
                  views: list | None = None,
-                 changefeed: bool = False):
+                 changefeed: bool = False,
+                 state_partitions: int | None = None):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -70,7 +71,21 @@ class StreamingIngest:
         ``changefeed``: create the table with per-commit change-file
         emission (ignored for pre-existing tables) so downstream
         consumers — replicas, views — tail the merge-emitted log instead
-        of snapshot diffs."""
+        of snapshot diffs.
+        ``state_partitions``: partition count for the WATERMARK-DEDUP
+        state store only. Every state partition pays a fixed commit cost
+        per micro-batch (store open + delta file + fsync into the
+        checkpoint), so at small-batch cadence 32 state partitions of a
+        few MB each are pure overhead. Spark pins the stateful operator's
+        partitioning from ``spark.sql.shuffle.partitions`` AT FIRST QUERY
+        START (recorded in checkpoint offset metadata and reused on every
+        resume), while the foreachBatch merge plans against the LIVE
+        session conf — so the conf is lowered for stream startup and
+        restored inside the first micro-batch, giving the dedup stage
+        ``state_partitions`` stores and the merge its full parallelism
+        (and the P %% n_buckets == 0 shuffle-once write alignment).
+        Ignored when resuming an existing checkpoint (partitioning is
+        already pinned there)."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -89,6 +104,8 @@ class StreamingIngest:
         self.wal_format = wal_format
         self.compact_every = compact_every
         self.views = list(views or [])
+        self.state_partitions = state_partitions
+        self._restore_partitions: str | None = None
 
     def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
         raw = read_stream(self.spark, wal_dir, self.event_schema,
@@ -124,6 +141,15 @@ class StreamingIngest:
                 changefeed=self.changefeed)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            # state_partitions: batch 0's stateful planning (which pinned
+            # the dedup store's partition count into the checkpoint) has
+            # already happened by the time foreachBatch runs — restore
+            # the session conf HERE so this batch's own merge jobs, and
+            # everything after, plan at full parallelism
+            if self._restore_partitions is not None:
+                self.spark.conf.set("spark.sql.shuffle.partitions",
+                                    self._restore_partitions)
+                self._restore_partitions = None
             # persist: apply_batch scans the batch twice (narrow LWW argmax,
             # then the merge's probe pass) and without a cache each scan
             # would re-execute the whole micro-batch plan INCLUDING the
@@ -155,6 +181,15 @@ class StreamingIngest:
             for v in self.views:
                 v.refresh()
 
+        if self.state_partitions and self.stream_dedup:
+            # lower the conf for stream startup only; the first _apply
+            # call restores it (see _apply). The stateful operator's
+            # partitioning is recorded in the checkpoint's offset
+            # metadata at batch 0 and reused on every resume.
+            self._restore_partitions = self.spark.conf.get(
+                "spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions",
+                                str(self.state_partitions))
         writer = (events.writeStream
                   .foreachBatch(_apply)
                   .option("checkpointLocation", checkpoint_dir)
@@ -173,7 +208,15 @@ class StreamingIngest:
         q = self.start(wal_dir, checkpoint_dir,
                        max_files_per_trigger=max_files_per_trigger,
                        available_now=True)
-        q.awaitTermination(timeout_s)
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            # an empty backlog processes zero batches, so _apply never
+            # restores the state_partitions conf — do it here
+            if self._restore_partitions is not None:
+                self.spark.conf.set("spark.sql.shuffle.partitions",
+                                    self._restore_partitions)
+                self._restore_partitions = None
         if q.isActive:
             q.stop()
             raise TimeoutError(

@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--changefeed", action="store_true",
                     help="emit per-commit change files (CDF) for "
                          "downstream replicas / incremental views")
+    ap.add_argument("--state-partitions", type=int, default=None,
+                    help="partition count for the watermark-dedup state "
+                         "store (fewer = less per-batch commit overhead "
+                         "at small triggers; pinned into the checkpoint "
+                         "at first start)")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --wal first (demo)")
     ap.add_argument("--master", default=None)
@@ -76,7 +81,8 @@ def main() -> None:
                           watermark=args.watermark,
                           write_mode=args.write_mode,
                           compact_every=args.compact_every,
-                          changefeed=args.changefeed)
+                          changefeed=args.changefeed,
+                          state_partitions=args.state_partitions)
     if args.continuous:
         q = ing.start(args.wal, args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger,

@@ -380,3 +380,40 @@ def test_read_version_time_travel(spark, tmp_path):
     assert [(r.path, r.content) for r in
             t.read_version(2).orderBy("path").collect()] == \
         [("a.py", "v2"), ("b.py", "w1")]
+
+
+def test_state_partitions_sizing_kill_resume(spark, tmp_path):
+    """state_partitions decouples the dedup store's partition count
+    (pinned into the checkpoint at batch 0) from the merge's shuffle
+    parallelism (live session conf, restored inside the first batch):
+    convergence, dedup, and kill/resume all hold, and the session conf
+    is back at its original value afterwards."""
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, N, n_batches=4)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+
+    # partial drain, then "crash"
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                          collect_metrics=False, state_partitions=2)
+    q = ing.start(wal, str(tmp_path / "ckpt"), max_files_per_trigger=2,
+                  available_now=False)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+    # extend the WAL, resume with the same checkpoint (state partitioning
+    # comes from the checkpoint now) + fresh instance
+    extra = changefeed_df(spark, 2 * N, start=N)
+    extra.coalesce(1).write.mode("overwrite").parquet(f"{wal}/batch_99990")
+    ing2 = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=4,
+                           collect_metrics=False, state_partitions=2)
+    ing2.run_to_completion(wal, str(tmp_path / "ckpt"),
+                           max_files_per_trigger=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+    assert _state(ing2) == _oracle(2 * N)
+
+    # the dedup store really did get 2 partitions (checkpoint state dirs)
+    import os
+    state_dir = os.path.join(str(tmp_path / "ckpt"), "state", "0")
+    parts = [d for d in os.listdir(state_dir) if d.isdigit()]
+    assert len(parts) == 2, parts
