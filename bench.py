@@ -186,7 +186,15 @@ def main() -> None:
         # secondary lenses on the same drain: small-batch cadence (the
         # per-batch-overhead stressor, r01's headline configuration) and
         # merge-on-read (ingest O(batch) — the shape for huge tables)
-        best_small = drain("s", mfpt=2)  # 500k-event batches (r01's size)
+        # 500k-event batches (r01's size), dedup state store sized to 8
+        # partitions: at this cadence each state partition pays a fixed
+        # commit (store open + delta + fsync) per micro-batch, and the
+        # interleaved A/B (BENCH/remeasure_smallbatch.py, min-of-4) had
+        # sp=8 beating the 32-partition default EVERY round (1.37x on
+        # mins); 4 lost dedup-stage parallelism. The dominant remaining
+        # cost is inherent to cow at this key density — every batch
+        # touches all buckets — which is what the mor lens below answers.
+        best_small = drain("s", mfpt=2, state_partitions=8)
         timings["cdc_stream_smallbatch"] = round(best_small, 3)
         extras["cdc_stream_smallbatch_events_per_sec"] = round(
             n_stream / best_small, 1)
