@@ -116,6 +116,22 @@ class CdcEngine:
         # TableIO seam (SURVEY §7.1 Plan A): inject any TableIO —
         # e.g. lake.iceberg.IcebergTableIO over a real Iceberg runtime —
         # instead of the bundled snapshot backend
+        # fail at construction, not at the first micro-batch: mor appends
+        # emit no change rows, so a changefeed table ingested with mor
+        # would silently starve CDF consumers (a mor commit on one only
+        # stamps the log_gap_version marker downstream tailers refuse on
+        # — too late to be the first line of defense). Checked BEFORE
+        # create so a refused combination leaves no half-made table
+        # behind; for a pre-existing table the authoritative flag is its
+        # own snapshot (a failing snapshot() read propagates — masking it
+        # could silently attach a mor writer to a changefeed table).
+        _mor_cf_err = (
+            "write_mode='mor' cannot be combined with a changefeed=True "
+            "table: merge-on-read commits emit no change rows and "
+            "downstream CDF consumers would silently diverge. Use "
+            "write_mode='cow' for changefeed tables.")
+        if write_mode == "mor" and changefeed:
+            raise ValueError(_mor_cf_err)
         if table_io is not None:
             self.table = table_io
         elif LakeTable.exists(spark, table_path):
@@ -124,22 +140,9 @@ class CdcEngine:
             self.table = LakeTable.create(
                 spark, table_path, TABLE_SCHEMA, KEY_COLS, SEQ_COL,
                 n_buckets=n_buckets, changefeed=changefeed)
-        # fail at construction, not at the first micro-batch: mor appends
-        # emit no change rows, so a changefeed table ingested with mor
-        # would silently starve CDF consumers (append_batch also refuses,
-        # as the backstop)
-        if write_mode == "mor":
-            try:
-                cf = bool(self.table.snapshot().get("changefeed"))
-            except Exception:
-                cf = changefeed
-            if cf or changefeed:
-                raise ValueError(
-                    "write_mode='mor' cannot be combined with a "
-                    "changefeed=True table: merge-on-read commits emit no "
-                    "change rows and downstream CDF consumers would "
-                    "silently diverge. Use write_mode='cow' for changefeed "
-                    "tables.")
+        if write_mode == "mor" and bool(
+                self.table.snapshot().get("changefeed")):
+            raise ValueError(_mor_cf_err)
 
     def apply_batch(self, events: DataFrame, batch_id: int | str, *,
                     assume_all_buckets: bool = False) -> dict:

@@ -530,6 +530,18 @@ class LakeTable(TableIO):
         batch_data_schema = StructType(
             [f for f in batch.schema.fields if f.name != op_col])
         table_schema = StructType.fromJson(snap["schema"])
+        if op_col in {f.name for f in table_schema.fields}:
+            # a DATA column named like the op marker makes the merge's
+            # _n_-prefixed projection ambiguous — fail with the cause
+            # instead of an AMBIGUOUS_REFERENCE analysis error. (Usually
+            # the table was loaded via overwrite() from an EVENT-shaped
+            # frame whose op column evolved into the schema.)
+            raise ValueError(
+                f"table schema contains a data column named {op_col!r}, "
+                f"which collides with this merge's op_col; pass a "
+                f"different op_col (or rebuild the table without the "
+                f"column — overwrite() loads STATE rows, so event frames "
+                f"should drop their op column first)")
         new_schema, changed = evolve_schema(table_schema, batch_data_schema)
         schema_v = max(int(v) for v in snap["schemas"]) if snap["schemas"] else 0
         if changed:
@@ -970,11 +982,17 @@ class LakeTable(TableIO):
             return (pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
         if len(paths) <= self._STATS_DISTRIBUTED_OVER:
             return [_one(p) for p in paths]
-        sc = self.spark.sparkContext
-        n = max(1, min(len(paths) // 32, sc.defaultParallelism))
-        stats = dict(sc.parallelize(paths, n)
-                     .map(lambda p: (p, _one(p))).collect())
-        return [stats[p] for p in paths]
+        try:
+            sc = self.spark.sparkContext
+            n = max(1, min(len(paths) // 32, sc.defaultParallelism))
+            stats = dict(sc.parallelize(paths, n)
+                         .map(lambda p: (p, _one(p))).collect())
+            return [stats[p] for p in paths]
+        except Exception:
+            # the table path may be driver-visible only (local disk,
+            # driver-only mount) — executors then can't open the files;
+            # fall back to the driver loop rather than failing the commit
+            return [_one(p) for p in paths]
 
     # --------------------------------------------------------------- lineage
     def _write_lineage(self, version: int, batch_id: str,
@@ -1182,8 +1200,13 @@ class LakeTable(TableIO):
         raise last_err
 
     # ------------------------------------------------------------- overwrite
-    def overwrite(self, df: DataFrame, batch_id: int | str = "overwrite") -> dict:
+    def overwrite(self, df: DataFrame, batch_id: int | str = "overwrite",
+                  *, set_properties: dict | None = None) -> dict:
         """Replace the whole table content (bootstrap/full-snapshot load).
+
+        ``set_properties`` commits table properties ATOMICALLY with the
+        rewrite (same contract as ``merge_batch``) — e.g. a replica seed
+        marker that must never exist without its data.
 
         The table invariant is ≤1 row per key, so an input carrying
         duplicate keys is DETERMINISTICALLY compacted to the (seq, commit)
@@ -1222,6 +1245,10 @@ class LakeTable(TableIO):
             # durable gap marker for raw-file feed tailers (see append_batch)
             snap["log_gap_version"] = version
         snap["version"] = version
+        if set_properties:
+            props = dict(snap.get("properties", {}))
+            props.update(set_properties)
+            snap["properties"] = props
         metrics = {"batch_id": str(batch_id), "overwrite": True}
         _ledger_add(snap["ledger"], str(batch_id), metrics)
         self._record_lineage(snap, self._write_lineage(
@@ -1289,14 +1316,31 @@ class LakeTable(TableIO):
         return metrics
 
     # ------------------------------------------------------------ maintenance
-    def expire_snapshots(self, *, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, *, keep_last: int = 2,
+                         orphan_grace_s: float = 3600.0) -> dict:
         """Iceberg ``expire_snapshots`` + ``remove_orphan_files``: drop all
         but the newest ``keep_last`` snapshot manifests and delete data
         files referenced by no retained snapshot (including orphans staged
         by a writer that crashed before its snapshot commit). Time travel
         stays possible within the retained window; the CURRENT pointer is
         never touched, so this is safe to run concurrently with readers of
-        retained snapshots."""
+        retained snapshots.
+
+        ``orphan_grace_s``: unreferenced files YOUNGER than this are
+        spared (Iceberg remove_orphan_files' ``older_than``). An in-flight
+        writer stages data files directly under ``data/`` for the whole
+        duration of its Spark write + footer-stats pass, during which they
+        are referenced by no snapshot — a concurrent GC without the grace
+        would delete them and the writer would then commit a snapshot
+        pointing at missing files (permanent corruption). Only pass 0 when
+        no writer can possibly be running."""
+        now = time.time()
+
+        def _expired(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) >= orphan_grace_s
+            except OSError:
+                return False  # vanished mid-walk (concurrent GC/writer)
         names = sorted(f for f in os.listdir(self.meta_dir)
                        if f.startswith("v") and f.endswith(".json"))
         current = self._current_name()
@@ -1326,11 +1370,13 @@ class LakeTable(TableIO):
             for fname in files:
                 full = os.path.join(root, fname)
                 rel = os.path.relpath(full, self.data_dir)
-                if rel not in referenced and fname not in referenced:
+                if (rel not in referenced and fname not in referenced
+                        and _expired(full)):
                     os.remove(full)
                     dropped_files += 1
         for root, _dirs, files in os.walk(self.data_dir, topdown=False):
-            if root != self.data_dir and not os.listdir(root):
+            if root != self.data_dir and not os.listdir(root) \
+                    and _expired(root):
                 os.rmdir(root)
         # lineage GC: files referenced by no retained snapshot (rotated out
         # of the bounded lineage_files list, written by a crashed commit, or
@@ -1340,8 +1386,9 @@ class LakeTable(TableIO):
         dropped_lineage = 0
         if os.path.isdir(self.lineage_dir):
             for fname in os.listdir(self.lineage_dir):
-                if fname not in referenced_lineage:
-                    os.remove(os.path.join(self.lineage_dir, fname))
+                full = os.path.join(self.lineage_dir, fname)
+                if fname not in referenced_lineage and _expired(full):
+                    os.remove(full)
                     dropped_lineage += 1
         # change-feed retention mirrors snapshot retention: each snapshot
         # references exactly its own commit's change files, so expiring a
@@ -1351,8 +1398,9 @@ class LakeTable(TableIO):
         dropped_changes = 0
         if os.path.isdir(self.changes_dir):
             for fname in os.listdir(self.changes_dir):
-                if fname not in referenced_changes:
-                    os.remove(os.path.join(self.changes_dir, fname))
+                full = os.path.join(self.changes_dir, fname)
+                if fname not in referenced_changes and _expired(full):
+                    os.remove(full)
                     dropped_changes += 1
         return {"snapshots_expired": dropped_snaps,
                 "orphan_files_removed": dropped_files,

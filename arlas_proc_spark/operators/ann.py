@@ -466,10 +466,14 @@ def train_ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, *,
         sample = sample.where(
             F.pmod(F.hash(F.col("_id")), F.lit(sample_mod)) == 0)
     if n_iters == 0:
-        # sample mode: centroids ARE the sampled vectors (ids preserved)
-        out = sample.orderBy("_id")
+        # sample mode: centroids ARE the sampled vectors (ids preserved).
+        # The global sort exists only to make limit(n_centroids)
+        # deterministic — without a limit every consumer (collect into a
+        # matrix, broadcast) is order-insensitive, so don't pay a
+        # full-sample sort shuffle for nothing
+        out = sample
         if n_centroids is not None:
-            out = out.limit(n_centroids)
+            out = out.orderBy("_id").limit(n_centroids)
         return out.select(F.col("_id").alias(id_col), vec_col)
     if n_centroids is None:
         raise ValueError("n_centroids is required when n_iters > 0")

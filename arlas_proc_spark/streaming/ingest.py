@@ -85,7 +85,9 @@ class StreamingIngest:
         ``state_partitions`` stores and the merge its full parallelism
         (and the P %% n_buckets == 0 shuffle-once write alignment).
         Ignored when resuming an existing checkpoint (partitioning is
-        already pinned there)."""
+        already pinned there). ``run_to_completion`` always restores the
+        session conf; a continuous ``start()`` stopped before its first
+        micro-batch leaves it lowered until the next start/batch."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -181,11 +183,16 @@ class StreamingIngest:
             for v in self.views:
                 v.refresh()
 
-        if self.state_partitions and self.stream_dedup:
+        if self.state_partitions and self.stream_dedup \
+                and self._restore_partitions is None:
             # lower the conf for stream startup only; the first _apply
             # call restores it (see _apply). The stateful operator's
             # partitioning is recorded in the checkpoint's offset
-            # metadata at batch 0 and reused on every resume.
+            # metadata at batch 0 and reused on every resume. The
+            # None-guard keeps a SECOND start() after a zero-batch run
+            # (where _apply never fired) from re-capturing the already-
+            # lowered conf as the "original" and pinning the session at
+            # state_partitions forever.
             self._restore_partitions = self.spark.conf.get(
                 "spark.sql.shuffle.partitions")
             self.spark.conf.set("spark.sql.shuffle.partitions",

@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--keep-snapshots", type=int, default=None,
                     help="expire all but the newest K snapshots and "
                          "remove orphan data/lineage/change files")
+    ap.add_argument("--orphan-grace", type=float, default=3600.0,
+                    help="spare unreferenced files younger than this many "
+                         "seconds (an in-flight writer's staged files are "
+                         "unreferenced until its snapshot commits); only "
+                         "use 0 when no writer can be running")
     ap.add_argument("--rebucket", type=int, default=None,
                     help="rewrite the table under this bucket count")
     ap.add_argument("--master", default=None)
@@ -58,7 +63,9 @@ def main() -> None:
     if args.rebucket is not None:
         report["rebucket"] = t.rebucket(args.rebucket)
     if args.keep_snapshots is not None:
-        report["expire"] = t.expire_snapshots(keep_last=args.keep_snapshots)
+        report["expire"] = t.expire_snapshots(
+            keep_last=args.keep_snapshots,
+            orphan_grace_s=args.orphan_grace)
     report["version_after"] = t.snapshot()["version"]
     stats = t.bucket_stats()
     rows = [s["rows"] for s in stats] or [0]

@@ -40,12 +40,23 @@ def main() -> None:
                     help="replica bucket count (default: source's)")
     ap.add_argument("--max-files-per-trigger", type=int, default=8)
     ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--seed", action="store_true",
+                    help="(re)load the replica from a full source read "
+                         "before tailing — the recovery path when the "
+                         "source feed has a log-less commit "
+                         "(append/overwrite); the seed version is "
+                         "recorded durably in the replica")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     spark = build_session(app_name="cdc-replicate", master=args.master)
-    rep = ChangeLogReplicator(spark, LakeTable(spark, args.source),
-                              args.replica, n_buckets=args.buckets)
+    source = LakeTable(spark, args.source)
+    seed_v = int(source.snapshot()["version"]) if args.seed else None
+    rep = ChangeLogReplicator(spark, source, args.replica,
+                              n_buckets=args.buckets,
+                              seeded_at_version=seed_v)
+    if args.seed:
+        print(json.dumps({"seeded_at_version": rep.seed()}))
     if args.continuous:
         q = rep.start(args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger,

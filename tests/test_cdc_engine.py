@@ -436,3 +436,19 @@ def test_cow_engine_over_metadata_less_tableio(spark, tmp_path):
     engine2 = CdcEngine(spark, str(tmp_path / "unused2"), table_io=bare)
     engine2.apply_batch(feed, 0)
     assert bare.merged[0][2] is None
+
+
+def test_mor_changefeed_refusal_leaves_no_table_behind(spark, tmp_path):
+    """A refused mor+changefeed combination on a FRESH path must not
+    create the table first: the user's retry with the corrected flags
+    must start from a clean slate, not open a leftover changefeed table
+    and refuse again."""
+    from arlas_proc_spark.lake.table import LakeTable
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="changefeed"):
+        CdcEngine(spark, path, n_buckets=4, write_mode="mor",
+                  changefeed=True)
+    assert not LakeTable.exists(spark, path)
+    # the corrected retry works
+    eng = CdcEngine(spark, path, n_buckets=4, write_mode="mor")
+    assert not eng.table.snapshot().get("changefeed")

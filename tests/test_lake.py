@@ -180,7 +180,7 @@ def test_expire_snapshots_gc(spark, tmp_path):
     # plant an orphan (crashed writer's leftover)
     open(os.path.join(data_dir, "v99-b0-0.parquet"), "w").close()
     n_files_before = len(os.listdir(data_dir))
-    res = t.expire_snapshots(keep_last=2)
+    res = t.expire_snapshots(keep_last=2, orphan_grace_s=0)
     assert res["snapshots_expired"] >= 2
     assert res["orphan_files_removed"] >= 1
     assert len(os.listdir(data_dir)) < n_files_before
@@ -315,7 +315,7 @@ def test_concurrent_writers_full_commit_race(spark, tmp_path, monkeypatch):
     assert state == {("rA", "a.py"): "vA", ("rB", "b.py"): "vB"}
     # GC removes the orphaned staging (data + lineage) without touching
     # live files
-    gc = a.expire_snapshots(keep_last=10)
+    gc = a.expire_snapshots(keep_last=10, orphan_grace_s=0)
     assert gc["orphan_files_removed"] >= 1
     state = {(r.repo, r.path): r.content for r in a.read().collect()}
     assert state == {("rA", "a.py"): "vA", ("rB", "b.py"): "vB"}
@@ -612,7 +612,7 @@ def test_expire_snapshots_gcs_change_files(spark, tmp_path):
             _ev(i + 1, "insert", "r1", f"f{i}.py", f"c{i}", f"v{i}"),
         ]), i)
     n_before = len(_os.listdir(t.changes_dir))
-    out = t.expire_snapshots(keep_last=2)
+    out = t.expire_snapshots(keep_last=2, orphan_grace_s=0)
     assert out["orphan_changes_removed"] > 0
     assert len(_os.listdir(t.changes_dir)) < n_before
     # retained window still serves its log
@@ -770,7 +770,7 @@ def test_concurrent_writers_changefeed_race(spark, tmp_path, monkeypatch):
     # the loser's change files are orphans and GC'd
     import os as _os
     n_before = len(_os.listdir(a.changes_dir))
-    gc = a.expire_snapshots(keep_last=10)
+    gc = a.expire_snapshots(keep_last=10, orphan_grace_s=0)
     assert gc["orphan_changes_removed"] >= 1
     assert len(_os.listdir(a.changes_dir)) < n_before
     assert {(r.path, r.change_type)
@@ -866,3 +866,34 @@ def test_merge_set_properties_committed_atomically(spark, tmp_path):
     t.merge_batch(_batch(spark, [_ev(4, "update", "r2", "b.py", "c4", "y")]),
                   3, set_properties={"ivm.cursor": 9, "other": "z"})
     assert t.snapshot()["properties"] == {"ivm.cursor": 9, "other": "z"}
+
+
+def test_orphan_gc_grace_spares_inflight_writer_files(spark, tmp_path):
+    """expire_snapshots must NOT delete young unreferenced files: an
+    in-flight writer stages data files under data/ for the whole write +
+    footer-stats pass before its snapshot references them, so only files
+    older than orphan_grace_s are orphan-GC'd (Iceberg's older_than)."""
+    import os as _os
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2)
+    for i in range(3):
+        t.merge_batch(_batch(spark, [
+            _ev(i, "insert", "r", f"f{i}", f"c{i}", f"v{i}")]), i)
+    data_dir = _os.path.join(str(tmp_path / "t"), "data")
+    # a "crashed writer from yesterday" (old orphan) and an in-flight
+    # writer's fresh staging file (young orphan)
+    old = _os.path.join(data_dir, "v98-dead-writer.parquet")
+    young = _os.path.join(data_dir, "c99-inflight", "b=0", "part-0.parquet")
+    open(old, "w").close()
+    _os.utime(old, (1, 1))
+    _os.makedirs(_os.path.dirname(young))
+    open(young, "w").close()
+    res = t.expire_snapshots(keep_last=10)  # default grace
+    assert not _os.path.exists(old)
+    assert _os.path.exists(young), "grace must spare in-flight staging"
+    assert res["orphan_files_removed"] == 1
+    # a later run with the grace elapsed (simulated) collects it
+    _os.utime(young, (1, 1))
+    res2 = t.expire_snapshots(keep_last=10)
+    assert not _os.path.exists(young)
+    assert res2["orphan_files_removed"] == 1

@@ -194,9 +194,13 @@ def test_lookup_pushes_key_filters_into_one_bucket_scan(spark, tmp_path):
 
 
 def test_replicator_compaction_is_codegen_argmax(spark):
-    """_compact_changes must plan as numeric HashAggregate + broadcast
-    semi join-back — no SortAggregate (the struct-max anti-pattern) and
-    no payload through an aggregation buffer."""
+    """_compact_changes must plan as numeric HashAggregate + semi
+    join-back — no SortAggregate (the struct-max anti-pattern) and no
+    payload through an aggregation buffer. The join is deliberately NOT
+    hint-forced to broadcast (a catch-up backlog's winner set can exceed
+    the broadcast limit); AQE must still convert it to a broadcast semi
+    join at runtime when the winner side is small — asserted on the
+    EXECUTED plan."""
     from arlas_proc_spark.streaming.replicate import _compact_changes
     batch = spark.createDataFrame(
         [("r1", "a.py", "c1", 1, "v1", "insert", 1),
@@ -207,9 +211,9 @@ def test_replicator_compaction_is_codegen_argmax(spark):
     out = _compact_changes(batch, ["repo", "path"])
     rep = plan_report(out)
     assert rep["sort_aggs"] == 0, "struct-max SortAggregate crept back in"
-    s = explain_str(out)
-    assert "BroadcastHashJoin" in s and "LeftSemi" in s
     got = {(r.repo, r.path): (r.seq, r.content, r.op)
            for r in out.collect()}
     assert got == {("r1", "a.py"): (2, "v2", "upsert"),
                    ("r1", "b.py"): (3, "w1", "upsert")}
+    s = explain_str(out)  # post-action: AQE's finalized plan
+    assert "BroadcastHashJoin" in s and "LeftSemi" in s, s

@@ -177,3 +177,73 @@ def test_replicator_refuses_log_gap_in_source(spark, tmp_path):
     assert src.snapshot()["mor_buckets"] == []
     with pytest.raises(ValueError, match="log-less"):
         ChangeLogReplicator(spark, src, str(tmp_path / "replica"))
+
+
+def test_seed_recovers_replication_after_log_gap(spark, tmp_path):
+    """The gap recovery path: an overwrite on a changefeed source stamps
+    log_gap_version, so a raw-file tailer refuses. seed() (full source
+    read + durable marker in the replica's own snapshot properties) must
+    (a) unblock construction, (b) skip pre-seed change rows on replay —
+    replaying them could resurrect keys the overwrite dropped — and
+    (c) keep following post-seed cow merges, surviving a replicator
+    restart that rediscovers the seed version from the marker."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                           ["repo", "path"], "seq", n_buckets=2,
+                           changefeed=True)
+    src.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+        _ev(2, "insert", "r1", "drop.py", "c2", "gone"),
+    ]), 1)
+    # log-less commit: drop.py disappears with NO change file emitted
+    # (overwrite loads STATE rows — event frames drop their op column)
+    src.overwrite(_batch(spark, [
+        _ev(3, "insert", "r1", "a.py", "c3", "v3"),
+        _ev(4, "insert", "r1", "b.py", "c4", "w1"),
+    ]).drop("op"))
+    with pytest.raises(ValueError, match="log-less"):
+        ChangeLogReplicator(spark, src, str(tmp_path / "replica"))
+
+    rep = ChangeLogReplicator(spark, src, str(tmp_path / "replica"),
+                              seeded_at_version=src.snapshot()["version"])
+    seed_v = rep.seed()
+    assert seed_v == src.snapshot()["version"]
+    # post-seed source activity flows through the feed again
+    src.merge_batch(_batch(spark, [
+        _ev(5, "update", "r1", "a.py", "c5", "v5"),
+        _ev(6, "insert", "r2", "c.py", "c6", "x1"),
+    ]), 2)
+    rep.run_to_completion(str(tmp_path / "ck"))
+    got = _rows(rep.state().select("repo", "path", "seq", "content"))
+    assert got == {("r1", "a.py"): (5, "v5"),
+                   ("r1", "b.py"): (4, "w1"),
+                   ("r2", "c.py"): (6, "x1")}
+    assert ("r1", "drop.py") not in got, \
+        "pre-seed change replay resurrected an overwrite-dropped key"
+
+    # restart with a fresh instance and NO explicit seed version: the
+    # durable marker alone must authorize construction and further sync
+    src.merge_batch(_batch(spark, [
+        _ev(7, "delete", "r1", "b.py", "c4", "w1"),
+    ]), 3)
+    rep2 = ChangeLogReplicator(spark, src, str(tmp_path / "replica"))
+    rep2.run_to_completion(str(tmp_path / "ck"))
+    got2 = _rows(rep2.state().select("repo", "path", "seq", "content"))
+    assert set(got2) == {("r1", "a.py"), ("r2", "c.py")}
+
+
+def test_seed_requires_at_or_after_gap(spark, tmp_path):
+    """A seed OLDER than the gap does not authorize tailing — the gap
+    commit's effect is not in the seed."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA,
+                           ["repo", "path"], "seq", n_buckets=2,
+                           changefeed=True)
+    src.merge_batch(_batch(spark, [
+        _ev(1, "insert", "r1", "a.py", "c1", "v1"),
+    ]), 1)
+    src.overwrite(_batch(spark, [
+        _ev(2, "insert", "r1", "b.py", "c2", "w1"),
+    ]).drop("op"))
+    gap_v = src.snapshot()["log_gap_version"]
+    with pytest.raises(ValueError, match="log-less"):
+        ChangeLogReplicator(spark, src, str(tmp_path / "replica"),
+                            seeded_at_version=gap_v - 1)
