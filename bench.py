@@ -179,7 +179,11 @@ def main() -> None:
         # min-of-4 A/B: mfpt=4 5.8s vs mfpt=2 9.4s vs batch-replay floor
         # 2.9s on the same feed — the streaming machinery (offsets, state
         # store dedup, checkpoint, ledger) costs ~2.8s over raw replay.
-        best_stream = drain("t", mfpt=8)
+        # state store sized to 8 partitions here too: one trigger commits
+        # the store once, so the saving is a ~1s fixed cost (interleaved
+        # min-of-4: 7.19s vs 8.29s default; unlike the mfpt=2 lens it is
+        # NOT an every-round winner — recorded in BENCH/BASELINE.md)
+        best_stream = drain("t", mfpt=8, state_partitions=8)
         timings["cdc_stream_ingest"] = round(best_stream, 3)
         extras["cdc_stream_events_per_sec"] = round(n_stream / best_stream, 1)
         extras["cdc_stream_events"] = n_stream
