@@ -97,14 +97,25 @@ class LakeTable(TableIO):
     @classmethod
     def create(cls, spark: SparkSession, path: str, schema: StructType,
                key_cols: list[str], seq_col: str, n_buckets: int = 16,
-               changefeed: bool = False) -> "LakeTable":
+               changefeed: bool = False,
+               stats_cols: list[str] | None = None) -> "LakeTable":
         """``changefeed=True`` (Delta's delta.enableChangeDataFeed): every
         ``merge_batch`` ALSO writes its change rows (insert /
         update_preimage / update_postimage / delete) as a per-commit file,
         emitted from the merge join itself — so ``read_change_log`` costs
         O(changed rows) instead of a two-snapshot diff over the touched
         buckets. Worth it whenever downstream consumers (incremental
-        views, replication) tail the table."""
+        views, replication) tail the table.
+
+        ``stats_cols`` (default: key columns + seq column) are the columns
+        whose per-FILE min/max are recorded in the manifest at write time
+        (from the parquet footers the commit already reads for lineage —
+        no extra IO). ``read(filters=...)`` / ``lookup`` use them to skip
+        whole files before Spark ever plans a scan — Iceberg's
+        manifest-level pruning, one tier above parquet row-group stats.
+        Pass ``[]`` to disable."""
+        if stats_cols is None:
+            stats_cols = list(dict.fromkeys(list(key_cols) + [seq_col]))
         t = cls(spark, path)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -114,6 +125,7 @@ class LakeTable(TableIO):
             "key_cols": key_cols,
             "seq_col": seq_col,
             "n_buckets": n_buckets,
+            "stats_cols": list(stats_cols),
             "changefeed": bool(changefeed),
             "buckets": {},          # bucket -> [{file, schema_v}]
             # scopes: per-stream exactly-once watermarks (Delta txnAppId)
@@ -185,7 +197,8 @@ class LakeTable(TableIO):
     # ------------------------------------------------------------------ read
     def read(self, buckets: list[int] | None = None,
              snapshot: dict | None = None,
-             with_tombstones: bool = False) -> DataFrame:
+             with_tombstones: bool = False,
+             filters: list[tuple] | None = None) -> DataFrame:
         """Current table state (optionally restricted to buckets) as the
         live schema. Files written under older schemas are read with their
         own schema and projected up (Iceberg read-time projection).
@@ -199,8 +212,21 @@ class LakeTable(TableIO):
         time with per-key LWW (max (seq, commit)) before tombstone
         filtering — the Iceberg-v2 merge-on-read pattern, with the
         equality-delete implicit in LWW. ``compact()`` collapses the
-        generations back to one."""
+        generations back to one.
+
+        ``filters`` — conjunctive ``(col, op, value)`` triples, op in
+        ``= < <= > >= in`` — prune whole FILES against the manifest's
+        per-file min/max stats before Spark plans the scan (Iceberg
+        manifest pruning), then apply row-wise to the result. A file is
+        skipped only when its stats PROVE no row can match; files without
+        stats (older manifests, non-stats columns) are never skipped.
+        Merge-on-read buckets prune on KEY-column filters only: a key's
+        generations share key values, so key-range pruning can never hide
+        a generation from LWW resolution — but a value/seq filter could,
+        so those apply only after the resolve."""
         snap = snapshot or self.snapshot()
+        filters = _normalize_filters(filters)
+        key_filters = [f for f in filters if f[0] in snap["key_cols"]]
         table_schema = StructType.fromJson(snap["schema"])
         tomb_schema = StructType(list(table_schema.fields) +
                                  [StructField(_TOMB, BooleanType(), True)])
@@ -211,7 +237,12 @@ class LakeTable(TableIO):
         mor_entries: list[dict] = []
         for b, files in snap["buckets"].items():
             if sel is None or b in sel:
-                (mor_entries if b in mor else cow_entries).extend(files)
+                for e in files:
+                    if b in mor:
+                        if _entry_may_match(e, key_filters):
+                            mor_entries.append(e)
+                    elif _entry_may_match(e, filters):
+                        cow_entries.append(e)
         if not cow_entries and not mor_entries:
             # filter(false) turns the RDD-backed empty frame into a provably
             # empty LocalRelation, so Catalyst ELIMINATES the merge's full
@@ -244,6 +275,8 @@ class LakeTable(TableIO):
         df = reduce(lambda a, b: a.unionByName(b), parts)
         if not with_tombstones:
             df = df.where(~F.coalesce(F.col(_TOMB), F.lit(False))).drop(_TOMB)
+        if filters:
+            df = df.where(_filters_to_column(filters))
         return df
 
     # ---------------------------------------------------------- change feed
@@ -296,10 +329,11 @@ class LakeTable(TableIO):
             [tuple(key[k] for k in kc)],
             StructType([fields[k] for k in kc]))
         b = row.select(bucket_expr(kc, n).alias("b")).collect()[0]["b"]
-        df = self.read(buckets=[int(b)], snapshot=snap)
-        for k in kc:
-            df = df.where(F.col(k) == F.lit(key[k]))
-        return df
+        # key-equality filters prune FILES inside the bucket via manifest
+        # min/max (selective after key-sorted compaction), then push into
+        # the surviving parquet scans for row-group skipping
+        return self.read(buckets=[int(b)], snapshot=snap,
+                         filters=[(k, "=", key[k]) for k in kc])
 
     def rebucket(self, new_n_buckets: int, *,
                  batch_id: str | None = None) -> dict:
@@ -327,7 +361,8 @@ class LakeTable(TableIO):
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v,
                                           new_n_buckets, key_cols=key_cols,
-                                          token=token, sort_cols=key_cols)
+                                          token=token, sort_cols=key_cols,
+                                          stats_cols=snap.get("stats_cols"))
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap["n_buckets"] = new_n_buckets
@@ -738,7 +773,8 @@ class LakeTable(TableIO):
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=snap["key_cols"],
                                           token=token,
-                                          already_clustered=aligned)
+                                          already_clustered=aligned,
+                                          stats_cols=snap.get("stats_cols"))
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -908,7 +944,8 @@ class LakeTable(TableIO):
                             n_buckets: int, key_cols: list[str] | None = None,
                             token: str | None = None,
                             already_clustered: bool = False,
-                            sort_cols: list[str] | None = None)\
+                            sort_cols: list[str] | None = None,
+                            stats_cols: list[str] | None = None)\
             -> dict[int, list[dict]]:
         """Write df (carrying _bucket) hive-partitioned DIRECTLY to its
         final location: a per-commit-attempt directory
@@ -969,17 +1006,53 @@ class LakeTable(TableIO):
                 e = {"file": rel, "schema_v": schema_v}
                 staged[b].append(e)
                 entries.append((e, part))
-        for (e, _), (rows, nbytes) in zip(
-                entries, self._footer_stats([p for _, p in entries])):
+        for (e, _), (rows, nbytes, col_stats) in zip(
+                entries, self._footer_stats([p for _, p in entries],
+                                            stats_cols or [])):
             e["rows"], e["bytes"] = rows, nbytes
+            if col_stats:
+                e["stats"] = col_stats
         return staged
 
-    def _footer_stats(self, paths: list[str]) -> list[tuple[int, int]]:
-        """(num_rows, size_bytes) per parquet path, in order. Metadata
-        only — never scans data pages."""
-        def _one(p: str) -> tuple[int, int]:
+    def _footer_stats(self, paths: list[str],
+                      stats_cols: list[str] | None = None)\
+            -> list[tuple[int, int, dict]]:
+        """(num_rows, size_bytes, {col: [min, max]}) per parquet path, in
+        order. Metadata only — never scans data pages. Min/max come from
+        the footer's row-group statistics, folded across row groups; a
+        column is omitted when any row group lacks stats for it or its
+        values aren't JSON-portable (the manifest is JSON) — omission
+        just means "never skip on this column", so it is always safe."""
+        stats_cols = stats_cols or []
+
+        def _one(p: str) -> tuple[int, int, dict]:
             import pyarrow.parquet as pq
-            return (pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
+            md = pq.ParquetFile(p).metadata
+            col_stats: dict[str, list] = {}
+            if stats_cols and md.num_rows > 0:
+                idx = {md.schema.column(j).name: j
+                       for j in range(md.num_columns)}
+                for c in stats_cols:
+                    j = idx.get(c)
+                    if j is None:
+                        continue  # schema evolution: col absent in file
+                    lo = hi = None
+                    ok = True
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(j).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        if not (isinstance(st.min, (int, float, str)) and
+                                isinstance(st.max, (int, float, str))) or \
+                                isinstance(st.min, bool):
+                            ok = False  # bytes/timestamps: not JSON-portable
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if ok and lo is not None:
+                        col_stats[c] = [lo, hi]
+            return (md.num_rows, os.path.getsize(p), col_stats)
         if len(paths) <= self._STATS_DISTRIBUTED_OVER:
             return [_one(p) for p in paths]
         try:
@@ -1134,7 +1207,8 @@ class LakeTable(TableIO):
         version = snap["version"] + 1
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
-                                          key_cols=key_cols, token=token)
+                                          key_cols=key_cols, token=token,
+                                          stats_cols=snap.get("stats_cols"))
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -1237,7 +1311,8 @@ class LakeTable(TableIO):
         version = snap["version"] + 1
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
-                                          key_cols=key_cols, token=token)
+                                          key_cols=key_cols, token=token,
+                                          stats_cols=snap.get("stats_cols"))
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap.pop("changes", None)  # full replace: step is snapshot-diffed
@@ -1299,7 +1374,8 @@ class LakeTable(TableIO):
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=snap["key_cols"],
                                           token=token,
-                                          sort_cols=snap["key_cols"])
+                                          sort_cols=snap["key_cols"],
+                                          stats_cols=snap.get("stats_cols"))
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
         snap["mor_buckets"] = sorted(mor - {str(b) for b in victims}, key=int)
@@ -1444,6 +1520,98 @@ def _resolve_lww(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
+
+
+_FILTER_OPS = {"=", "<", "<=", ">", ">=", "in"}
+
+
+def _normalize_filters(filters: list[tuple] | None) -> list[tuple]:
+    """Validate ``(col, op, value)`` triples. ``in`` takes a non-empty
+    list/tuple/set of values; null comparisons are rejected (SQL
+    comparison semantics make them match nothing — a caller passing one
+    almost certainly wants ``IS NULL``, which file stats can't prove)."""
+    if not filters:
+        return []
+    out = []
+    for f in filters:
+        if not (isinstance(f, (tuple, list)) and len(f) == 3):
+            raise ValueError(f"filter must be (col, op, value), got {f!r}")
+        col, op, val = f
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported filter op {op!r} "
+                             f"(supported: {sorted(_FILTER_OPS)})")
+        if op == "in":
+            vals = list(val)
+            if not vals or any(v is None for v in vals):
+                raise ValueError("'in' filter needs a non-empty list of "
+                                 "non-null values")
+            out.append((col, op, vals))
+        else:
+            if val is None:
+                raise ValueError(f"null comparison {col} {op} None matches "
+                                 f"nothing; filter it row-wise instead")
+            out.append((col, op, val))
+    return out
+
+
+def _entry_may_match(entry: dict, filters: list[tuple]) -> bool:
+    """Manifest-level file skipping: False only when the file's recorded
+    min/max PROVE no row satisfies every filter. Missing stats (old
+    manifests, un-tracked columns, mixed types) always return True —
+    pruning is an optimization, never a correctness gate. Nulls are safe:
+    a null never satisfies a comparison, so null rows inside a kept-or-
+    skipped file can't change any filter's result set."""
+    stats = entry.get("stats")
+    if not stats or not filters:
+        return True
+    for col, op, val in filters:
+        rng = stats.get(col)
+        if not rng:
+            continue
+        lo, hi = rng
+        try:
+            if op == "=":
+                if val < lo or val > hi:
+                    return False
+            elif op == "in":
+                if all(v < lo or v > hi for v in val):
+                    return False
+            elif op == "<":
+                if lo >= val:
+                    return False
+            elif op == "<=":
+                if lo > val:
+                    return False
+            elif op == ">":
+                if hi <= val:
+                    return False
+            elif op == ">=":
+                if hi < val:
+                    return False
+        except TypeError:
+            continue  # stats/value type mismatch: never skip on it
+    return True
+
+
+def _filters_to_column(filters: list[tuple]):
+    """The same conjunctive filters as one Spark Column (row-level
+    residual: manifest pruning skips files, this keeps the rows exact)."""
+    conds = []
+    for col, op, val in filters:
+        c = F.col(col)
+        if op == "=":
+            conds.append(c == F.lit(val))
+        elif op == "in":
+            conds.append(c.isin(val))
+        elif op == "<":
+            conds.append(c < F.lit(val))
+        elif op == "<=":
+            conds.append(c <= F.lit(val))
+        elif op == ">":
+            conds.append(c > F.lit(val))
+        else:
+            conds.append(c >= F.lit(val))
+    return reduce(lambda a, b: a & b, conds)
 
 
 def _ledger_key(scope: str, bid: str) -> str:
