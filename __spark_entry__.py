@@ -576,6 +576,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fingerprint")
 
 
+def q_sample_bernoulli_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli corpus sample (25%): reproducible
+    across runs/partitionings, unlike df.sample()."""
+    from arlas_proc_spark.operators.sampling import sample_bernoulli
+    return sample_bernoulli(_t(spark, sf_dir, "documents"), 0.25,
+                            ["doc_id"]).select("doc_id", "lang", "source")
+
+
+def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) deterministic quota — the pretraining-mix
+    balancer (<=7 docs per stratum, md5-ranked)."""
+    from arlas_proc_spark.operators.sampling import sample_stratified
+    return sample_stratified(_t(spark, sf_dir, "documents"),
+                             ["lang", "source"], 7,
+                             ["doc_id"]).select("doc_id", "lang", "source")
+
+
+def q_sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli rates (upsample en, drop the rest to 10%)."""
+    from arlas_proc_spark.operators.sampling import sample_weighted_strata
+    return sample_weighted_strata(
+        _t(spark, sf_dir, "documents"), "lang",
+        {"en": 1.0, "fr": 0.5}, ["doc_id"],
+        default_fraction=0.1).select("doc_id", "lang")
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", k=4)
 
@@ -884,7 +910,8 @@ _EXTRA_QUERIES = [
     "cdc_feed", "cdc_dedup", "cdc_vendored_files", "minhash_signatures",
     "embedding_ann_bucketed", "embedding_topk_lsh", "embedding_neardups_toy",
     "top_brands_by_revenue", "standard_timestamps", "visibility_change",
-    "forward_fill",
+    "forward_fill", "sample_bernoulli_docs", "sample_stratified_docs",
+    "sample_weighted_docs",
 ]
 
 
@@ -943,6 +970,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprint": q_doc_fingerprint,
+        "sample_bernoulli_docs": q_sample_bernoulli_docs,
+        "sample_stratified_docs": q_sample_stratified_docs,
+        "sample_weighted_docs": q_sample_weighted_docs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1471,6 +1501,28 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT doc_id, list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min')
                    AS fingerprint
             FROM documents""",
+        # deterministic sampling: both engines compare the SAME md5-hex
+        # draw against the SAME precomputed threshold constants
+        # (fraction_threshold_hex: 0.25→'40000000', 0.5→'80000000',
+        # 0.1→'1999999a', 1.0→'g' which sorts above all hex)
+        "sample_bernoulli_docs": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(concat_ws('|', '', doc_id)), 1, 8)
+                  < '40000000'""",
+        "sample_stratified_docs": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY lang, source
+                           ORDER BY substr(md5(concat_ws('|', '', doc_id)),
+                                           1, 8), doc_id) AS rn
+                FROM documents) x
+            WHERE rn <= 7""",
+        "sample_weighted_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(concat_ws('|', '', doc_id)), 1, 8) <
+                  CASE WHEN lang = 'fr' THEN '80000000'
+                       WHEN lang = 'en' THEN 'g'
+                       ELSE '1999999a' END""",
         "minhash_signatures": f"""
             SELECT doc_id,
                    list_aggregate(list_transform(sh, s -> md5('0|' || s)), 'min') AS m0,
