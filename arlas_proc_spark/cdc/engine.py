@@ -69,7 +69,8 @@ class CdcEngine:
                  write_mode: str = "cow",
                  quarantine_dir: str | None = None,
                  table_io=None,
-                 changefeed: bool = False):
+                 changefeed: bool = False,
+                 bloom_bits_per_key: int = 0):
         """``broadcast_key_limit``: batches touching more distinct keys
         than this fall back from the broadcast join-back to the wide-argmax
         compaction — the winner set must fit in every executor for a
@@ -139,7 +140,8 @@ class CdcEngine:
         else:
             self.table = LakeTable.create(
                 spark, table_path, TABLE_SCHEMA, KEY_COLS, SEQ_COL,
-                n_buckets=n_buckets, changefeed=changefeed)
+                n_buckets=n_buckets, changefeed=changefeed,
+                bloom_bits_per_key=bloom_bits_per_key)
         if write_mode == "mor" and bool(
                 self.table.snapshot().get("changefeed")):
             raise ValueError(_mor_cf_err)

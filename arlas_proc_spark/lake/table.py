@@ -98,7 +98,8 @@ class LakeTable(TableIO):
     def create(cls, spark: SparkSession, path: str, schema: StructType,
                key_cols: list[str], seq_col: str, n_buckets: int = 16,
                changefeed: bool = False,
-               stats_cols: list[str] | None = None) -> "LakeTable":
+               stats_cols: list[str] | None = None,
+               bloom_bits_per_key: int = 0) -> "LakeTable":
         """``changefeed=True`` (Delta's delta.enableChangeDataFeed): every
         ``merge_batch`` ALSO writes its change rows (insert /
         update_preimage / update_postimage / delete) as a per-commit file,
@@ -113,7 +114,19 @@ class LakeTable(TableIO):
         no extra IO). ``read(filters=...)`` / ``lookup`` use them to skip
         whole files before Spark ever plans a scan — Iceberg's
         manifest-level pruning, one tier above parquet row-group stats.
-        Pass ``[]`` to disable."""
+        Pass ``[]`` to disable.
+
+        ``bloom_bits_per_key`` > 0 additionally writes a per-file bloom
+        SIDECAR over the key tuple (built by one distributed key-column
+        pass per commit, stored next to the data file — Iceberg's puffin
+        pattern; the manifest holds only the reference, never the bits).
+        Point lookups probe the sidecars to skip files the key cannot be
+        in — the LSM per-SSTable bloom, and the defense min/max can't
+        give: hash-bucketed keys make every file's key RANGE span the
+        alphabet, so range stats never prune them. Worth it on
+        merge-on-read tables where a bucket accumulates generations;
+        costs one key-column scan + ~bits_per_key bits per row at commit
+        time, so it defaults off."""
         if stats_cols is None:
             stats_cols = list(dict.fromkeys(list(key_cols) + [seq_col]))
         t = cls(spark, path)
@@ -126,6 +139,7 @@ class LakeTable(TableIO):
             "seq_col": seq_col,
             "n_buckets": n_buckets,
             "stats_cols": list(stats_cols),
+            "bloom_bits_per_key": int(bloom_bits_per_key),
             "changefeed": bool(changefeed),
             "buckets": {},          # bucket -> [{file, schema_v}]
             # scopes: per-stream exactly-once watermarks (Delta txnAppId)
@@ -227,6 +241,14 @@ class LakeTable(TableIO):
         snap = snapshot or self.snapshot()
         filters = _normalize_filters(filters)
         key_filters = [f for f in filters if f[0] in snap["key_cols"]]
+        # a fully-specified key equality additionally probes the per-file
+        # bloom sidecars (when the table records them) — key-scoped, so
+        # safe for merge-on-read generations like any key filter
+        eq = {c: v for c, op, v in filters if op == "="}
+        probe = None
+        if filters and all(k in eq for k in snap["key_cols"]):
+            probe = "|".join(str(eq[k]) for k in snap["key_cols"])
+        bloom_cache: dict = {}
         table_schema = StructType.fromJson(snap["schema"])
         tomb_schema = StructType(list(table_schema.fields) +
                                  [StructField(_TOMB, BooleanType(), True)])
@@ -238,6 +260,9 @@ class LakeTable(TableIO):
         for b, files in snap["buckets"].items():
             if sel is None or b in sel:
                 for e in files:
+                    if probe is not None and \
+                            not self._bloom_contains(e, probe, bloom_cache):
+                        continue
                     if b in mor:
                         if _entry_may_match(e, key_filters):
                             mor_entries.append(e)
@@ -362,7 +387,8 @@ class LakeTable(TableIO):
         staged = self._write_bucket_files(out, version, schema_v,
                                           new_n_buckets, key_cols=key_cols,
                                           token=token, sort_cols=key_cols,
-                                          stats_cols=snap.get("stats_cols"))
+                                          stats_cols=snap.get("stats_cols"),
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap["n_buckets"] = new_n_buckets
@@ -774,7 +800,8 @@ class LakeTable(TableIO):
                                           key_cols=snap["key_cols"],
                                           token=token,
                                           already_clustered=aligned,
-                                          stats_cols=snap.get("stats_cols"))
+                                          stats_cols=snap.get("stats_cols"),
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -945,7 +972,8 @@ class LakeTable(TableIO):
                             token: str | None = None,
                             already_clustered: bool = False,
                             sort_cols: list[str] | None = None,
-                            stats_cols: list[str] | None = None)\
+                            stats_cols: list[str] | None = None,
+                            bloom_bpk: int = 0)\
             -> dict[int, list[dict]]:
         """Write df (carrying _bucket) hive-partitioned DIRECTLY to its
         final location: a per-commit-attempt directory
@@ -1012,7 +1040,86 @@ class LakeTable(TableIO):
             e["rows"], e["bytes"] = rows, nbytes
             if col_stats:
                 e["stats"] = col_stats
+        if bloom_bpk > 0 and key_cols and entries:
+            self._write_bloom_sidecars(entries, key_cols, bloom_bpk)
         return staged
+
+    def _write_bloom_sidecars(self, entries: list[tuple[dict, str]],
+                              key_cols: list[str], bits_per_key: int) -> None:
+        """One distributed pass over the JUST-written files' key columns
+        builds a bloom bitmap per file and writes it executor-side as
+        ``<file>.bloom`` (tmp + atomic rename; task retries converge —
+        same bits). The manifest entry records only {file, m, k}: bitmaps
+        never live in JSON (a 10^6-row file at 10 bits/key is ~1.2 MB —
+        Iceberg keeps these in puffin sidecars for the same reason).
+        grouping is by file, so memory per task is one file's KEY columns
+        only. Hashes are md5-derived (same portability discipline as the
+        LSH planes) and must match _bloom_positions on the probe side."""
+        import pandas as pd
+
+        plan: dict[str, tuple[str, int, int]] = {}
+        for e, p in entries:
+            m, k = _bloom_size(max(1, int(e.get("rows") or 1)), bits_per_key)
+            plan[os.path.realpath(p)] = (p + ".bloom", m, k)
+            e["bloom"] = {"file": e["file"] + ".bloom", "m": m, "k": k}
+        kc = list(key_cols)
+        plan_b = self.spark.sparkContext.broadcast(plan)
+
+        def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import hashlib
+            import os as _os
+            import uuid as _uuid
+            from urllib.parse import unquote, urlparse
+
+            import numpy as np
+            uri = pdf["_f"].iloc[0]
+            path = unquote(urlparse(uri).path) if "://" in uri or \
+                uri.startswith("file:") else uri
+            side, m, k = plan_b.value[_os.path.realpath(path)]
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            keys = pdf[kc].astype(str).agg("|".join, axis=1)
+            for s in keys:
+                for i in range(k):
+                    pos = int(hashlib.md5(f"{i}|{s}".encode())
+                              .hexdigest()[:16], 16) % m
+                    bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+            tmp = f"{side}.{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as fh:
+                fh.write(bits.tobytes())
+            _os.replace(tmp, side)
+            return pd.DataFrame({"f": [uri]})
+
+        (self.spark.read.parquet(*[p for _, p in entries])
+         .select(F.input_file_name().alias("_f"), *kc)
+         .groupBy("_f").applyInPandas(_build, schema="f string")
+         .collect())
+
+    def _bloom_contains(self, entry: dict, key_string: str,
+                        cache: dict | None = None) -> bool:
+        """Probe a file's bloom sidecar for a fully-specified key. True on
+        any doubt (no sidecar recorded, file unreadable) — blooms are an
+        optimization, never a correctness gate. False positives cost one
+        wasted file scan; false negatives are impossible by construction."""
+        b = entry.get("bloom")
+        if not b:
+            return True
+        p = os.path.join(self.data_dir, b["file"])
+        bits = (cache or {}).get(p)
+        if bits is None:
+            try:
+                with open(p, "rb") as fh:
+                    bits = fh.read()
+            except OSError:
+                return True
+            if cache is not None:
+                cache[p] = bits
+        m, k = int(b["m"]), int(b["k"])
+        if len(bits) * 8 < m:
+            return True  # truncated/foreign sidecar: never skip on it
+        for pos in _bloom_positions(key_string, m, k):
+            if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
 
     def _footer_stats(self, paths: list[str],
                       stats_cols: list[str] | None = None)\
@@ -1208,7 +1315,8 @@ class LakeTable(TableIO):
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=key_cols, token=token,
-                                          stats_cols=snap.get("stats_cols"))
+                                          stats_cols=snap.get("stats_cols"),
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -1312,7 +1420,8 @@ class LakeTable(TableIO):
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=key_cols, token=token,
-                                          stats_cols=snap.get("stats_cols"))
+                                          stats_cols=snap.get("stats_cols"),
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap.pop("changes", None)  # full replace: step is snapshot-diffed
@@ -1375,7 +1484,8 @@ class LakeTable(TableIO):
                                           key_cols=snap["key_cols"],
                                           token=token,
                                           sort_cols=snap["key_cols"],
-                                          stats_cols=snap.get("stats_cols"))
+                                          stats_cols=snap.get("stats_cols"),
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
         snap["mor_buckets"] = sorted(mor - {str(b) for b in victims}, key=int)
@@ -1429,6 +1539,8 @@ class LakeTable(TableIO):
                 snap = json.load(f)
             for files in snap["buckets"].values():
                 referenced.update(e["file"] for e in files)
+                referenced.update(e["bloom"]["file"] for e in files
+                                  if "bloom" in e)
             referenced_lineage.update(snap.get("lineage_files", []))
             referenced_changes.update((snap.get("changes") or
                                        {}).get("files", []))
@@ -1520,6 +1632,22 @@ def _resolve_lww(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def _bloom_size(n_rows: int, bits_per_key: int) -> tuple[int, int]:
+    """(m bits, k hashes) for a file of n_rows keys: m = next power of two
+    ≥ n*bpk (min 1 KiB so tiny files still byte-align), k = ln2 * bpk —
+    the textbook optimum for the target bits/key."""
+    m = 1 << max(13, (n_rows * bits_per_key - 1).bit_length())
+    return m, max(1, round(0.6931 * bits_per_key))
+
+
+def _bloom_positions(key_string: str, m: int, k: int) -> list[int]:
+    """k bit positions for a key — md5-derived, identical to the builder
+    in _write_bloom_sidecars (probe and build MUST stay in lockstep)."""
+    import hashlib
+    return [int(hashlib.md5(f"{i}|{key_string}".encode()).hexdigest()[:16],
+                16) % m for i in range(k)]
 
 
 _FILTER_OPS = {"=", "<", "<=", ">", ">=", "in"}
