@@ -5,8 +5,8 @@ K keys each over B buckets — interleaved key names, so key RANGES
 overlap and min/max alone cannot tell generations apart), one with
 bloom sidecars, one without. Measures, per lookup:
 
-- files scanned (deterministic — the actual pruning effect)
-- manifest bytes of the scanned files (deterministic IO proxy)
+- files scanned (deterministic — the actual pruning effect; file sizes
+  are uniform here, so the bytes ratio equals the files ratio)
 - wall time, interleaved min-of-R (host-noise protocol from
   BENCH/BASELINE.md; at local scale wall is job-overhead-bound, so the
   honest headline is the IO reduction, not the wall ratio)
@@ -66,13 +66,6 @@ def probe(t, gen, i):
     wall = time.time() - t0
     assert len(rows) == 1 and rows[0].content.startswith(f"content-gen{gen}-")
     return wall, len(df.inputFiles())
-
-
-def scanned_bytes(t, files_scanned_rel):
-    snap = t.snapshot()
-    sizes = {e["file"]: e["bytes"]
-             for fs in snap["buckets"].values() for e in fs}
-    return sum(sizes[f] for f in files_scanned_rel)
 
 
 def main():

@@ -243,31 +243,42 @@ class LakeTable(TableIO):
         key_filters = [f for f in filters if f[0] in snap["key_cols"]]
         # a fully-specified key equality additionally probes the per-file
         # bloom sidecars (when the table records them) — key-scoped, so
-        # safe for merge-on-read generations like any key filter
+        # safe for merge-on-read generations like any key filter. Probe
+        # only when the caller already bucket-restricted the read (lookup
+        # does): each probe is a sidecar open, and an unrestricted read
+        # would pay one per file across ALL buckets when the key hashes
+        # to exactly one. Values must be str or non-bool int — the only
+        # types whose Python str() equals Spark's cast-to-string used at
+        # build time (a float probe like 5.0 against a long key would
+        # hash '5.0' vs the built '5': a manufactured false negative).
+        sel = None if buckets is None else {str(b) for b in buckets}
         eq = {c: v for c, op, v in filters if op == "="}
         probe = None
-        if filters and all(k in eq for k in snap["key_cols"]):
+        if (filters and sel is not None
+                and all(k in eq for k in snap["key_cols"])
+                and all(type(eq[k]) in (str, int)
+                        for k in snap["key_cols"])):
             probe = "|".join(str(eq[k]) for k in snap["key_cols"])
         bloom_cache: dict = {}
         table_schema = StructType.fromJson(snap["schema"])
         tomb_schema = StructType(list(table_schema.fields) +
                                  [StructField(_TOMB, BooleanType(), True)])
         out_schema = tomb_schema if with_tombstones else table_schema
-        sel = None if buckets is None else {str(b) for b in buckets}
         mor = {str(b) for b in snap.get("mor_buckets", [])}
         cow_entries: list[dict] = []
         mor_entries: list[dict] = []
         for b, files in snap["buckets"].items():
             if sel is None or b in sel:
                 for e in files:
+                    # manifest min/max first (free dict math), bloom
+                    # second (a sidecar read per surviving file)
+                    if not _entry_may_match(
+                            e, key_filters if b in mor else filters):
+                        continue
                     if probe is not None and \
                             not self._bloom_contains(e, probe, bloom_cache):
                         continue
-                    if b in mor:
-                        if _entry_may_match(e, key_filters):
-                            mor_entries.append(e)
-                    elif _entry_may_match(e, filters):
-                        cow_entries.append(e)
+                    (mor_entries if b in mor else cow_entries).append(e)
         if not cow_entries and not mor_entries:
             # filter(false) turns the RDD-backed empty frame into a provably
             # empty LocalRelation, so Catalyst ELIMINATES the merge's full
@@ -349,6 +360,13 @@ class LakeTable(TableIO):
         if missing:
             raise ValueError(f"lookup needs all key columns {kc}; "
                              f"missing {missing}")
+        if any(key[k] is None for k in kc):
+            # SQL equality with NULL matches nothing; preserve the
+            # empty-result semantics instead of tripping the filter
+            # validator (whose "filter row-wise" advice a lookup caller
+            # cannot follow)
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(snap["schema"])).where(F.lit(False))
         fields = {f.name: f for f in StructType.fromJson(snap["schema"])}
         row = self.spark.createDataFrame(
             [tuple(key[k] for k in kc)],
@@ -1052,9 +1070,15 @@ class LakeTable(TableIO):
         same bits). The manifest entry records only {file, m, k}: bitmaps
         never live in JSON (a 10^6-row file at 10 bits/key is ~1.2 MB —
         Iceberg keeps these in puffin sidecars for the same reason).
-        grouping is by file, so memory per task is one file's KEY columns
-        only. Hashes are md5-derived (same portability discipline as the
-        LSH planes) and must match _bloom_positions on the probe side."""
+        grouping is by file, so memory per task is one file's key STRING
+        only (the join happens JVM-side before Arrow transfer). Hashes
+        are md5-derived (same portability discipline as the LSH planes)
+        and must match _bloom_positions on the probe side; the key
+        string is Spark's own cast-to-string of each key column joined
+        with '|' — computed in the JVM, never via pandas astype(str),
+        whose Arrow null-coercion turns a long column with any null into
+        float64 and would hash 7 as '7.0' (a probe-side false negative,
+        the one bloom failure mode that loses data)."""
         import pandas as pd
 
         plan: dict[str, tuple[str, int, int]] = {}
@@ -1062,7 +1086,6 @@ class LakeTable(TableIO):
             m, k = _bloom_size(max(1, int(e.get("rows") or 1)), bits_per_key)
             plan[os.path.realpath(p)] = (p + ".bloom", m, k)
             e["bloom"] = {"file": e["file"] + ".bloom", "m": m, "k": k}
-        kc = list(key_cols)
         plan_b = self.spark.sparkContext.broadcast(plan)
 
         def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1077,8 +1100,7 @@ class LakeTable(TableIO):
                 uri.startswith("file:") else uri
             side, m, k = plan_b.value[_os.path.realpath(path)]
             bits = np.zeros(m // 8, dtype=np.uint8)
-            keys = pdf[kc].astype(str).agg("|".join, axis=1)
-            for s in keys:
+            for s in pdf["_k"]:
                 for i in range(k):
                     pos = int(hashlib.md5(f"{i}|{s}".encode())
                               .hexdigest()[:16], 16) % m
@@ -1089,8 +1111,10 @@ class LakeTable(TableIO):
             _os.replace(tmp, side)
             return pd.DataFrame({"f": [uri]})
 
+        key_str = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols])
         (self.spark.read.parquet(*[p for _, p in entries])
-         .select(F.input_file_name().alias("_f"), *kc)
+         .select(F.input_file_name().alias("_f"), key_str.alias("_k"))
          .groupBy("_f").applyInPandas(_build, schema="f string")
          .collect())
 

@@ -63,8 +63,12 @@ def sample_stratified(df: DataFrame, strata_cols: list[str], n_per_stratum: int,
                       id_cols: list[str], salt: str = "") -> DataFrame:
     """Per-stratum deterministic quota (e.g. ≤N docs per language or per
     source domain — the standard pretraining-mix balancer): rank rows
-    inside each stratum by their md5 draw (id_cols as tiebreaker → total
-    order, fully deterministic) and keep the first N. One hash-partitioned
+    inside each stratum by their md5 draw (id_cols as tiebreaker) and
+    keep the first N. CONTRACT: id_cols must uniquely identify rows —
+    duplicate ids share both the draw and the tiebreaker, so when the
+    quota cuts between two copies the kept one is engine-arbitrary
+    (dedup first, or include a discriminating column in id_cols).
+    One hash-partitioned
     window on the strata; skewed strata cost what any top-N-per-group
     costs — at 100 TB pre-filter with sample_bernoulli(upper bound) first
     so the window sorts a bounded candidate set, not the raw corpus."""

@@ -151,6 +151,49 @@ def test_engine_threads_bloom_option(spark, tmp_path):
                for fs in snap["buckets"].values() for e in fs)
 
 
+INT_KEY_SCHEMA = T.StructType([
+    T.StructField("kid", T.LongType(), False),
+    T.StructField("seq", T.LongType(), True),
+    T.StructField("content", T.StringType(), True),
+])
+
+
+def test_int_key_build_probe_parity(spark, tmp_path):
+    """Build hashes Spark's cast-to-string ('7'), probe hashes str(7):
+    they must agree or the bloom false-negatives an existing key. Also:
+    a FLOAT probe value (7.0) must bypass the bloom (type-gated) and
+    still return the row via the residual filter."""
+    t = LakeTable.create(spark, str(tmp_path / "ti"), INT_KEY_SCHEMA,
+                         ["kid"], "seq", n_buckets=1, bloom_bits_per_key=10)
+    for g in range(2):
+        df = spark.createDataFrame(
+            [(10 * g + i, 100 * g + i, "insert", f"g{g}") for i in range(5)],
+            "kid long, seq long, op string, content string")
+        t.append_batch(df, g)
+    hit = t.lookup(kid=13)
+    assert len(hit.inputFiles()) == 1
+    assert [r.content for r in hit.collect()] == ["g1"]
+    assert t.lookup(kid=999).inputFiles() == []
+    fl = t.read(buckets=[0], filters=[("kid", "=", 13.0)])
+    assert [r.content for r in fl.collect()] == ["g1"]  # bloom bypassed
+
+
+def test_lookup_null_key_returns_empty(spark, tmp_path):
+    """lookup(key=None) keeps SQL null-equality semantics (empty result)
+    instead of tripping the filter validator."""
+    t = _bloom_table(spark, tmp_path, name="tnull")
+    assert t.lookup(repo=None, path="x.py").count() == 0
+
+
+def test_unrestricted_key_read_still_exact(spark, tmp_path):
+    """A full-table read with key-equality filters skips the bloom tier
+    (no bucket restriction → a probe per file table-wide would defeat
+    the point) but must stay exact via min/max + residual."""
+    t = _bloom_table(spark, tmp_path, name="tur")
+    got = t.read(filters=[("repo", "=", "r04"), ("path", "=", "x.py")])
+    assert [(r.repo, r.content) for r in got.collect()] == [("r04", "gen1")]
+
+
 def test_bloom_size_floor_and_growth():
     m_small, k = _bloom_size(1, 10)
     assert m_small == 8192 and k == 7  # 1 KiB floor
