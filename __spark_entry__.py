@@ -561,6 +561,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punct_ratio", "quality_score")
 
 
+def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining text cleanup: NFC + control strip + whitespace
+    collapse (operators/text.py normalize_text)."""
+    from arlas_proc_spark.operators.text import normalize_text
+    return normalize_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_norm")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -911,7 +919,7 @@ _EXTRA_QUERIES = [
     "embedding_ann_bucketed", "embedding_topk_lsh", "embedding_neardups_toy",
     "top_brands_by_revenue", "standard_timestamps", "visibility_change",
     "forward_fill", "sample_bernoulli_docs", "sample_stratified_docs",
-    "sample_weighted_docs",
+    "sample_weighted_docs", "clean_docs",
 ]
 
 
@@ -970,6 +978,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprint": q_doc_fingerprint,
+        "clean_docs": q_clean_docs,
         "sample_bernoulli_docs": q_sample_bernoulli_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_weighted_docs": q_sample_weighted_docs,
@@ -1505,6 +1514,14 @@ def _all_oracle_sql() -> dict[str, str]:
         # draw against the SAME precomputed threshold constants
         # (fraction_threshold_hex: 0.25→'40000000', 0.5→'80000000',
         # 0.1→'1999999a', 1.0→'g' which sorts above all hex)
+        # control-strip precedes \s+ collapse in BOTH engines: Java \s
+        # includes 0x0b, RE2's does not — stripping it first keeps parity
+        "clean_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                        '\s+', ' ', 'g')) AS text_norm
+            FROM documents""",
         "sample_bernoulli_docs": """
             SELECT doc_id, lang, source FROM documents
             WHERE substr(md5(concat_ws('|', '', doc_id)), 1, 8)

@@ -97,3 +97,37 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3,
     return df.withColumn(
         out_col,
         F.array_min(F.transform(sh, lambda s: F.md5(s))))
+
+
+_CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm",
+                   nfc: bool = True) -> DataFrame:
+    """Pretraining text cleanup: NFC unicode normalization → strip C0/DEL
+    control characters → collapse whitespace runs to one space → trim.
+
+    NFC runs as an Arrow-batched pandas UDF (Spark has no built-in
+    unicode normalizer; per-batch ``unicodedata.normalize`` is the
+    vectorized path — never per-row Python). The control strip runs
+    BEFORE the whitespace collapse on purpose: Java's ``\\s`` includes
+    vertical tab (0x0b) but RE2's does not, so stripping 0x0b first
+    keeps the expression portable to RE2 engines (DuckDB oracle parity).
+    Nulls pass through as nulls at every step."""
+    require_columns(df, text_col)
+    c: Column = F.col(text_col)
+    if nfc:
+        import pandas as pd  # noqa: F401  (signature type only)
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        @pandas_udf(StringType())
+        def _nfc(s):  # type: ignore[no-untyped-def]
+            import unicodedata
+            return s.map(lambda x: unicodedata.normalize("NFC", x)
+                         if x is not None else None)
+        c = _nfc(c)
+    c = F.regexp_replace(c, _CONTROL_CLASS, "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)

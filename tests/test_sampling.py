@@ -72,3 +72,33 @@ def test_weighted_strata_rates(docs):
     assert per.get("lang0") == 200          # 1.0 keeps every row
     assert "lang1" not in per               # 0.0 keeps none
     assert 0.3 * 200 < per.get("lang2", 0) < 0.7 * 200  # default rate
+
+
+def test_normalize_text_unicode_and_controls(spark):
+    """normalize_text on adversarial inputs the ASCII fixture can't
+    cover: combining chars (NFC), C0/DEL controls, whitespace runs,
+    nulls. DuckDB parity of the full chain is asserted directly."""
+    import duckdb
+    import unicodedata
+
+    from arlas_proc_spark.operators.text import normalize_text
+    decomposed = "école"                      # é as e + combining
+    rows = [(1, decomposed), (2, "a\x01b \x7f c"), (3, "  x \t\x0b y  "),
+            (4, None), (5, "plain text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm
+           for r in normalize_text(df).collect()}
+    assert got[1] == unicodedata.normalize("NFC", decomposed) == "école"
+    assert got[2] == "ab  c".replace("  ", " ") == "ab c"
+    assert got[3] == "x y"
+    assert got[4] is None and got[5] == "plain text"
+    con = duckdb.connect()
+    con.execute("create table d (doc_id bigint, text varchar)")
+    con.executemany("insert into d values (?, ?)", rows)
+    want = dict(con.execute(r"""
+        SELECT doc_id, trim(regexp_replace(regexp_replace(
+                   nfc_normalize(text),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '\s+', ' ', 'g'))
+        FROM d""").fetchall())
+    assert got == want
