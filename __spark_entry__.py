@@ -181,6 +181,25 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "seq", "ts_s", "lang", "content", "content_sha256")
 
 
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup read path under the graded contract: replay the feed
+    as four out-of-order merge-on-read generations into a BLOOM-enabled
+    table, then lookup one key — bucket pruning + manifest min/max +
+    bloom sidecar probing + read-time LWW all on the line. The result
+    must equal the full final-state oracle filtered to that key."""
+    tmp = _scratch_dir("arlas_lookup_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False, write_mode="mor",
+                       bloom_bits_per_key=10)
+    feed = changefeed_df(spark, N_FEED)
+    for i in range(4):
+        engine.apply_batch(feed.where(feed.seq % 4 == i), i)
+    return engine.table.lookup(
+        repo="repo_0000", path="src/f_00000.py").select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change feed OUT of the lake (the downstream half of the
     CDC loop): apply the feed in two batches, then read the
@@ -919,7 +938,7 @@ _EXTRA_QUERIES = [
     "embedding_ann_bucketed", "embedding_topk_lsh", "embedding_neardups_toy",
     "top_brands_by_revenue", "standard_timestamps", "visibility_change",
     "forward_fill", "sample_bernoulli_docs", "sample_stratified_docs",
-    "sample_weighted_docs", "clean_docs",
+    "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
 ]
 
 
@@ -941,6 +960,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_ivm_lang_stats": q_cdc_ivm_lang_stats,
         "cdc_replicated": q_cdc_replicated,
@@ -1149,6 +1169,10 @@ def _all_oracle_sql() -> dict[str, str]:
         "cdc_dedup": f"SELECT DISTINCT * FROM ({feed}) f",
         "cdc_lww_final_state": final,
         "cdc_lake_replay": final,
+        "cdc_point_lookup": (
+            f"SELECT repo, path, commit, seq, ts_s, lang, content, "
+            f"content_sha256 FROM ({final}) f WHERE repo = 'repo_0000' "
+            f"AND path = 'src/f_00000.py'"),
         "cdc_mor_replay": final,
         "cdc_replicated": final,
         "cdc_change_feed": f"""
