@@ -379,7 +379,8 @@ class LakeTable(TableIO):
                          filters=[(k, "=", key[k]) for k in kc])
 
     def rebucket(self, new_n_buckets: int, *,
-                 batch_id: str | None = None) -> dict:
+                 batch_id: str | None = None,
+                 target_rows_per_file: int | None = None) -> dict:
         """Bucket-count evolution: rewrite the table under a new bucket
         transform in one atomic snapshot commit (Iceberg's partition-spec
         evolution, restricted to the bucket width). The day-1 bucket
@@ -406,7 +407,8 @@ class LakeTable(TableIO):
                                           new_n_buckets, key_cols=key_cols,
                                           token=token, sort_cols=key_cols,
                                           stats_cols=snap.get("stats_cols"),
-                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0),
+                                          max_records_per_file=target_rows_per_file)
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap["n_buckets"] = new_n_buckets
@@ -991,7 +993,8 @@ class LakeTable(TableIO):
                             already_clustered: bool = False,
                             sort_cols: list[str] | None = None,
                             stats_cols: list[str] | None = None,
-                            bloom_bpk: int = 0)\
+                            bloom_bpk: int = 0,
+                            max_records_per_file: int | None = None)\
             -> dict[int, list[dict]]:
         """Write df (carrying _bucket) hive-partitioned DIRECTLY to its
         final location: a per-commit-attempt directory
@@ -1038,8 +1041,13 @@ class LakeTable(TableIO):
             # skip row groups inside the bucket, not just buckets
             clustered = clustered.sortWithinPartitions(
                 *[F.col(c) for c in sort_cols])
-        (clustered.write.partitionBy(_BUCKET).mode("overwrite")
-         .parquet(out_dir))
+        writer = clustered.write.partitionBy(_BUCKET).mode("overwrite")
+        if max_records_per_file:
+            # split inside the write task: each split file keeps the
+            # task-local key sort, so min/max + blooms stay per-file tight
+            writer = writer.option("maxRecordsPerFile",
+                                   int(max_records_per_file))
+        writer.parquet(out_dir)
         staged: dict[int, list[dict]] = {}
         entries: list[tuple[dict, str]] = []  # (entry, absolute path)
         for bdir in glob.glob(os.path.join(out_dir, f"{_BUCKET}=*")):
@@ -1467,11 +1475,21 @@ class LakeTable(TableIO):
     # ------------------------------------------------------------ compaction
     def compact(self, *, max_files_per_bucket: int = 4,
                 tombstone_horizon_seq: int | None = None,
-                batch_id: str | None = None) -> dict:
+                batch_id: str | None = None,
+                target_rows_per_file: int | None = None) -> dict:
         """Rewrite fragmented buckets (more than ``max_files_per_bucket``
         files) into one file each; optionally GC delete tombstones whose seq
         is at/below ``tombstone_horizon_seq`` (safe once no event with a
         lower seq can still arrive — the stream's low-watermark).
+
+        ``target_rows_per_file``: cap rows per rewritten file (Spark's
+        ``maxRecordsPerFile`` — the split happens inside the write task,
+        so the key sort is preserved per file and each split file gets
+        its own tight manifest min/max + bloom). One file per bucket is
+        right at test scale and wrong at 100 TB: Iceberg targets
+        ~512 MB files so scans parallelize within a bucket and object
+        stores don't serve multi-GB monoliths. Size it as
+        target_bytes / avg_row_bytes from ``bucket_stats()``.
 
         One atomic snapshot commit; untouched buckets keep their files
         (Iceberg's rewrite_data_files semantics). Merge-on-read buckets
@@ -1493,7 +1511,10 @@ class LakeTable(TableIO):
         n_buckets = snap["n_buckets"]
         mor = {str(b) for b in snap.get("mor_buckets", [])}
         victims = [int(b) for b, fs in snap["buckets"].items()
-                   if len(fs) > max_files_per_bucket]
+                   if len(fs) > max_files_per_bucket
+                   or (target_rows_per_file is not None
+                       and any(int(e.get("rows") or 0) > target_rows_per_file
+                               for e in fs))]
         if not victims:
             return {"compacted_buckets": 0}
         df = self.read(victims, snapshot=snap, with_tombstones=True)
@@ -1509,7 +1530,8 @@ class LakeTable(TableIO):
                                           token=token,
                                           sort_cols=snap["key_cols"],
                                           stats_cols=snap.get("stats_cols"),
-                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0),
+                                          max_records_per_file=target_rows_per_file)
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
         snap["mor_buckets"] = sorted(mor - {str(b) for b in victims}, key=int)

@@ -199,3 +199,34 @@ def test_entry_may_match_boundaries():
     assert _entry_may_match(e, [("content", "=", "x")])
     assert _entry_may_match({}, [("seq", "=", 999)])
     assert _entry_may_match(e, [("seq", "=", "not-an-int")])
+
+
+def test_compact_target_rows_splits_and_minmax_prunes(spark, tmp_path):
+    """target_rows_per_file splits a bucket's rewrite inside the write
+    task: files stay key-sorted, so each split's manifest min/max is a
+    tight disjoint key range and a lookup prunes to ONE file with no
+    bloom at all — and a bucket whose single file exceeds the target is
+    itself a compaction victim (resplit path)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=1)
+    rows = [(i, "insert", f"r{i:03d}", "a.py", f"c{i}", "v")
+            for i in range(100)]
+    t.merge_batch(_batch(spark, rows), 0)
+    assert len(t.read().inputFiles()) == 1
+    res = t.compact(target_rows_per_file=30)
+    assert res["compacted_buckets"] == 1  # rows-over-target victim
+    snap = t.snapshot()
+    entries = snap["buckets"]["0"]
+    assert len(entries) == 4  # ceil(100 / 30)
+    assert all(int(e["rows"]) <= 30 for e in entries)
+    # split files carry DISJOINT key ranges (task-local sort preserved)
+    ranges = sorted((e["stats"]["repo"][0], e["stats"]["repo"][1])
+                    for e in entries)
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(3))
+    hit = t.lookup(repo="r042", path="a.py")
+    assert len(hit.inputFiles()) == 1  # min/max alone prunes the splits
+    assert [r.repo for r in hit.collect()] == ["r042"]
+    got = {r.repo for r in t.read().collect()}
+    assert got == {f"r{i:03d}" for i in range(100)}
+    # already-split table is NOT a victim again (idempotent sizing)
+    assert t.compact(target_rows_per_file=30)["compacted_buckets"] == 0
