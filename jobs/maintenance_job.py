@@ -49,6 +49,12 @@ def main() -> None:
                          "use 0 when no writer can be running")
     ap.add_argument("--rebucket", type=int, default=None,
                     help="rewrite the table under this bucket count")
+    ap.add_argument("--target-file-rows", type=int, default=None,
+                    help="cap rows per rewritten file during compaction/"
+                         "rebucket (maxRecordsPerFile; size as "
+                         "target_bytes / avg_row_bytes from bucket "
+                         "stats); buckets with any oversize file become "
+                         "compaction victims")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -59,9 +65,11 @@ def main() -> None:
     if args.compact_over is not None:
         report["compact"] = t.compact(
             max_files_per_bucket=args.compact_over,
-            tombstone_horizon_seq=args.tombstone_horizon)
+            tombstone_horizon_seq=args.tombstone_horizon,
+            target_rows_per_file=args.target_file_rows)
     if args.rebucket is not None:
-        report["rebucket"] = t.rebucket(args.rebucket)
+        report["rebucket"] = t.rebucket(
+            args.rebucket, target_rows_per_file=args.target_file_rows)
     if args.keep_snapshots is not None:
         report["expire"] = t.expire_snapshots(
             keep_last=args.keep_snapshots,
