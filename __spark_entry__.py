@@ -588,6 +588,24 @@ def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_norm")
 
 
+def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus assembly, the composition a pretraining
+    pipeline actually runs: quality gate (with_text_stats) → exact-dedup
+    keep-canonical (min doc_id per sha256(text)) → per-language
+    deterministic quota (sample_stratified). Every stage is an
+    independently-oracled operator; this query oracles the COMPOSITION."""
+    from pyspark.sql.window import Window
+
+    from arlas_proc_spark.operators.sampling import sample_stratified
+    d = with_text_stats(_t(spark, sf_dir, "documents"))
+    d = d.where(F.col("quality_score") >= 0.95)
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    d = (d.withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1).drop("_rn"))
+    d = sample_stratified(d, ["lang"], 25, ["doc_id"])
+    return d.select("doc_id", "lang", "n_tokens", "quality_score")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -939,6 +957,7 @@ _EXTRA_QUERIES = [
     "top_brands_by_revenue", "standard_timestamps", "visibility_change",
     "forward_fill", "sample_bernoulli_docs", "sample_stratified_docs",
     "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
+    "pretrain_corpus",
 ]
 
 
@@ -999,6 +1018,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprint": q_doc_fingerprint,
         "clean_docs": q_clean_docs,
+        "pretrain_corpus": q_pretrain_corpus,
         "sample_bernoulli_docs": q_sample_bernoulli_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_weighted_docs": q_sample_weighted_docs,
@@ -1164,6 +1184,32 @@ def _all_oracle_sql() -> dict[str, str]:
     feed = changefeed_sql(N_FEED, dialect="duckdb")
     final = final_state_sql(N_FEED, dialect="duckdb")
     stop_list = "['the','a','an','and','of','to','in','is','it','that']"
+    text_stats_sql = f"""
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0
+                         THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks)
+                         ELSE 0.0 END, 4) AS avg_token_len,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, t -> list_contains({stop_list}, lower(t))))
+                              * 1.0 / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                              * 1.0 / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+                   round(
+                     (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN len(toks) > 0
+                           THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks) ELSE 0.0 END)
+                           BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN length(text) > 0
+                           THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                * 1.0 / length(text) ELSE 0.0 END) <= 0.2
+                           THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN len(toks) > 0
+                           THEN len(list_filter(toks, t -> list_contains({stop_list}, lower(t))))
+                                * 1.0 / len(toks) ELSE 0.0 END) >= 0.01
+                           THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) d"""
     return {
         "cdc_feed": feed,
         "cdc_dedup": f"SELECT DISTINCT * FROM ({feed}) f",
@@ -1491,32 +1537,27 @@ def _all_oracle_sql() -> dict[str, str]:
                   FROM lineitem JOIN part ON l_partkey = p_partkey
                   GROUP BY p_brand) x
             WHERE rank <= 5""",
-        "text_stats": f"""
-            SELECT doc_id,
-                   CAST(len(toks) AS BIGINT) AS n_tokens,
-                   round(CASE WHEN len(toks) > 0
-                         THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks)
-                         ELSE 0.0 END, 4) AS avg_token_len,
-                   round(CASE WHEN len(toks) > 0
-                         THEN len(list_filter(toks, t -> list_contains({stop_list}, lower(t))))
-                              * 1.0 / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
-                   round(CASE WHEN length(text) > 0
-                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                              * 1.0 / length(text) ELSE 0.0 END, 4) AS punct_ratio,
-                   round(
-                     (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
-                   + (CASE WHEN (CASE WHEN len(toks) > 0
-                           THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks) ELSE 0.0 END)
-                           BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
-                   + (CASE WHEN (CASE WHEN length(text) > 0
-                           THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                                * 1.0 / length(text) ELSE 0.0 END) <= 0.2
-                           THEN 0.2 ELSE 0.0 END)
-                   + (CASE WHEN (CASE WHEN len(toks) > 0
-                           THEN len(list_filter(toks, t -> list_contains({stop_list}, lower(t))))
-                                * 1.0 / len(toks) ELSE 0.0 END) >= 0.01
-                           THEN 0.1 ELSE 0.0 END), 2) AS quality_score
-            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) d""",
+        "text_stats": text_stats_sql,
+        # composition oracle: quality gate -> exact-dedup canonical ->
+        # per-language md5 quota, each stage mirroring its Spark twin
+        "pretrain_corpus": f"""
+            WITH ts AS ({text_stats_sql}),
+            q AS (SELECT d.doc_id, d.lang, d.text, ts.n_tokens,
+                         ts.quality_score
+                  FROM documents d JOIN ts USING (doc_id)
+                  WHERE ts.quality_score >= 0.95),
+            dd AS (SELECT * FROM (
+                     SELECT q.*, row_number() OVER (
+                         PARTITION BY sha256(text)
+                         ORDER BY doc_id) AS rn FROM q) x
+                   WHERE rn = 1),
+            s AS (SELECT doc_id, lang, n_tokens, quality_score,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY substr(md5(concat_ws('|', '',
+                                 doc_id)), 1, 8), doc_id) AS srn
+                  FROM dd)
+            SELECT doc_id, lang, n_tokens, quality_score
+            FROM s WHERE srn <= 25""",
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(toks) > 0 AND
