@@ -390,6 +390,9 @@ class LakeTable(TableIO):
         exactly-once ingest continues across the rewrite. Merge-on-read
         generations are LWW-resolved on the way through (the rewrite is
         also a full compaction)."""
+        if target_rows_per_file is not None and target_rows_per_file < 1:
+            raise ValueError(f"target_rows_per_file must be >= 1, got "
+                             f"{target_rows_per_file}")
         if new_n_buckets < 1:
             raise ValueError("new_n_buckets must be >= 1")
         snap = self.snapshot()
@@ -1510,11 +1513,26 @@ class LakeTable(TableIO):
             return {"compacted_buckets": 0, "skipped": True}
         n_buckets = snap["n_buckets"]
         mor = {str(b) for b in snap.get("mor_buckets", [])}
+        if target_rows_per_file is not None and target_rows_per_file < 1:
+            raise ValueError(f"target_rows_per_file must be >= 1, got "
+                             f"{target_rows_per_file}")
+
+        def _victim(fs: list[dict]) -> bool:
+            if target_rows_per_file is None:
+                return len(fs) > max_files_per_bucket
+            # idempotence: a bucket already split into ceil(rows/target)
+            # size-respecting files must NOT be re-selected — comparing
+            # len(fs) against max_files_per_bucket alone would rewrite an
+            # optimally-split bucket on EVERY maintenance run (unbounded
+            # write amplification). Oversize files always qualify.
+            rows = [int(e.get("rows") or 0) for e in fs]
+            if any(r > target_rows_per_file for r in rows):
+                return True
+            needed = max(1, -(-sum(rows) // target_rows_per_file))
+            return len(fs) > max(max_files_per_bucket, needed)
+
         victims = [int(b) for b, fs in snap["buckets"].items()
-                   if len(fs) > max_files_per_bucket
-                   or (target_rows_per_file is not None
-                       and any(int(e.get("rows") or 0) > target_rows_per_file
-                               for e in fs))]
+                   if _victim(fs)]
         if not victims:
             return {"compacted_buckets": 0}
         df = self.read(victims, snapshot=snap, with_tombstones=True)

@@ -230,3 +230,25 @@ def test_compact_target_rows_splits_and_minmax_prunes(spark, tmp_path):
     assert got == {f"r{i:03d}" for i in range(100)}
     # already-split table is NOT a victim again (idempotent sizing)
     assert t.compact(target_rows_per_file=30)["compacted_buckets"] == 0
+
+
+def test_compact_split_idempotent_above_threshold(spark, tmp_path):
+    """Regression (review finding): a bucket optimally split into MORE
+    files than max_files_per_bucket must not be re-selected as a victim
+    on the next run — that would rewrite it every maintenance cycle."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=1)
+    t.merge_batch(_batch(spark, [
+        (i, "insert", f"r{i:03d}", "a.py", f"c{i}", "v")
+        for i in range(100)]), 0)
+    r1 = t.compact(target_rows_per_file=10)
+    assert r1["compacted_buckets"] == 1
+    assert len(t.snapshot()["buckets"]["0"]) == 10  # > default threshold 4
+    r2 = t.compact(target_rows_per_file=10)
+    assert r2["compacted_buckets"] == 0  # idempotent: no rewrite loop
+    # without a target, 10 files ARE fragmentation again
+    assert t.compact()["compacted_buckets"] == 1
+    with pytest.raises(ValueError, match="target_rows_per_file"):
+        t.compact(target_rows_per_file=0)
+    with pytest.raises(ValueError, match="target_rows_per_file"):
+        t.rebucket(2, target_rows_per_file=-5)
