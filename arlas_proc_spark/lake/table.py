@@ -426,11 +426,13 @@ class LakeTable(TableIO):
         self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
 
-    def read_version(self, version: int) -> DataFrame:
+    def read_version(self, version: int,
+                     filters: list[tuple] | None = None) -> DataFrame:
         """Time travel: the table exactly as of a committed snapshot
         (Iceberg ``VERSION AS OF``). Same pruned/lazy read path as
-        ``read()``, just against the historical manifest."""
-        return self.read(snapshot=self.snapshot_at(version))
+        ``read()`` — including manifest min/max file skipping via
+        ``filters`` — just against the historical manifest."""
+        return self.read(snapshot=self.snapshot_at(version), filters=filters)
 
     def read_changes(self, from_version: int,
                      to_version: int | None = None, *,

@@ -252,3 +252,15 @@ def test_compact_split_idempotent_above_threshold(spark, tmp_path):
         t.compact(target_rows_per_file=0)
     with pytest.raises(ValueError, match="target_rows_per_file"):
         t.rebucket(2, target_rows_per_file=-5)
+
+
+def test_time_travel_with_filters(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=1)
+    t.merge_batch(_batch(spark, [
+        (1, "insert", "rA", "a.py", "c1", "v1")]), 0)
+    t.merge_batch(_batch(spark, [
+        (2, "update", "rA", "a.py", "c2", "v2")]), 1)
+    old = t.read_version(1, filters=[("seq", "<=", 1)]).collect()
+    assert [(r.seq, r.content) for r in old] == [(1, "v1")]
+    assert t.read_version(2, filters=[("seq", "<=", 1)]).count() == 0
