@@ -588,6 +588,33 @@ def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_norm")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 over the change feed (operators/scd.py): every key
+    version gets its [valid_from_seq, valid_to_seq) window, latest
+    flagged current — the dimension-history shape asof_join consumes."""
+    from arlas_proc_spark.operators.scd import scd2_history
+    feed = changefeed_df(spark, N_FEED).distinct()  # exact redeliveries
+    out = scd2_history(feed, ["repo", "path"], "seq",
+                       out_from="valid_from_seq", out_to="valid_to_seq")
+    return out.select("repo", "path", "commit", "op", "valid_from_seq",
+                      "valid_to_seq", "is_current")
+
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click gets the user's most
+    recent prior-or-equal purchase value — the canonical CDC-consumer
+    temporal join, oracled by DuckDB's native ASOF LEFT JOIN."""
+    from arlas_proc_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    dims = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    out = asof_join(facts, dims, ["user_id"], "ts",
+                    right_cols=["purchase_value"])
+    return out.select("event_id", "user_id", "value", "purchase_value")
+
+
 def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus assembly, the composition a pretraining
     pipeline actually runs: quality gate (with_text_stats) → exact-dedup
@@ -957,7 +984,7 @@ _EXTRA_QUERIES = [
     "top_brands_by_revenue", "standard_timestamps", "visibility_change",
     "forward_fill", "sample_bernoulli_docs", "sample_stratified_docs",
     "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
-    "pretrain_corpus",
+    "pretrain_corpus", "asof_enrich", "scd2_history",
 ]
 
 
@@ -1019,6 +1046,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "clean_docs": q_clean_docs,
         "pretrain_corpus": q_pretrain_corpus,
+        "asof_enrich": q_asof_enrich,
+        "scd2_history": q_scd2_history,
         "sample_bernoulli_docs": q_sample_bernoulli_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_weighted_docs": q_sample_weighted_docs,
@@ -1538,6 +1567,22 @@ def _all_oracle_sql() -> dict[str, str]:
                   GROUP BY p_brand) x
             WHERE rank <= 5""",
         "text_stats": text_stats_sql,
+        "scd2_history": f"""
+            SELECT repo, path, commit, op,
+                   seq AS valid_from_seq,
+                   lead(seq) OVER (PARTITION BY repo, path
+                                   ORDER BY seq) AS valid_to_seq,
+                   lead(seq) OVER (PARTITION BY repo, path
+                                   ORDER BY seq) IS NULL AS is_current
+            FROM (SELECT DISTINCT * FROM ({feed}) f) d""",
+        "asof_enrich": """
+            SELECT l.event_id, l.user_id, l.value, r.purchase_value
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value AS purchase_value FROM events
+                  WHERE event_type = 'purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts""",
         # composition oracle: quality gate -> exact-dedup canonical ->
         # per-language md5 quota, each stage mirroring its Spark twin
         "pretrain_corpus": f"""
