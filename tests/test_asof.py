@@ -101,3 +101,51 @@ def test_scd2_feeds_asof_join(spark):
                   (hist.valid_to.isNull()) | (facts.fts < hist.valid_to)],
         how="left").select("fid", "v").collect()}
     assert via_asof == via_scd == {1: None, 2: "b", 3: "b", 4: "c"}
+
+
+# ---------------------------------------------------------------- property
+# pandas' own merge_asof (backward, inclusive) is an independent oracle:
+# hypothesis explores empty sides, single-key pileups, all-future dims,
+# and exact-tie timestamps the fixed fixtures miss.
+import pandas as pd  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_KEYS = ["k0", "k1", "k2"]
+
+
+@st.composite
+def asof_cases(draw):
+    facts = [(i, draw(st.sampled_from(_KEYS)),
+              draw(st.integers(0, 30)))
+             for i in range(draw(st.integers(1, 12)))]
+    n_dims = draw(st.integers(0, 10))
+    # unique (key, ts) on the right — the operator's version contract
+    pairs = draw(st.lists(
+        st.tuples(st.sampled_from(_KEYS), st.integers(0, 30)),
+        min_size=n_dims, max_size=n_dims, unique=True))
+    dims = [(k, ts, float(i)) for i, (k, ts) in enumerate(pairs)]
+    return facts, dims
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(asof_cases())
+def test_asof_matches_pandas_merge_asof(spark, case):
+    facts, dims = case
+    f = spark.createDataFrame(facts, "fid long, k string, ts long")
+    if dims:
+        d = spark.createDataFrame(dims, "k string, ts long, v double")
+    else:
+        d = spark.createDataFrame([], "k string, ts long, v double")
+    got = {r.fid: r.v for r in
+           asof_join(f, d, ["k"], "ts").collect()}
+    fp = (pd.DataFrame(facts, columns=["fid", "k", "ts"])
+          .astype({"fid": "int64", "ts": "int64"}).sort_values("ts"))
+    dp = (pd.DataFrame(dims, columns=["k", "ts", "v"])
+          .astype({"ts": "int64", "v": "float64"}).sort_values("ts"))
+    m = pd.merge_asof(fp, dp, on="ts", by="k",
+                      direction="backward", allow_exact_matches=True)
+    want = {int(r.fid): (None if pd.isna(r.v) else float(r.v))
+            for r in m.itertuples()}
+    assert got == want
