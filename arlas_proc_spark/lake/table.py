@@ -280,11 +280,7 @@ class LakeTable(TableIO):
                         continue
                     (mor_entries if b in mor else cow_entries).append(e)
         if not cow_entries and not mor_entries:
-            # filter(false) turns the RDD-backed empty frame into a provably
-            # empty LocalRelation, so Catalyst ELIMINATES the merge's full
-            # outer join on bootstrap (otherwise the winners side is
-            # shuffled + sorted into a SortMergeJoin against nothing)
-            return self.spark.createDataFrame([], out_schema).where(F.lit(False))
+            return _provably_empty(self.spark, out_schema)
 
         def _scan(entries: list[dict]) -> DataFrame:
             # group files by the schema version they were written under so
@@ -365,8 +361,8 @@ class LakeTable(TableIO):
             # empty-result semantics instead of tripping the filter
             # validator (whose "filter row-wise" advice a lookup caller
             # cannot follow)
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(snap["schema"])).where(F.lit(False))
+            return _provably_empty(self.spark,
+                                   StructType.fromJson(snap["schema"]))
         fields = {f.name: f for f in StructType.fromJson(snap["schema"])}
         row = self.spark.createDataFrame(
             [tuple(key[k] for k in kc)],
@@ -1084,9 +1080,9 @@ class LakeTable(TableIO):
         never live in JSON (a 10^6-row file at 10 bits/key is ~1.2 MB —
         Iceberg keeps these in puffin sidecars for the same reason).
         grouping is by file, so memory per task is one file's key STRING
-        only (the join happens JVM-side before Arrow transfer). Hashes
-        are md5-derived (same portability discipline as the LSH planes)
-        and must match _bloom_positions on the probe side; the key
+        only (the join happens JVM-side before Arrow transfer). Builder
+        and prober share the exact same _bloom_positions kernel (one md5
+        per key, double-hashed into k positions); the key
         string is Spark's own cast-to-string of each key column joined
         with '|' — computed in the JVM, never via pandas astype(str),
         whose Arrow null-coercion turns a long column with any null into
@@ -1114,9 +1110,16 @@ class LakeTable(TableIO):
             side, m, k = plan_b.value[_os.path.realpath(path)]
             bits = np.zeros(m // 8, dtype=np.uint8)
             for s in pdf["_k"]:
+                # inline replica of _bloom_positions (lockstep!): the
+                # closure must stay SELF-CONTAINED — a module import here
+                # would fail on workers that receive the package only via
+                # cloudpickle (no --py-files), e.g. driver-side sys.path
+                # setups. Covered by the no-false-negative tests.
+                d = hashlib.md5(s.encode()).digest()
+                h1 = int.from_bytes(d[:8], "big")
+                h2 = int.from_bytes(d[8:], "big") | 1
                 for i in range(k):
-                    pos = int(hashlib.md5(f"{i}|{s}".encode())
-                              .hexdigest()[:16], 16) % m
+                    pos = (h1 + i * h2) % m
                     bits[pos >> 3] |= np.uint8(1 << (pos & 7))
             tmp = f"{side}.{_uuid.uuid4().hex[:8]}"
             with open(tmp, "wb") as fh:
@@ -1700,6 +1703,15 @@ def _resolve_lww(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
+def _provably_empty(spark: SparkSession, schema: StructType) -> DataFrame:
+    """Empty frame Catalyst can PROVE empty: filter(false) turns the
+    RDD-backed createDataFrame([]) into a LocalRelation, so joins against
+    it are eliminated (e.g. the merge's full outer join on bootstrap —
+    otherwise the winners side is shuffled + sorted into a SortMergeJoin
+    against nothing)."""
+    return spark.createDataFrame([], schema).where(F.lit(False))
+
+
 def _bloom_size(n_rows: int, bits_per_key: int) -> tuple[int, int]:
     """(m bits, k hashes) for a file of n_rows keys: m = next power of two
     ≥ n*bpk (min 1 KiB so tiny files still byte-align), k = ln2 * bpk —
@@ -1709,11 +1721,17 @@ def _bloom_size(n_rows: int, bits_per_key: int) -> tuple[int, int]:
 
 
 def _bloom_positions(key_string: str, m: int, k: int) -> list[int]:
-    """k bit positions for a key — md5-derived, identical to the builder
-    in _write_bloom_sidecars (probe and build MUST stay in lockstep)."""
+    """k bit positions for a key from ONE md5 (Kirsch-Mitzenmacher double
+    hashing: pos_i = h1 + i*h2 mod m, h2 forced odd so the stride spans
+    the power-of-two m) — k× fewer digests than hashing per position,
+    which matters at commit time (bits_per_key=10 → k=7 digests saved
+    per row). Shared verbatim by the builder (_write_bloom_sidecars) and
+    the prober (_bloom_contains); md5 keeps it portable."""
     import hashlib
-    return [int(hashlib.md5(f"{i}|{key_string}".encode()).hexdigest()[:16],
-                16) % m for i in range(k)]
+    d = hashlib.md5(key_string.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
 
 
 _FILTER_OPS = {"=", "<", "<=", ">", ">=", "in"}

@@ -64,13 +64,13 @@ def main() -> None:
                     "version_before": t.snapshot()["version"]}
     if args.compact_over is not None or args.target_file_rows is not None:
         # --target-file-rows alone still compacts (its help text promises
-        # oversize buckets become victims); the file-count threshold then
-        # falls back to the compact() default
-        report["compact"] = t.compact(
-            max_files_per_bucket=(4 if args.compact_over is None
-                                  else args.compact_over),
-            tombstone_horizon_seq=args.tombstone_horizon,
-            target_rows_per_file=args.target_file_rows)
+        # oversize buckets become victims); an omitted --compact-over
+        # defers to compact()'s own default rather than restating it here
+        kw = dict(tombstone_horizon_seq=args.tombstone_horizon,
+                  target_rows_per_file=args.target_file_rows)
+        if args.compact_over is not None:
+            kw["max_files_per_bucket"] = args.compact_over
+        report["compact"] = t.compact(**kw)
     if args.rebucket is not None:
         report["rebucket"] = t.rebucket(
             args.rebucket, target_rows_per_file=args.target_file_rows)
