@@ -264,3 +264,61 @@ def test_time_travel_with_filters(spark, tmp_path):
     old = t.read_version(1, filters=[("seq", "<=", 1)]).collect()
     assert [(r.seq, r.content) for r in old] == [(1, "v1")]
     assert t.read_version(2, filters=[("seq", "<=", 1)]).count() == 0
+
+
+# ---------------------------------------------------------------- property
+# The load-bearing invariant of the whole skipping layer: for ANY table
+# history (merge/append mixes, deletes, out-of-order seqs) and ANY
+# supported filter set, read(filters=...) must equal read() row-filtered.
+# Hypothesis hunts the corners a fixed fixture misses: filters straddling
+# file boundaries, mor generations whose pruning would be unsafe,
+# all-pruned reads, 'in' lists, key+value filter conjunctions.
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_REPOS = ["ra", "rb", "rc", "rd"]
+
+
+@st.composite
+def histories_and_filters(draw):
+    n_batches = draw(st.integers(1, 3))
+    batches = []
+    seq = 0
+    for _ in range(n_batches):
+        rows = []
+        for _ in range(draw(st.integers(1, 6))):
+            op = draw(st.sampled_from(["insert", "update", "delete"]))
+            rows.append((draw(st.integers(0, 40)), op,
+                         draw(st.sampled_from(_REPOS)),
+                         draw(st.sampled_from(["a.py", "b.py"])),
+                         f"c{seq}", None if op == "delete" else "v"))
+            seq += 1
+        batches.append((draw(st.sampled_from(["merge", "append"])), rows))
+    filters = draw(st.lists(st.one_of(
+        st.tuples(st.just("repo"), st.just("="), st.sampled_from(_REPOS)),
+        st.tuples(st.just("repo"), st.just("in"),
+                  st.lists(st.sampled_from(_REPOS), min_size=1, max_size=2)),
+        st.tuples(st.just("seq"), st.sampled_from(["<", "<=", ">", ">="]),
+                  st.integers(0, 40)),
+    ), min_size=1, max_size=3))
+    return batches, filters
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(histories_and_filters())
+def test_filtered_read_equals_row_filtered_full_read(spark, tmp_path_factory,
+                                                     case):
+    batches, filters = case
+    from arlas_proc_spark.lake.table import _filters_to_column
+    t = LakeTable.create(
+        spark, str(tmp_path_factory.mktemp("skip") / "t"), SCHEMA,
+        ["repo", "path"], "seq", n_buckets=2, bloom_bits_per_key=8)
+    for i, (mode, rows) in enumerate(batches):
+        b = _batch(spark, rows)
+        (t.merge_batch if mode == "merge" else t.append_batch)(b, i)
+    full = t.read()
+    want = {tuple(r) for r in
+            full.where(_filters_to_column(filters)).collect()}
+    got = {tuple(r) for r in t.read(filters=filters).collect()}
+    assert got == want
