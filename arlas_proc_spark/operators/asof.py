@@ -35,18 +35,25 @@ from arlas_proc_spark.operators.base import require_columns
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str | None = None, *,
               right_cols: list[str] | None = None,
+              direction: str = "backward",
               suffix: str = "_asof") -> DataFrame:
-    """Left as-of-backward join (inclusive): for every left row, the
-    right row with the greatest right_ts <= left_ts for the same key;
-    nulls where no right row precedes. Matches DuckDB ``ASOF LEFT JOIN
-    ... ON l.k = r.k AND l.ts >= r.ts``.
+    """Left as-of join (inclusive): for every left row, the nearest
+    right row per key — ``backward`` (default) = greatest right_ts <=
+    left_ts (DuckDB ``ASOF LEFT JOIN ... ON l.ts >= r.ts``), ``forward``
+    = smallest right_ts >= left_ts (``ON l.ts <= r.ts``); nulls where no
+    right row qualifies. Forward is the same fill mirrored: first
+    (ignoreNulls) over the FOLLOWING frame, lefts sorting before rights
+    on ties so an exactly-coincident version still matches.
 
     ``right_cols`` defaults to every right column except the keys and
     timestamp. Attached columns are renamed with ``suffix`` on collision
-    with a left column. Ties: a right row AT left_ts matches (rights
-    sort before lefts at equal ts); several right rows sharing (key,
-    right_ts) make the pick arbitrary — version feeds should keep
-    (key, ts) unique, like any SCD source."""
+    with a left column. Ties: a right row AT left_ts matches in both
+    directions; several right rows sharing (key, right_ts) make the pick
+    arbitrary — version feeds should keep (key, ts) unique, like any
+    SCD source."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', "
+                         f"got {direction!r}")
     right_ts = right_ts or left_ts
     require_columns(left, *on, left_ts)
     require_columns(right, *on, right_ts)
@@ -71,10 +78,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         F.struct(*[F.col(c).alias(c) for c in left.columns]).alias("_lpay"))
     r = r.withColumn("_lpay", F.lit(None).cast(l_.schema["_lpay"].dataType))
     u = l_.unionByName(r.select(*l_.columns))
-    w = (Window.partitionBy(*on).orderBy(F.col("_ats").asc(),
-                                         F.col("_is_left").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = u.withColumn("_fill", F.last("_rpay", ignorenulls=True).over(w))
+    if direction == "backward":
+        # rights first on ties (0 < 1): an exactly-coincident version
+        # lands inside the unbounded-preceding frame
+        w = (Window.partitionBy(*on).orderBy(F.col("_ats").asc(),
+                                             F.col("_is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        fill = F.last("_rpay", ignorenulls=True).over(w)
+    else:
+        # mirrored: lefts first on ties (desc: 1 before 0), nearest
+        # following version via first(ignoreNulls)
+        w = (Window.partitionBy(*on).orderBy(F.col("_ats").asc(),
+                                             F.col("_is_left").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        fill = F.first("_rpay", ignorenulls=True).over(w)
+    filled = u.withColumn("_fill", fill)
     out = filled.where(F.col("_is_left") == 1)
     return out.select(
         *[F.col(f"_lpay.{c}").alias(c) for c in left.columns],

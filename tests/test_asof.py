@@ -130,8 +130,8 @@ def asof_cases(draw):
 
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
-@given(asof_cases())
-def test_asof_matches_pandas_merge_asof(spark, case):
+@given(asof_cases(), st.sampled_from(["backward", "forward"]))
+def test_asof_matches_pandas_merge_asof(spark, case, direction):
     facts, dims = case
     f = spark.createDataFrame(facts, "fid long, k string, ts long")
     if dims:
@@ -139,13 +139,28 @@ def test_asof_matches_pandas_merge_asof(spark, case):
     else:
         d = spark.createDataFrame([], "k string, ts long, v double")
     got = {r.fid: r.v for r in
-           asof_join(f, d, ["k"], "ts").collect()}
+           asof_join(f, d, ["k"], "ts", direction=direction).collect()}
     fp = (pd.DataFrame(facts, columns=["fid", "k", "ts"])
           .astype({"fid": "int64", "ts": "int64"}).sort_values("ts"))
     dp = (pd.DataFrame(dims, columns=["k", "ts", "v"])
           .astype({"ts": "int64", "v": "float64"}).sort_values("ts"))
     m = pd.merge_asof(fp, dp, on="ts", by="k",
-                      direction="backward", allow_exact_matches=True)
+                      direction=direction, allow_exact_matches=True)
     want = {int(r.fid): (None if pd.isna(r.v) else float(r.v))
             for r in m.itertuples()}
     assert got == want
+
+
+def test_forward_direction_semantics(frames):
+    facts, dims = frames
+    out = asof_join(facts, dims, ["user"], "ts", direction="forward")
+    got = {r.fid: r.price for r in out.collect()}
+    assert got == {
+        1: 1.0,   # tie: version AT left ts matches forward too
+        2: None,  # nothing at/after ts=25 for u1
+        3: 1.0,   # next version up
+        4: 9.0,   # the future dim is exactly what forward wants
+        5: None,
+    }
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(facts, dims, ["user"], "ts", direction="nearest")
