@@ -86,8 +86,29 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "es", F.unix_timestamp("ts"))
 
 
+def _events_regular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_events with (user_id, es) made unique — see _EV_REG. Feed the
+    state-machine pipelines from THIS so their shared window order
+    (partition user_id, order es) is total at every SF."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id", "es").orderBy("event_id")
+    return (_events(spark, sf_dir)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
 _EV = ("(SELECT event_id, user_id, event_type, value, "
        "CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)")
+
+# (user_id, es) made UNIQUE — second-truncation can alias two samples
+# onto one (user, second) at larger SFs (first hit: sf0.1), and a state
+# machine's window order must be TOTAL or run boundaries become
+# engine-arbitrary (Spark and DuckDB legally disagree on ties).
+# Deterministic pick: min event_id per (user_id, es) — the reference's
+# drop-duplicate-observations (F2) with the arbitrary pick pinned.
+_EV_REG = ("(SELECT event_id, user_id, event_type, value, es FROM "
+           "(SELECT *, row_number() OVER (PARTITION BY user_id, es "
+           f"ORDER BY event_id) AS _rn FROM {_EV} ev0) x WHERE _rn = 1)")
 
 
 def _lang_canon_sql() -> str:
@@ -471,7 +492,7 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_course_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP2 end-to-end: STILL/MOVE/GAP tagging → run sessionization →
     per-run summary (the CourseExtractor pipeline shape)."""
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     ms = with_moving_state(ev, "user_id", "es", "value",
                            still_threshold=30.0, gap=1800)
     runs = with_state_id(ms, "user_id", "es", "moving_state")
@@ -480,7 +501,12 @@ def q_course_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("moving_state").alias("state"),
         F.count(F.lit(1)).alias("n_points"),
         (F.max("es") - F.min("es")).alias("duration"),
-        F.round(F.avg("value"), 6).alias("avg_value"))
+        # exact decimal sum, THEN one double divide: a double-accumulated
+        # avg is partition-order-dependent and can land either side of a
+        # round() boundary (first hit: one group at sf0.1); the decimal
+        # sum is order-independent and engine-identical
+        F.round(F.sum(F.col("value").cast("decimal(28,9)"))
+                .cast("double") / F.count(F.lit(1)), 6).alias("avg_value"))
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,7 +835,7 @@ def q_course_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     motion-run durations → COURSE/STOP/GAP → MOTION/PAUSE → course ids
     anchored at stops."""
     from arlas_proc_spark.operators.course import course_stop_pipeline
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     out = course_stop_pipeline(ev, "user_id", "es", "value",
                                still_threshold=30.0, gap=1800,
                                course_timeout_s=600)
@@ -1470,7 +1496,7 @@ def _all_oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING), 0.0), 6) AS v_filled
             FROM ev""",
         "course_summary": f"""
-            WITH ev AS (SELECT * FROM {_EV}),
+            WITH ev AS (SELECT * FROM {_EV_REG}),
             ms AS (SELECT *, CASE WHEN lag(es) OVER w IS NOT NULL
                                        AND es - lag(es) OVER w > 1800 THEN 'GAP'
                                   WHEN value <= 30.0 THEN 'STILL'
@@ -1489,7 +1515,8 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT state_id, min(user_id) AS user_id,
                    min(moving_state) AS state, COUNT(*) AS n_points,
                    max(es) - min(es) AS duration,
-                   round(AVG(value), 6) AS avg_value
+                   round(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_value
             FROM rid GROUP BY state_id""",
         "token_counts": f"""
             SELECT doc_id,
@@ -1750,7 +1777,7 @@ def _all_oracle_sql() -> dict[str, str]:
                   FROM sims) x
             WHERE rank <= 3""",
         "course_states": f"""
-            WITH ev AS (SELECT * FROM {_EV}),
+            WITH ev AS (SELECT * FROM {_EV_REG}),
             ms AS (SELECT *, CASE
                      WHEN lag(es) OVER w IS NOT NULL
                           AND es - lag(es) OVER w > 1800 THEN 'GAP'
