@@ -450,7 +450,8 @@ def q_resample_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("sample_id").agg(
         F.first("user_id").alias("user_id"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"))
+        F.round(F.sum(F.col("value").cast("decimal(28,9)"))
+                .cast("double") / F.count(F.lit(1)), 6).alias("avg_value"))
 
 
 def q_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,11 +569,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("sum_disc_price"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(28,9)"))
+                         .cast("double"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,9)"))
+                         .cast("double"), 2).alias("sum_base_price"),
+                 F.round(F.sum((F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")))
+                               .cast("decimal(28,9)"))
+                         .cast("double"), 2).alias("sum_disc_price"),
+                 F.round(F.sum(F.col("l_discount").cast("decimal(28,9)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
@@ -1441,7 +1448,8 @@ def _all_oracle_sql() -> dict[str, str]:
                       AS sample_id
                   FROM ev)
             SELECT sample_id, min(user_id) AS user_id, COUNT(*) AS n,
-                   round(AVG(value), 6) AS avg_value
+                   round(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_value
             FROM s GROUP BY sample_id""",
         "state_runs": f"""
             WITH ev AS (SELECT * FROM {_EV}),
@@ -1566,10 +1574,14 @@ def _all_oracle_sql() -> dict[str, str]:
                   FROM ev) x""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(SUM(l_quantity), 2) AS sum_qty,
-                   round(SUM(l_extendedprice), 2) AS sum_base_price,
-                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(AVG(l_discount), 6) AS avg_disc,
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(28,9)))
+                         AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,9)))
+                         AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,9))) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(SUM(CAST(l_discount AS DECIMAL(28,9)))
+                         AS DOUBLE) / COUNT(*), 6) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
