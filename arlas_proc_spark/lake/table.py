@@ -430,6 +430,71 @@ class LakeTable(TableIO):
         ``filters`` — just against the historical manifest."""
         return self.read(snapshot=self.snapshot_at(version), filters=filters)
 
+    # ------------------------------------------------------------------ tags
+    def set_tag(self, name: str, version: int | None = None) -> dict:
+        """Pin a committed snapshot under a name (Iceberg tag refs): the
+        tagged manifest — and every data file it references — SURVIVES
+        ``expire_snapshots`` until the tag is dropped. The way to freeze
+        a released corpus/table version while routine retention keeps
+        GCing the rest. Metadata-only commit; concurrency-retried like
+        any data-free commit."""
+        last_err: Exception | None = None
+        for _ in range(4):
+            snap = self.snapshot()
+            v = snap["version"] if version is None else int(version)
+            self.snapshot_at(v)  # must exist (and not be expired)
+            tags = dict(snap.get("tags", {}))
+            tags[name] = v
+            snap["tags"] = tags
+            snap["version"] += 1
+            snap["changes"] = {"version": snap["version"], "files": [],
+                               "schema_v": max(int(x)
+                                               for x in snap["schemas"]),
+                               "rows": 0}  # logical no-op for the feed
+            try:
+                self._commit_snapshot(snap,
+                                      expected_version=snap["version"] - 1)
+                return {"tag": name, "version": v}
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
+
+    def drop_tag(self, name: str) -> dict:
+        """Remove a tag; the pinned snapshot becomes expirable again."""
+        last_err: Exception | None = None
+        for _ in range(4):
+            snap = self.snapshot()
+            tags = dict(snap.get("tags", {}))
+            if name not in tags:
+                raise ValueError(f"tag {name!r} does not exist "
+                                 f"(tags: {sorted(tags)})")
+            v = tags.pop(name)
+            snap["tags"] = tags
+            snap["version"] += 1
+            snap["changes"] = {"version": snap["version"], "files": [],
+                               "schema_v": max(int(x)
+                                               for x in snap["schemas"]),
+                               "rows": 0}
+            try:
+                self._commit_snapshot(snap,
+                                      expected_version=snap["version"] - 1)
+                return {"tag": name, "version": v, "dropped": True}
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
+
+    def tags(self) -> dict[str, int]:
+        return dict(self.snapshot().get("tags", {}))
+
+    def read_tag(self, name: str,
+                 filters: list[tuple] | None = None) -> DataFrame:
+        """The table as of the tagged snapshot (same pruned read path)."""
+        tags = self.snapshot().get("tags", {})
+        if name not in tags:
+            raise ValueError(f"tag {name!r} does not exist "
+                             f"(tags: {sorted(tags)})")
+        return self.read_version(int(tags[name]), filters=filters)
+
     def read_changes(self, from_version: int,
                      to_version: int | None = None, *,
                      include_update_preimages: bool = False) -> DataFrame:
@@ -1600,6 +1665,10 @@ class LakeTable(TableIO):
                        if f.startswith("v") and f.endswith(".json"))
         current = self._current_name()
         keep = set(names[-keep_last:]) | {current}
+        # tagged snapshots are pinned: their manifests (and therefore
+        # every file they reference, below) survive until the tag drops
+        keep |= {f"v{int(v):010d}.json"
+                 for v in self.snapshot().get("tags", {}).values()}
         referenced: set[str] = set()
         referenced_lineage: set[str] = set()
         referenced_changes: set[str] = set()
