@@ -45,6 +45,7 @@ class StreamingIngest:
                  event_schema=None, wal_format: str = "parquet",
                  write_mode: str = "cow", compact_every: int | None = None,
                  quarantine_dir: str | None = None,
+                 bloom_bits_per_key: int = 0,
                  views: list | None = None,
                  changefeed: bool = False,
                  state_partitions: int | None = None):
@@ -95,11 +96,13 @@ class StreamingIngest:
         self.write_mode = write_mode
         self.quarantine_dir = quarantine_dir
         self.changefeed = changefeed
+        self.bloom_bits_per_key = bloom_bits_per_key
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
                                 collect_metrics=collect_metrics,
                                 write_mode=write_mode,
                                 quarantine_dir=quarantine_dir,
-                                changefeed=changefeed)
+                                changefeed=changefeed,
+                                bloom_bits_per_key=bloom_bits_per_key)
         self.watermark = watermark
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
@@ -140,7 +143,8 @@ class StreamingIngest:
                 collect_metrics=self.collect_metrics, ledger_scope=scope,
                 write_mode=self.write_mode,
                 quarantine_dir=self.quarantine_dir,
-                changefeed=self.changefeed)
+                changefeed=self.changefeed,
+                bloom_bits_per_key=self.bloom_bits_per_key)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             # state_partitions: batch 0's stateful planning (which pinned

@@ -55,6 +55,10 @@ def main() -> None:
     ap.add_argument("--changefeed", action="store_true",
                     help="emit per-commit change files (CDF) for "
                          "downstream replicas / incremental views")
+    ap.add_argument("--bloom-bits", type=int, default=0,
+                    help="per-file bloom sidecars over the key tuple at "
+                         "this many bits/key (0 = off); point lookups "
+                         "then skip generations inside a bucket")
     ap.add_argument("--state-partitions", type=int, default=None,
                     help="partition count for the watermark-dedup state "
                          "store (fewer = less per-batch commit overhead "
@@ -78,6 +82,7 @@ def main() -> None:
                                  n_batches=max(args.generate // 250_000, 4))
 
     ing = StreamingIngest(spark, args.table, n_buckets=args.buckets,
+                          bloom_bits_per_key=args.bloom_bits,
                           watermark=args.watermark,
                           write_mode=args.write_mode,
                           compact_every=args.compact_every,

@@ -55,6 +55,10 @@ def main() -> None:
                          "target_bytes / avg_row_bytes from bucket "
                          "stats); buckets with any oversize file become "
                          "compaction victims")
+    ap.add_argument("--set-tag", default=None, metavar="NAME[=VERSION]",
+                    help="pin a snapshot under a name (GC-protected "
+                         "until dropped); bare NAME pins CURRENT")
+    ap.add_argument("--drop-tag", default=None, metavar="NAME")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -74,6 +78,11 @@ def main() -> None:
     if args.rebucket is not None:
         report["rebucket"] = t.rebucket(
             args.rebucket, target_rows_per_file=args.target_file_rows)
+    if args.set_tag is not None:
+        name, _, v = args.set_tag.partition("=")
+        report["set_tag"] = t.set_tag(name, int(v) if v else None)
+    if args.drop_tag is not None:
+        report["drop_tag"] = t.drop_tag(args.drop_tag)
     if args.keep_snapshots is not None:
         report["expire"] = t.expire_snapshots(
             keep_last=args.keep_snapshots,
