@@ -372,14 +372,14 @@ def q_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_state_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     b = with_state_change_boundaries(ev, "user_id", "es", "event_type")
     return b.groupBy("user_id").agg(
         F.sum(F.col("is_boundary").cast("long")).alias("n_state_changes"))
 
 
 def q_flow_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     fr = with_flow_fragments(ev, "user_id", "es", value_cols=["value"])
     return fr.select(
         "user_id", "track_id", "ts_start", "ts_end", "duration",
@@ -388,7 +388,7 @@ def q_flow_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_visibility_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     return with_visibility_change(ev, "user_id", "es", gap=1800).select(
         "event_id", "user_id", "visibility_change")
 
@@ -456,7 +456,7 @@ def q_resample_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7/W8: boundary detect + forward-filled run id per key."""
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     return with_state_id(ev, "user_id", "es", "event_type").select(
         "event_id", "user_id", "state_id")
 
@@ -483,7 +483,7 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 null gap-fill: carry the latest preceding click value forward."""
-    ev = _events(spark, sf_dir).withColumn(
+    ev = _events_regular(spark, sf_dir).withColumn(
         "v_click", F.when(F.col("event_type") == "click", F.col("value")))
     out = with_forward_fill(ev, "user_id", "es", "v_click",
                             out_col="v_filled", default=0.0)
@@ -560,7 +560,7 @@ def q_embedding_neardups_toy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     out = with_local_outliers(ev, "user_id", "es", "value", k=2, threshold=10.0)
     return out.select("event_id", "user_id", "value", "is_outlier")
 
@@ -857,7 +857,7 @@ def q_outliers_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, each with neighbor context (span null unless both neighbors
     exist)."""
     from arlas_proc_spark.operators.outliers import outliers_to_store
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     flagged = with_local_outliers(ev, "user_id", "es", "value",
                                   k=2, threshold=10.0)
     out = outliers_to_store(flagged, "user_id", ["es", "event_id"], "value")
@@ -942,7 +942,7 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     states = with_hmm_states(ev, "user_id", "es", "value", chunk_size=2000)
     return states.groupBy("user_id", "hmm_state").agg(
         F.count(F.lit(1)).alias("n")).orderBy("user_id", "hmm_state")
@@ -952,7 +952,7 @@ def q_mission_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traversing-mission segmentation (per-key sequential kernel via
     applyInPandas — state resets depend on the segmentation itself, so
     this is genuinely not window/SQL-expressible)."""
-    ev = _events(spark, sf_dir)
+    ev = _events_regular(spark, sf_dir)
     return mission_summary(ev, "user_id", "es", "value")
 
 
@@ -1150,7 +1150,7 @@ def _viterbi_oracle_sql() -> str:
               SELECT user_id, es, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY es)
                          AS rn
-              FROM {_EV}),
+              FROM {_EV_REG}),
             walk AS (
               SELECT user_id, rn,
                      {ls} + {e0} AS d0, {ls} + {e1} AS d1,
@@ -1199,7 +1199,7 @@ def _mission_oracle_sql() -> str:
               SELECT user_id, es, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY es)
                          AS rn
-              FROM {_EV}),
+              FROM {_EV_REG}),
             walk AS (
               SELECT user_id, es, value, rn,
                      CAST(COALESCE(value, 0.0) AS DOUBLE) AS rsm,
@@ -1379,14 +1379,14 @@ def _all_oracle_sql() -> dict[str, str]:
                    MIN(es) AS t_start, MAX(es) AS t_end
             FROM s GROUP BY session_id""",
         "state_boundaries": f"""
-            WITH ev AS (SELECT * FROM {_EV})
+            WITH ev AS (SELECT * FROM {_EV_REG})
             SELECT user_id, CAST(SUM(CASE WHEN p IS NULL OR p <> event_type
                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_state_changes
             FROM (SELECT user_id, event_type,
                          lag(event_type) OVER (PARTITION BY user_id ORDER BY es) AS p
                   FROM ev) x GROUP BY user_id""",
         "flow_fragments": f"""
-            WITH ev AS (SELECT * FROM {_EV})
+            WITH ev AS (SELECT * FROM {_EV_REG})
             SELECT user_id,
                    concat(user_id, '#', CAST(pts AS VARCHAR), '_', CAST(es AS VARCHAR)) AS track_id,
                    pts AS ts_start, es AS ts_end, es - pts AS duration,
@@ -1397,7 +1397,7 @@ def _all_oracle_sql() -> dict[str, str]:
                   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es)) x
             WHERE pts IS NOT NULL""",
         "visibility_change": f"""
-            WITH ev AS (SELECT * FROM {_EV})
+            WITH ev AS (SELECT * FROM {_EV_REG})
             SELECT event_id, user_id,
                    CASE WHEN (p IS NULL OR es - p > 1800)
                              AND (nx IS NULL OR nx - es > 1800) THEN 'appear_disappear'
@@ -1452,7 +1452,7 @@ def _all_oracle_sql() -> dict[str, str]:
                          / COUNT(*), 6) AS avg_value
             FROM s GROUP BY sample_id""",
         "state_runs": f"""
-            WITH ev AS (SELECT * FROM {_EV}),
+            WITH ev AS (SELECT * FROM {_EV_REG}),
             b AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
                                    OR lag(event_type) OVER w <> event_type
                                  THEN 1 ELSE 0 END AS nb
@@ -1497,7 +1497,7 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM s WINDOW p AS (PARTITION BY session_id)""",
         "forward_fill": f"""
             WITH ev AS (SELECT *, CASE WHEN event_type = 'click' THEN value
-                                  END AS v_click FROM {_EV})
+                                  END AS v_click FROM {_EV_REG})
             SELECT event_id,
                    round(coalesce(last_value(v_click IGNORE NULLS) OVER
                        (PARTITION BY user_id ORDER BY es
@@ -1562,7 +1562,7 @@ def _all_oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.3""",
         "hampel_outliers": f"""
-            WITH ev AS (SELECT * FROM {_EV})
+            WITH ev AS (SELECT * FROM {_EV_REG})
             SELECT event_id, user_id, value,
                    abs(value - med) > 10.0 AS is_outlier
             FROM (SELECT event_id, user_id, value,
@@ -1834,7 +1834,7 @@ def _all_oracle_sql() -> dict[str, str]:
                    END AS course_anchor_id
             FROM cs""",
         "outliers_store": f"""
-            WITH ev AS (SELECT * FROM {_EV}),
+            WITH ev AS (SELECT * FROM {_EV_REG}),
             flagged AS (
               SELECT event_id, user_id, value, es,
                      abs(value - med) > 10.0 AS is_outlier

@@ -133,10 +133,12 @@ class CdcEngine:
             "write_mode='cow' for changefeed tables.")
         if write_mode == "mor" and changefeed:
             raise ValueError(_mor_cf_err)
+        preexisting_lake = False
         if table_io is not None:
             self.table = table_io
         elif LakeTable.exists(spark, table_path):
             self.table = LakeTable(spark, table_path)
+            preexisting_lake = True
         else:
             self.table = LakeTable.create(
                 spark, table_path, TABLE_SCHEMA, KEY_COLS, SEQ_COL,
@@ -145,6 +147,17 @@ class CdcEngine:
         if write_mode == "mor" and bool(
                 self.table.snapshot().get("changefeed")):
             raise ValueError(_mor_cf_err)
+        # An explicit bloom request must not be silently dropped just
+        # because the table pre-exists (create-only flags are a silent
+        # no-op trap): adopt it via a metadata-only commit so future data
+        # commits write sidecars at the requested density.
+        # bloom_bits_per_key=0 is the "unspecified" default and leaves the
+        # table's own snapshot flag in charge. Runs AFTER every validation
+        # above — a refused construction must not have mutated the table.
+        if preexisting_lake and bloom_bits_per_key and int(
+                self.table.snapshot().get("bloom_bits_per_key", 0)) \
+                != int(bloom_bits_per_key):
+            self.table.set_bloom_bits(bloom_bits_per_key)
 
     def apply_batch(self, events: DataFrame, batch_id: int | str, *,
                     assume_all_buckets: bool = False) -> dict:

@@ -430,22 +430,21 @@ class LakeTable(TableIO):
         ``filters`` — just against the historical manifest."""
         return self.read(snapshot=self.snapshot_at(version), filters=filters)
 
-    # ------------------------------------------------------------------ tags
-    def set_tag(self, name: str, version: int | None = None) -> dict:
-        """Pin a committed snapshot under a name (Iceberg tag refs): the
-        tagged manifest — and every data file it references — SURVIVES
-        ``expire_snapshots`` until the tag is dropped. The way to freeze
-        a released corpus/table version while routine retention keeps
-        GCing the rest. Metadata-only commit; concurrency-retried like
-        any data-free commit."""
+    # --------------------------------------------------- metadata commits
+    def _metadata_commit(self, mutate) -> dict:
+        """Retried metadata-only commit (tags, config flags). Each of 4
+        attempts re-reads the snapshot fresh and applies
+        ``mutate(snap) -> (result, commit)``: mutate edits ``snap`` in
+        place and returns the caller-facing result plus whether a commit
+        is needed (``False`` short-circuits — the no-op case). On commit,
+        the version bumps and an EMPTY ``changes`` entry is stamped so
+        CDF tailers see a data-free version step instead of a log gap."""
         last_err: Exception | None = None
         for _ in range(4):
             snap = self.snapshot()
-            v = snap["version"] if version is None else int(version)
-            self.snapshot_at(v)  # must exist (and not be expired)
-            tags = dict(snap.get("tags", {}))
-            tags[name] = v
-            snap["tags"] = tags
+            result, commit = mutate(snap)
+            if not commit:
+                return result
             snap["version"] += 1
             snap["changes"] = {"version": snap["version"], "files": [],
                                "schema_v": max(int(x)
@@ -454,37 +453,72 @@ class LakeTable(TableIO):
             try:
                 self._commit_snapshot(snap,
                                       expected_version=snap["version"] - 1)
-                return {"tag": name, "version": v}
+                return result
             except ConcurrentCommitError as e:
                 last_err = e
         raise last_err
 
+    # ------------------------------------------------------------------ tags
+    def set_tag(self, name: str, version: int | None = None) -> dict:
+        """Pin a committed snapshot under a name (Iceberg tag refs): the
+        tagged manifest — and every data file it references — SURVIVES
+        ``expire_snapshots`` until the tag is dropped. The way to freeze
+        a released corpus/table version while routine retention keeps
+        GCing the rest. Metadata-only commit; concurrency-retried like
+        any data-free commit. ``version=None`` resolves "current" ONCE,
+        before the retry loop — a lost CAS must re-attempt tagging the
+        version the caller observed, not silently pin whatever a
+        concurrent writer committed meanwhile."""
+        v = (self.snapshot()["version"] if version is None
+             else int(version))
+
+        def _pin(snap: dict) -> tuple[dict, bool]:
+            self.snapshot_at(v)  # must exist (and not be expired)
+            tags = dict(snap.get("tags", {}))
+            tags[name] = v
+            snap["tags"] = tags
+            return {"tag": name, "version": v}, True
+
+        return self._metadata_commit(_pin)
+
     def drop_tag(self, name: str) -> dict:
         """Remove a tag; the pinned snapshot becomes expirable again."""
-        last_err: Exception | None = None
-        for _ in range(4):
-            snap = self.snapshot()
+
+        def _drop(snap: dict) -> tuple[dict, bool]:
             tags = dict(snap.get("tags", {}))
             if name not in tags:
                 raise ValueError(f"tag {name!r} does not exist "
                                  f"(tags: {sorted(tags)})")
             v = tags.pop(name)
             snap["tags"] = tags
-            snap["version"] += 1
-            snap["changes"] = {"version": snap["version"], "files": [],
-                               "schema_v": max(int(x)
-                                               for x in snap["schemas"]),
-                               "rows": 0}
-            try:
-                self._commit_snapshot(snap,
-                                      expected_version=snap["version"] - 1)
-                return {"tag": name, "version": v, "dropped": True}
-            except ConcurrentCommitError as e:
-                last_err = e
-        raise last_err
+            return {"tag": name, "version": v, "dropped": True}, True
+
+        return self._metadata_commit(_drop)
 
     def tags(self) -> dict[str, int]:
         return dict(self.snapshot().get("tags", {}))
+
+    def set_bloom_bits(self, bits_per_key: int) -> dict:
+        """Change the table's bloom-sidecar density (metadata-only commit).
+        Takes effect on FUTURE data commits: every write path reads the
+        flag from the current snapshot, so new files gain sidecars at the
+        new density while existing files keep (or lack) theirs — a file
+        without a sidecar is simply never skipped, so flipping the flag
+        is always safe. This is how blooms are enabled on a table that
+        was created without them."""
+        bits_per_key = int(bits_per_key)
+        if bits_per_key < 0:
+            raise ValueError("bits_per_key must be >= 0")
+
+        def _flip(snap: dict) -> tuple[dict, bool]:
+            if int(snap.get("bloom_bits_per_key", 0)) == bits_per_key:
+                return {"bloom_bits_per_key": bits_per_key,
+                        "changed": False}, False
+            snap["bloom_bits_per_key"] = bits_per_key
+            return {"bloom_bits_per_key": bits_per_key,
+                    "changed": True}, True
+
+        return self._metadata_commit(_flip)
 
     def read_tag(self, name: str,
                  filters: list[tuple] | None = None) -> DataFrame:
@@ -1159,7 +1193,12 @@ class LakeTable(TableIO):
         for e, p in entries:
             m, k = _bloom_size(max(1, int(e.get("rows") or 1)), bits_per_key)
             plan[os.path.realpath(p)] = (p + ".bloom", m, k)
-            e["bloom"] = {"file": e["file"] + ".bloom", "m": m, "k": k}
+            # "h" names the hash scheme (md5 + Kirsch-Mitzenmacher double
+            # hashing). The prober skips ONLY on an exact scheme match, so
+            # sidecars written under any other/older scheme degrade to
+            # "never skip" instead of false-negative data loss.
+            e["bloom"] = {"file": e["file"] + ".bloom", "m": m, "k": k,
+                          "h": _BLOOM_SCHEME}
         plan_b = self.spark.sparkContext.broadcast(plan)
 
         def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1208,6 +1247,10 @@ class LakeTable(TableIO):
         b = entry.get("bloom")
         if not b:
             return True
+        if b.get("h") != _BLOOM_SCHEME:
+            return True  # unknown/older hash scheme: probing another
+            # scheme's bitmap can false-negative (silent row loss), so
+            # such files are simply never skipped.
         p = os.path.join(self.data_dir, b["file"])
         bits = (cache or {}).get(p)
         if bits is None:
@@ -1779,6 +1822,13 @@ def _provably_empty(spark: SparkSession, schema: StructType) -> DataFrame:
     otherwise the winners side is shuffled + sorted into a SortMergeJoin
     against nothing)."""
     return spark.createDataFrame([], schema).where(F.lit(False))
+
+
+# Hash-scheme id stamped into every manifest bloom entry. Bump it whenever
+# _bloom_positions changes shape (digest, stride, byte order): the prober
+# refuses to skip on a mismatched scheme, so old sidecars can never
+# false-negative under new probe math.
+_BLOOM_SCHEME = "km-md5-1"
 
 
 def _bloom_size(n_rows: int, bits_per_key: int) -> tuple[int, int]:

@@ -67,28 +67,49 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    from pyspark.sql import Observation
+
     spark = build_session(app_name="corpus-assembly", master=args.master)
     df = spark.read.parquet(args.docs)
-    report: dict = {"docs_in": df.count()}
+    # Stage-boundary counts ride the ONE write action as CollectMetrics
+    # nodes (df.observe) — a .count() per stage would re-run the whole
+    # upstream chain (parquet scan + NFC UDF + quality regexes) once per
+    # boundary, multiplying job cost at corpus scale.
+    obs: dict[str, Observation] = {}
+
+    def _observe(frame, name):
+        obs[name] = Observation(name)
+        return frame.observe(obs[name], F.count(F.lit(1)).alias("n"))
+
+    df = _observe(df, "docs_in")
     text_col = "text"
     if args.normalize:
         df = normalize_text(df, out_col="text")  # replace in place
     if args.min_quality is not None:
         df = (with_text_stats(df, text_col)
               .where(F.col("quality_score") >= args.min_quality))
-        report["after_quality"] = df.count()
+        df = _observe(df, "after_quality")
     if args.dedup:
-        w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy("doc_id")
+        # sha2(NULL) is NULL: a null-text doc must pass through untouched,
+        # not collapse into one bogus "duplicate" group with every other
+        # null-text doc (same trap operators/dedup_fuzzy.exact_duplicates
+        # guards). Keying nulls by their own doc_id keeps them singleton
+        # AND avoids shuffling every null doc into one skewed partition.
+        dedup_key = F.coalesce(
+            F.sha2(F.col(text_col), 256),
+            F.concat(F.lit("null#"), F.col("doc_id").cast("string")))
+        w = Window.partitionBy(dedup_key).orderBy("doc_id")
         df = (df.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") == 1).drop("_rn"))
-        report["after_dedup"] = df.count()
+        df = _observe(df, "after_dedup")
     if args.per_lang is not None:
         df = sample_stratified(df, ["lang"], args.per_lang, ["doc_id"],
                                salt=args.salt)
     if args.fraction is not None:
         df = sample_bernoulli(df, args.fraction, ["doc_id"], salt=args.salt)
+    df = _observe(df, "docs_out")
     df.write.mode("overwrite").parquet(args.out)
-    report["docs_out"] = spark.read.parquet(args.out).count()
+    report = {name: o.get["n"] for name, o in obs.items()}
     print(json.dumps(report))
     spark.stop()
 

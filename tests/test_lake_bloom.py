@@ -199,3 +199,90 @@ def test_bloom_size_floor_and_growth():
     assert m_small == 8192 and k == 7  # 1 KiB floor
     m_big, _ = _bloom_size(1_000_000, 10)
     assert m_big >= 10_000_000 and (m_big & (m_big - 1)) == 0
+
+
+def test_set_bloom_bits_adopts_on_existing_table(spark, tmp_path):
+    """Enable blooms on a table created WITHOUT them: old files stay
+    sidecar-less (never skipped — still exact), new commits gain
+    sidecars, and the flag flip is a metadata-only versioned commit."""
+    t = LakeTable.create(spark, str(tmp_path / "ta"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=1)
+    t.append_batch(_gen(spark, GEN_KEYS[0], 0, "gen0"), 0)
+    v_before = t.snapshot()["version"]
+    assert t.set_bloom_bits(10) == {"bloom_bits_per_key": 10,
+                                    "changed": True}
+    assert t.snapshot()["version"] == v_before + 1  # metadata commit
+    assert t.set_bloom_bits(10) == {"bloom_bits_per_key": 10,
+                                    "changed": False}  # idempotent no-op
+    t.append_batch(_gen(spark, GEN_KEYS[1], 100, "gen1"), 1)
+    entries = {e["file"]: e for fs in t.snapshot()["buckets"].values()
+               for e in fs}
+    blooms = [("bloom" in e) for e in entries.values()]
+    assert sorted(blooms) == [False, True]  # old file bare, new file armed
+    # pre-flag file has no sidecar → never skipped → lookup stays exact
+    got = t.lookup(repo="r00", path="x.py")
+    assert [(r.repo, r.content) for r in got.collect()] == [("r00", "gen0")]
+    # post-flag key: the bare gen0 file can't be skipped, gen1's can be
+    # probed — correctness is the invariant, not the skip count
+    got1 = t.lookup(repo="r01", path="x.py")
+    assert [(r.repo, r.content) for r in got1.collect()] == [("r01", "gen1")]
+
+
+def test_engine_adopts_bloom_flag_on_preexisting_table(spark, tmp_path):
+    """CdcEngine(bloom_bits_per_key=N) against a table that already
+    exists must not silently drop the request (create-only-flag trap)."""
+    from arlas_proc_spark.cdc.engine import CdcEngine
+    path = str(tmp_path / "te")
+    eng0 = CdcEngine(spark, path, n_buckets=1, write_mode="mor")
+    eng0.apply_batch(_gen(spark, ["rA"], 0, "v1"), 0)
+    assert int(eng0.table.snapshot().get("bloom_bits_per_key", 0)) == 0
+    eng1 = CdcEngine(spark, path, n_buckets=1, write_mode="mor",
+                     bloom_bits_per_key=10)
+    assert eng1.table.snapshot()["bloom_bits_per_key"] == 10
+    eng1.apply_batch(_gen(spark, ["rB"], 100, "v2"), 1)
+    entries = {e["file"]: e for fs in
+               eng1.table.snapshot()["buckets"].values() for e in fs}
+    assert any("bloom" in e for e in entries.values())
+    # unspecified (0) leaves the table's own flag alone
+    eng2 = CdcEngine(spark, path, n_buckets=1, write_mode="mor")
+    assert eng2.table.snapshot()["bloom_bits_per_key"] == 10
+
+
+def test_refused_engine_construction_does_not_adopt_bloom(spark, tmp_path):
+    """A CdcEngine construction refused by validation (mor writer on a
+    changefeed table) must leave the table untouched — including the
+    bloom-flag adoption commit (review finding: adoption used to run
+    before the snapshot-level changefeed check)."""
+    import pytest
+    from arlas_proc_spark.cdc.engine import CdcEngine
+    path = str(tmp_path / "tcf")
+    CdcEngine(spark, path, n_buckets=1, changefeed=True)
+    t = LakeTable(spark, path)
+    v0 = t.snapshot()["version"]
+    with pytest.raises(ValueError, match="changefeed"):
+        CdcEngine(spark, path, n_buckets=1, write_mode="mor",
+                  bloom_bits_per_key=10)
+    snap = t.snapshot()
+    assert snap["version"] == v0  # no half-made metadata commit
+    assert int(snap.get("bloom_bits_per_key", 0)) == 0
+
+
+def test_unknown_bloom_scheme_never_skips(spark, tmp_path):
+    """A sidecar stamped with a different hash scheme must degrade to
+    'never skip' (probing another scheme's bitmap can false-negative =
+    silent row loss). Tamper the manifest's scheme id and assert the
+    file is scanned yet results stay exact."""
+    import json
+    t = _bloom_table(spark, tmp_path, name="ts")
+    # rewrite the current manifest with a bogus scheme on every entry
+    snap = t.snapshot()
+    for fs in snap["buckets"].values():
+        for e in fs:
+            if "bloom" in e:
+                e["bloom"]["h"] = "other-scheme-v9"
+    mf = os.path.join(t.meta_dir, f"v{snap['version']:010d}.json")
+    with open(mf, "w") as f:
+        json.dump(snap, f)
+    hit = t.lookup(repo="r04", path="x.py")
+    assert len(hit.inputFiles()) == 3  # nothing skipped under unknown scheme
+    assert [(r.repo, r.content) for r in hit.collect()] == [("r04", "gen1")]
