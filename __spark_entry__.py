@@ -666,6 +666,58 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "n_tokens", "quality_score")
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/corpus.py) — 40-token windows
+    with 10-token overlap, the pretraining/RAG splitter. Map-only plan:
+    no shuffle at any corpus size (plan-asserted in tests)."""
+    from arlas_proc_spark.operators.corpus import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"), "doc_id",
+                           "text", chunk_tokens=40, overlap=10)
+
+
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document boilerplate detection over
+    10-token segments (the fixture has no newlines, so token windows
+    stand in for lines): a segment occurring in >=2 distinct docs is
+    template boilerplate. Returns per-doc segment/boilerplate counts."""
+    from arlas_proc_spark.operators.corpus import (
+        chunk_documents,
+        flag_boilerplate_lines,
+    )
+    ch = chunk_documents(_t(spark, sf_dir, "documents"), "doc_id",
+                         "text", chunk_tokens=10, overlap=0)
+    fl = flag_boilerplate_lines(ch, "doc_id", "chunk_id", "chunk_text",
+                                min_doc_freq=2, min_line_chars=1)
+    return fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_boilerplate").cast("long")).alias("n_boiler"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py scrub_pii): the fixture text has
+    no PII, so each doc gets a deterministic synthetic email + IPv4 +
+    card-length number appended, then the scrubber runs and the oracle
+    replays the same regex chain in DuckDB (all patterns RE2-safe).
+    md5 of the scrubbed text pins byte-exact redaction."""
+    from arlas_proc_spark.operators.text import PII_PATTERNS, scrub_pii
+    d = _t(spark, sf_dir, "documents").withColumn("text2", F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.7 card 4111111111111111")))
+    out = scrub_pii(d, "text2", "text_scrubbed")
+    return out.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("text2"), F.lit(PII_PATTERNS[0][0]), F.lit(0)))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(
+            F.col("text_scrubbed"), F.lit("<IP>"), F.lit(0)))
+         .cast("long").alias("n_ips"),
+        F.md5("text_scrubbed").alias("scrub_md5"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -1018,6 +1070,7 @@ _EXTRA_QUERIES = [
     "forward_fill", "sample_bernoulli_docs", "sample_stratified_docs",
     "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
     "pretrain_corpus", "asof_enrich", "scd2_history",
+    "doc_chunks", "boilerplate_chunks", "pii_scrub",
 ]
 
 
@@ -1081,6 +1134,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_corpus": q_pretrain_corpus,
         "asof_enrich": q_asof_enrich,
         "scd2_history": q_scd2_history,
+        "doc_chunks": q_doc_chunks,
+        "boilerplate_chunks": q_boilerplate_chunks,
+        "pii_scrub": q_pii_scrub,
         "sample_bernoulli_docs": q_sample_bernoulli_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_weighted_docs": q_sample_weighted_docs,
@@ -1229,6 +1285,67 @@ def _mission_oracle_sql() -> str:
                    min(es) AS ts_start, max(es) AS ts_end,
                    round(max(value) - min(value), 6) AS measure_span
             FROM runs GROUP BY mission_id"""
+
+
+def _chunk_lines_cte(chunk: int, step: int) -> str:
+    """Shared chunking CTE: token windows of ``chunk`` tokens advancing
+    by ``step`` (mirrors operators/corpus.chunk_documents exactly,
+    including the one-short-chunk floor for docs shorter than a step)."""
+    return (
+        "t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents "
+        "WHERE text IS NOT NULL),\n"
+        "c AS (SELECT doc_id, toks, len(toks) AS n,\n"
+        "             greatest(CAST(ceil((len(toks) - "
+        + str(chunk - step) + ") / " + str(step) + ".0) AS INT), 1) AS k\n"
+        "      FROM t WHERE len(toks) > 0)")
+
+
+def _doc_chunks_oracle_sql() -> str:
+    return (
+        "WITH " + _chunk_lines_cte(40, 30) + "\n"
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,\n"
+        "       array_to_string(toks[i*30+1 : i*30+40], ' ') AS chunk_text,\n"
+        "       CAST(least(n - i*30, 40) AS BIGINT) AS n_chunk_tokens\n"
+        "FROM c, UNNEST(generate_series(0, k - 1)) AS u(i)")
+
+
+def _boilerplate_oracle_sql() -> str:
+    return (
+        "WITH " + _chunk_lines_cte(10, 10) + ",\n"
+        "lines AS (\n"
+        "  SELECT doc_id, array_to_string(toks[i*10+1 : i*10+10], ' ') AS line\n"
+        "  FROM c, UNNEST(generate_series(0, k - 1)) AS u(i)),\n"
+        "boiler AS (\n"
+        "  SELECT trim(line) AS lk FROM lines\n"
+        "  WHERE length(trim(line)) >= 1\n"
+        "  GROUP BY trim(line) HAVING count(DISTINCT doc_id) >= 2)\n"
+        "SELECT doc_id, count(*) AS n_chunks,\n"
+        "       CAST(SUM(CASE WHEN lk IS NOT NULL THEN 1 ELSE 0 END)\n"
+        "            AS BIGINT) AS n_boiler\n"
+        "FROM lines LEFT JOIN boiler ON trim(lines.line) = boiler.lk\n"
+        "GROUP BY doc_id")
+
+
+def _pii_oracle_sql() -> str:
+    from arlas_proc_spark.operators.text import PII_PATTERNS
+    em, ip, num = (p for p, _ in PII_PATTERNS)
+    return (
+        "WITH t AS (SELECT doc_id,\n"
+        "  concat(coalesce(text, ''), ' contact user',\n"
+        "         CAST(doc_id AS VARCHAR), '@mail.example.org from 10.',\n"
+        "         CAST(doc_id % 256 AS VARCHAR),\n"
+        "         '.0.7 card 4111111111111111') AS text2 FROM documents),\n"
+        "s AS (SELECT doc_id, text2,\n"
+        "  regexp_replace(regexp_replace(regexp_replace(text2,\n"
+        "    '" + em + "', '<EMAIL>', 'g'), '" + ip + "', '<IP>', 'g'),\n"
+        "    '" + num + "', '<LONGNUM>', 'g') AS scrubbed FROM t)\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(regexp_extract_all(text2, '" + em + "')) AS BIGINT)\n"
+        "      AS n_emails,\n"
+        "  CAST(len(regexp_extract_all(scrubbed, '<IP>')) AS BIGINT)\n"
+        "      AS n_ips,\n"
+        "  md5(scrubbed) AS scrub_md5\n"
+        "FROM s")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1642,6 +1759,9 @@ def _all_oracle_sql() -> dict[str, str]:
                   FROM dd)
             SELECT doc_id, lang, n_tokens, quality_score
             FROM s WHERE srn <= 25""",
+        "doc_chunks": _doc_chunks_oracle_sql(),
+        "boilerplate_chunks": _boilerplate_oracle_sql(),
+        "pii_scrub": _pii_oracle_sql(),
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(toks) > 0 AND

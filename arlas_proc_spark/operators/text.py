@@ -99,6 +99,32 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3,
         F.array_min(F.transform(sh, lambda s: F.md5(s))))
 
 
+# PII patterns, applied IN ORDER (email first: an address contains digit
+# runs and dots that the later patterns would mangle). Every pattern is
+# RE2-compatible (no lookaround, ASCII \b) so the exact same regex runs
+# in DuckDB/Trino for oracle parity; replacements contain no characters
+# that could re-match a later pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<LONGNUM>"),  # card/account-number-length runs
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str = "text_scrubbed") -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, 13-19-digit
+    numbers) with typed placeholders — the standard pre-training scrub
+    pass. Pure chained regexp_replace: JVM-side, codegen'd, map-only
+    (no shuffle), so it costs one scan at any corpus size. Nulls pass
+    through as nulls."""
+    require_columns(df, text_col)
+    c: Column = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, c)
+
+
 _CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 
 
