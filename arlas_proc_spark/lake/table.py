@@ -376,7 +376,8 @@ class LakeTable(TableIO):
 
     def rebucket(self, new_n_buckets: int, *,
                  batch_id: str | None = None,
-                 target_rows_per_file: int | None = None) -> dict:
+                 target_rows_per_file: int | None = None,
+                 cluster_by: list[str] | None = None) -> dict:
         """Bucket-count evolution: rewrite the table under a new bucket
         transform in one atomic snapshot commit (Iceberg's partition-spec
         evolution, restricted to the bucket width). The day-1 bucket
@@ -385,7 +386,10 @@ class LakeTable(TableIO):
         ledger, schema history and changefeed flag carry over, so
         exactly-once ingest continues across the rewrite. Merge-on-read
         generations are LWW-resolved on the way through (the rewrite is
-        also a full compaction)."""
+        also a full compaction). ``cluster_by``: see ``compact`` —
+        rebucket-with-same-count + cluster_by is the way to re-layout an
+        ENTIRE table for range pruning (compact only rewrites victim
+        buckets)."""
         if target_rows_per_file is not None and target_rows_per_file < 1:
             raise ValueError(f"target_rows_per_file must be >= 1, got "
                              f"{target_rows_per_file}")
@@ -398,14 +402,16 @@ class LakeTable(TableIO):
         key_cols = snap["key_cols"]
         df = _resolve_lww(self.read(snapshot=snap, with_tombstones=True),
                           key_cols, snap["seq_col"])
+        sort_cols, stats_cols = _clustered_layout(
+            snap, cluster_by, df.columns)
         out = df.withColumn(_BUCKET, bucket_expr(key_cols, new_n_buckets))
         version = snap["version"] + 1
         schema_v = max(int(v) for v in snap["schemas"])
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v,
                                           new_n_buckets, key_cols=key_cols,
-                                          token=token, sort_cols=key_cols,
-                                          stats_cols=snap.get("stats_cols"),
+                                          token=token, sort_cols=sort_cols,
+                                          stats_cols=stats_cols,
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0),
                                           max_records_per_file=target_rows_per_file)
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
@@ -1138,9 +1144,17 @@ class LakeTable(TableIO):
         if sort_cols:
             # task-local sort (no shuffle): key-clustered row groups give
             # the parquet min/max stats real selectivity, so point lookups
-            # skip row groups inside the bucket, not just buckets
+            # skip row groups inside the bucket, not just buckets.
+            # _BUCKET leads the sort order ON PURPOSE: a partitionBy write
+            # REQUIRES task rows ordered by the partition column, and if
+            # the existing sort doesn't already satisfy that, the planner
+            # appends its own non-STABLE sort on _bucket which scrambles
+            # the data order we just paid for (observed: cluster_by files
+            # came out unsorted). With _BUCKET as the sort prefix our
+            # SortExec satisfies the writer's requirement and no second
+            # sort is planned.
             clustered = clustered.sortWithinPartitions(
-                *[F.col(c) for c in sort_cols])
+                F.col(_BUCKET), *[F.col(c) for c in sort_cols])
         writer = clustered.write.partitionBy(_BUCKET).mode("overwrite")
         if max_records_per_file:
             # split inside the write task: each split file keeps the
@@ -1592,7 +1606,8 @@ class LakeTable(TableIO):
     def compact(self, *, max_files_per_bucket: int = 4,
                 tombstone_horizon_seq: int | None = None,
                 batch_id: str | None = None,
-                target_rows_per_file: int | None = None) -> dict:
+                target_rows_per_file: int | None = None,
+                cluster_by: list[str] | None = None) -> dict:
         """Rewrite fragmented buckets (more than ``max_files_per_bucket``
         files) into one file each; optionally GC delete tombstones whose seq
         is at/below ``tombstone_horizon_seq`` (safe once no event with a
@@ -1620,7 +1635,19 @@ class LakeTable(TableIO):
         lookups skip row groups inside the bucket — the natural place to
         pay the sort, since merge-time sorting would tax every batch.
         Idempotent per ``batch_id`` (a redelivered compaction id is a
-        no-op)."""
+        no-op).
+
+        ``cluster_by``: sort rewritten buckets by THESE columns instead
+        of the key (Delta OPTIMIZE ZORDER BY / Iceberg rewrite with a
+        sort order, restricted to lexicographic). With
+        ``target_rows_per_file`` the task-local split then yields files
+        with tight DISJOINT min/max on the cluster columns — which this
+        call also adds to the manifest's recorded stats — so range scans
+        on them (e.g. a time column) prune whole files via
+        ``read(filters=...)``. Layout only: read/LWW semantics never
+        depend on file order. Trade-off vs the default key sort: point
+        lookups lose row-group locality inside rewritten files, range
+        scans on the cluster columns gain file-level pruning."""
         snap = self.snapshot()
         if batch_id and _ledger_contains(snap["ledger"], str(batch_id)):
             return {"compacted_buckets": 0, "skipped": True}
@@ -1652,6 +1679,8 @@ class LakeTable(TableIO):
         if tombstone_horizon_seq is not None:
             df = df.where(~(F.coalesce(F.col(_TOMB), F.lit(False)) &
                             (F.col(snap["seq_col"]) <= tombstone_horizon_seq)))
+        sort_cols, stats_cols = _clustered_layout(
+            snap, cluster_by, df.columns)
         out = df.withColumn(_BUCKET, bucket_expr(snap["key_cols"], n_buckets))
         version = snap["version"] + 1
         schema_v = max(int(v) for v in snap["schemas"])
@@ -1659,8 +1688,8 @@ class LakeTable(TableIO):
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=snap["key_cols"],
                                           token=token,
-                                          sort_cols=snap["key_cols"],
-                                          stats_cols=snap.get("stats_cols"),
+                                          sort_cols=sort_cols,
+                                          stats_cols=stats_cols,
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0),
                                           max_records_per_file=target_rows_per_file)
         for b in victims:
@@ -1822,6 +1851,25 @@ def _provably_empty(spark: SparkSession, schema: StructType) -> DataFrame:
     otherwise the winners side is shuffled + sorted into a SortMergeJoin
     against nothing)."""
     return spark.createDataFrame([], schema).where(F.lit(False))
+
+
+def _clustered_layout(snap: dict, cluster_by: list[str] | None,
+                      available: list[str]) -> tuple[list[str], list[str]]:
+    """(sort_cols, stats_cols) for a maintenance rewrite: default is the
+    key sort with the table's configured stats; ``cluster_by`` replaces
+    the sort order and extends the recorded stats with the cluster
+    columns so ``read(filters=...)`` can prune the rewritten files on
+    them. Fails fast on unknown columns — a typo'd cluster column would
+    otherwise surface as an opaque write-stage AnalysisException."""
+    if not cluster_by:
+        return list(snap["key_cols"]), snap.get("stats_cols")
+    missing = [c for c in cluster_by if c not in available]
+    if missing:
+        raise ValueError(f"cluster_by column(s) {missing} not in table "
+                         f"columns {sorted(available)}")
+    stats = list(snap.get("stats_cols") or [])
+    stats += [c for c in cluster_by if c not in stats]
+    return list(cluster_by), stats
 
 
 # Hash-scheme id stamped into every manifest bloom entry. Bump it whenever

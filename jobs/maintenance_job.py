@@ -55,6 +55,11 @@ def main() -> None:
                          "target_bytes / avg_row_bytes from bucket "
                          "stats); buckets with any oversize file become "
                          "compaction victims")
+    ap.add_argument("--cluster-by", default=None, metavar="COL[,COL...]",
+                    help="sort rewritten buckets by these columns instead "
+                         "of the key (ZORDER-style layout for range "
+                         "pruning); applies to --compact-over and "
+                         "--rebucket rewrites")
     ap.add_argument("--set-tag", default=None, metavar="NAME[=VERSION]",
                     help="pin a snapshot under a name (GC-protected "
                          "until dropped); bare NAME pins CURRENT")
@@ -71,13 +76,17 @@ def main() -> None:
         # oversize buckets become victims); an omitted --compact-over
         # defers to compact()'s own default rather than restating it here
         kw = dict(tombstone_horizon_seq=args.tombstone_horizon,
-                  target_rows_per_file=args.target_file_rows)
+                  target_rows_per_file=args.target_file_rows,
+                  cluster_by=(args.cluster_by.split(",")
+                              if args.cluster_by else None))
         if args.compact_over is not None:
             kw["max_files_per_bucket"] = args.compact_over
         report["compact"] = t.compact(**kw)
     if args.rebucket is not None:
         report["rebucket"] = t.rebucket(
-            args.rebucket, target_rows_per_file=args.target_file_rows)
+            args.rebucket, target_rows_per_file=args.target_file_rows,
+            cluster_by=(args.cluster_by.split(",")
+                        if args.cluster_by else None))
     if args.set_tag is not None:
         name, _, v = args.set_tag.partition("=")
         report["set_tag"] = t.set_tag(name, int(v) if v else None)

@@ -716,6 +716,67 @@ def test_compaction_sorts_buckets_by_key(spark, tmp_path):
             assert paths == sorted(paths), e["file"]
 
 
+def test_compact_cluster_by_enables_range_pruning(spark, tmp_path):
+    """cluster_by=[seq] + target_rows_per_file: the rewrite sorts by seq
+    and the task-local split yields files with DISJOINT seq ranges that
+    the manifest records — a seq range filter then prunes whole files,
+    and the filtered read stays exact."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=1)
+    # 3 generations, each spanning the full seq range interleaved so
+    # pre-compaction per-file seq ranges all overlap
+    for b in range(3):
+        t.append_batch(_batch(spark, [
+            _ev(b + 3 * i, "insert", "r1", f"f{b}_{i}.py", f"c{b}{i}", "x")
+            for i in range(20)
+        ]), b)
+    t.compact(max_files_per_bucket=1, target_rows_per_file=15,
+              cluster_by=["seq"])
+    snap = t.snapshot()
+    entries = [e for fs in snap["buckets"].values() for e in fs]
+    assert len(entries) == 4  # 60 rows / 15 per file
+    ranges = sorted((e["stats"]["seq"][0], e["stats"]["seq"][1])
+                    for e in entries)
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint seq ranges across split files
+    hit = t.read(filters=[("seq", ">=", 45)])
+    assert len(hit.inputFiles()) == 1  # 3 of 4 files pruned
+    assert sorted(r.seq for r in hit.collect()) == list(range(45, 60))
+
+
+def test_compact_cluster_by_unknown_column_fails_fast(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=1)
+    for b in range(3):
+        t.append_batch(_batch(spark, [_ev(b, "insert", "r1", "f.py",
+                                          f"c{b}", "x")]), b)
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.compact(max_files_per_bucket=1, cluster_by=["nope"])
+
+
+def test_rebucket_cluster_by_relayouts_whole_table(spark, tmp_path):
+    """rebucket(same count, cluster_by) is the full-table re-layout: all
+    buckets come out clustered, state and ledger preserved."""
+    t = LakeTable.create(spark, str(tmp_path / "t3"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2)
+    for b in range(2):
+        t.append_batch(_batch(spark, [
+            _ev(b + 2 * i, "insert", f"r{i % 4}", f"f{b}_{i}.py",
+                f"c{b}{i}", "x") for i in range(20)
+        ]), b)
+    before = {(r.repo, r.path, r.seq) for r in t.read().collect()}
+    t.rebucket(2, cluster_by=["seq"], target_rows_per_file=10)
+    import pyarrow.parquet as pq
+    snap = t.snapshot()
+    for fs in snap["buckets"].values():
+        for e in fs:
+            seqs = pq.read_table(f"{t.data_dir}/{e['file']}",
+                                 columns=["seq"])["seq"].to_pylist()
+            assert seqs == sorted(seqs), e["file"]
+            assert "seq" in e["stats"]
+    assert {(r.repo, r.path, r.seq) for r in t.read().collect()} == before
+
+
 def test_read_changes_spans_rebucket_boundary(spark, tmp_path):
     """A diff across a rebucket commit compares manifests whose bucket
     ids mean different things — the diff must still emit ONLY the real
