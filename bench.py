@@ -225,7 +225,8 @@ def main() -> None:
                  "hampel_outliers", "text_stats", "minhash_signatures",
                  "embedding_topk", "embedding_topk_lsh", "simhash_neardups",
                  "enriched_events", "tempo_summary", "course_states",
-                 "viterbi_states", "asof_enrich", "pretrain_corpus"]:
+                 "viterbi_states", "asof_enrich", "pretrain_corpus",
+                 "doc_chunks", "boilerplate_chunks", "pii_scrub"]:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
