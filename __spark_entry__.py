@@ -718,6 +718,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text_scrubbed").alias("scrub_md5"))
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (operators/corpus.py): fraction of
+    each doc's distinct 3-gram shingles appearing anywhere in a
+    'benchmark' set (docs 0-19 stand in for an eval suite). The
+    benchmark side is collapsed to distinct shingle hashes and
+    BROADCAST — the corpus never shuffles."""
+    from arlas_proc_spark.operators.corpus import contamination_report
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 20)
+    return contamination_report(d, bench)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -1070,7 +1082,7 @@ _EXTRA_QUERIES = [
     "forward_fill", "sample_bernoulli_docs", "sample_stratified_docs",
     "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
     "pretrain_corpus", "asof_enrich", "scd2_history",
-    "doc_chunks", "boilerplate_chunks", "pii_scrub",
+    "doc_chunks", "boilerplate_chunks", "pii_scrub", "contamination",
 ]
 
 
@@ -1137,6 +1149,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "boilerplate_chunks": q_boilerplate_chunks,
         "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
         "sample_bernoulli_docs": q_sample_bernoulli_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_weighted_docs": q_sample_weighted_docs,
@@ -1762,6 +1775,19 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_chunks": _doc_chunks_oracle_sql(),
         "boilerplate_chunks": _boilerplate_oracle_sql(),
         "pii_scrub": _pii_oracle_sql(),
+        "contamination": f"""
+            WITH d AS (SELECT doc_id, coalesce({_SHINGLES}, []) AS sh
+                       FROM documents),
+            b AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id < 20),
+            m AS (SELECT doc_id, count(*) AS n_cont
+                  FROM (SELECT doc_id, unnest(sh) AS s FROM d) x
+                  JOIN b USING (s) GROUP BY doc_id)
+            SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(m.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   round(CASE WHEN len(d.sh) > 0
+                         THEN coalesce(m.n_cont, 0) * 1.0 / len(d.sh)
+                         ELSE 0.0 END, 6) AS contamination
+            FROM d LEFT JOIN m USING (doc_id)""",
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(toks) > 0 AND

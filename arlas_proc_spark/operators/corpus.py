@@ -77,6 +77,42 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                       "_c.n_chunk_tokens"))
 
 
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3,
+                         bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark-contamination check (the Gopher/LLaMA eval-leakage
+    step): for every corpus document, the fraction of its distinct word
+    n-grams that also appear ANYWHERE in the benchmark set. Returns
+    (id, n_shingles, n_contaminated, contamination) — filter on
+    ``contamination`` to quarantine leaked documents before training.
+
+    Scale shape: the benchmark side (eval suites: thousands of items,
+    not billions) collapses to its DISTINCT shingle hashes and is
+    BROADCAST, so the corpus is never shuffled — one map-side join over
+    the corpus scan, md5 keys so the broadcast holds hashes, not text.
+    Docs with fewer than n tokens have zero shingles and report 0.0
+    contamination (nothing to leak)."""
+    from arlas_proc_spark.operators.text import shingles
+    require_columns(corpus, id_col, text_col)
+    bcol = bench_text_col or text_col
+    require_columns(benchmark, bcol)
+    bench_sh = (benchmark
+                .select(F.explode(shingles(bcol, n)).alias("_s"))
+                .select(F.md5("_s").alias("_bk")).distinct())
+    doc_sh = corpus.select(
+        F.col(id_col),
+        F.explode_outer(shingles(text_col, n)).alias("_s"))
+    joined = doc_sh.join(F.broadcast(bench_sh),
+                         F.md5(F.col("_s")) == F.col("_bk"), "left")
+    return (joined.groupBy(id_col).agg(
+        F.count("_s").alias("n_shingles"),
+        F.count("_bk").alias("n_contaminated"),
+        F.round(F.when(F.count("_s") > 0,
+                       F.count("_bk") / F.count("_s"))
+                .otherwise(F.lit(0.0)), 6).alias("contamination")))
+
+
 def flag_boilerplate_lines(lines: DataFrame, id_col: str, pos_col: str,
                            line_col: str, min_doc_freq: int = 5,
                            min_line_chars: int = 8) -> DataFrame:

@@ -118,6 +118,39 @@ def test_strip_boilerplate_custom_separator(spark):
     assert out[2].text_clean == "yours alone"
 
 
+# --------------------------------------------------------- contamination
+
+def test_contamination_fractions(spark):
+    from arlas_proc_spark.operators.corpus import contamination_report
+    corpus = _docs(spark, [
+        (1, "a b c d e"),          # shingles: abc bcd cde
+        (2, "a b c x y"),          # abc bcx cxy -> 1 of 3 in benchmark
+        (3, "p q r s"),            # none contaminated
+        (4, "a b"),                # too short: 0 shingles
+        (5, None),
+    ])
+    bench = _docs(spark, [(100, "a b c d e")])
+    out = {r.doc_id: r for r in contamination_report(corpus, bench).collect()}
+    assert (out[1].n_shingles, out[1].n_contaminated,
+            out[1].contamination) == (3, 3, 1.0)
+    assert (out[2].n_contaminated, out[2].contamination) == (1, 0.333333)
+    assert out[3].n_contaminated == 0 and out[3].contamination == 0.0
+    assert (out[4].n_shingles, out[4].contamination) == (0, 0.0)
+    assert (out[5].n_shingles, out[5].contamination) == (0, 0.0)
+    assert set(out) == {1, 2, 3, 4, 5}  # every doc reported
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The corpus side must never shuffle: the benchmark shingle set is
+    broadcast (eval suites are small; the corpus is 100 TB)."""
+    from arlas_proc_spark.operators.corpus import contamination_report
+    corpus = _docs(spark, [(1, "a b c d")])
+    plan = contamination_report(corpus, corpus) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 # ------------------------------------------------------------------- pii
 
 def test_scrub_pii_shapes(spark):
