@@ -730,6 +730,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(d, bench)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document repetition (Gopher quality-rule family): duplicate
+    line and duplicate word-bigram fractions, pure map-only expressions
+    (operators/text.py with_repetition_stats)."""
+    from arlas_proc_spark.operators.text import with_repetition_stats
+    return with_repetition_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_lines", "dup_line_ratio", "dup_2gram_ratio")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -1083,6 +1092,7 @@ _EXTRA_QUERIES = [
     "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
     "pretrain_corpus", "asof_enrich", "scd2_history",
     "doc_chunks", "boilerplate_chunks", "pii_scrub", "contamination",
+    "repetition_stats",
 ]
 
 
@@ -1150,6 +1160,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": q_boilerplate_chunks,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
+        "repetition_stats": q_repetition_stats,
         "sample_bernoulli_docs": q_sample_bernoulli_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_weighted_docs": q_sample_weighted_docs,
@@ -1788,6 +1799,30 @@ def _all_oracle_sql() -> dict[str, str]:
                          THEN coalesce(m.n_cont, 0) * 1.0 / len(d.sh)
                          ELSE 0.0 END, 6) AS contamination
             FROM d LEFT JOIN m USING (doc_id)""",
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, text,
+                              string_split(text, chr(10)) AS lines,
+                              {_TOKS} AS toks
+                       FROM documents),
+            b AS (SELECT doc_id, text, lines, toks,
+                         list_transform(
+                             generate_series(1, greatest(len(toks) - 1, 0)),
+                             i -> toks[i] || ' ' || toks[i+1]) AS bi
+                  FROM t)
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL THEN NULL
+                        ELSE len(lines) END AS BIGINT) AS n_lines,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN len(lines) > 0 THEN round(
+                            1.0 - len(list_distinct(lines))
+                                / CAST(len(lines) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_line_ratio,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN len(bi) > 0 THEN round(
+                            1.0 - len(list_distinct(bi))
+                                / CAST(len(bi) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_2gram_ratio
+            FROM b""",
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(toks) > 0 AND

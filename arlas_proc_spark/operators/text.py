@@ -125,6 +125,47 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, c)
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text",
+                          line_sep: str = "\n") -> DataFrame:
+    """In-document repetition features (the Gopher quality rules'
+    repetition family): fraction of duplicate lines and duplicate word
+    bigrams inside each document — high values mark boilerplate-ish /
+    degenerate text. Pure JVM array expressions, map-only (no shuffle,
+    no UDF): per-row cost is O(len), so the pass is one corpus scan at
+    any size. Null text yields null ratios (unknown, not 0 — the
+    quality gate decides); docs with no lines/bigrams yield 0.0
+    (nothing repeats)."""
+    require_columns(df, text_col)
+    sep_lit = "".join("\\" + ch if not ch.isalnum() else ch
+                      for ch in line_sep)
+    lines = F.split(F.col(text_col), sep_lit, -1)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"))
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    bigrams = F.when(n_tok >= 2, F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    dup_bi = F.when(
+        n_bi > 0,
+        1.0 - F.size(F.array_distinct(bigrams)) / n_bi.cast("double"))
+    null_text = F.col(text_col).isNull()
+    return (df
+            .withColumn("n_lines",
+                        F.when(~null_text, n_lines).cast("long"))
+            .withColumn("dup_line_ratio",
+                        F.when(~null_text,
+                               F.round(F.coalesce(dup_line, F.lit(0.0)), 6)))
+            .withColumn("dup_2gram_ratio",
+                        F.when(~null_text,
+                               F.round(F.coalesce(dup_bi, F.lit(0.0)), 6))))
+
+
 _CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 
 

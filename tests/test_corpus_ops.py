@@ -151,6 +151,34 @@ def test_contamination_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+# -------------------------------------------------------------- repetition
+
+def test_repetition_stats(spark):
+    from arlas_proc_spark.operators.text import with_repetition_stats
+    rows = [
+        (1, "same\nsame\nother"),     # 3 lines, 2 distinct -> 1/3 dup
+        (2, "a b a b a"),             # bigrams: ab ba ab ba -> 2/4 dup
+        (3, "x y z"),                 # no repetition
+        (4, ""),                      # 1 empty line, 0 bigrams
+        (5, None),
+    ]
+    out = {r.doc_id: r for r in with_repetition_stats(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert (out[1].n_lines, out[1].dup_line_ratio) == (3, 0.333333)
+    assert out[2].dup_2gram_ratio == 0.5
+    assert (out[3].dup_line_ratio, out[3].dup_2gram_ratio) == (0.0, 0.0)
+    assert (out[4].n_lines, out[4].dup_2gram_ratio) == (1, 0.0)
+    assert out[5].n_lines is None and out[5].dup_line_ratio is None
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    from arlas_proc_spark.operators.text import with_repetition_stats
+    d = _docs(spark, [(1, "x y")])
+    plan = with_repetition_stats(d) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 # ------------------------------------------------------------------- pii
 
 def test_scrub_pii_shapes(spark):
