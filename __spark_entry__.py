@@ -1314,9 +1314,14 @@ def _mission_oracle_sql() -> str:
 def _chunk_lines_cte(chunk: int, step: int) -> str:
     """Shared chunking CTE: token windows of ``chunk`` tokens advancing
     by ``step`` (mirrors operators/corpus.chunk_documents exactly,
-    including the one-short-chunk floor for docs shorter than a step)."""
+    including the one-short-chunk floor for docs shorter than a step).
+    Empty tokens are filtered like Spark's tokens() does — DuckDB's
+    string_split_regex(trim('')) is [''] (len 1), so without the filter
+    an empty/whitespace-only doc would emit one ''-chunk the engine
+    (correctly) never emits."""
+    toks_f = ("list_filter(" + _TOKS + ", t -> t <> '')")
     return (
-        "t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents "
+        "t AS (SELECT doc_id, " + toks_f + " AS toks FROM documents "
         "WHERE text IS NOT NULL),\n"
         "c AS (SELECT doc_id, toks, len(toks) AS n,\n"
         "             greatest(CAST(ceil((len(toks) - "

@@ -1264,7 +1264,12 @@ class LakeTable(TableIO):
         if b.get("h") != _BLOOM_SCHEME:
             return True  # unknown/older hash scheme: probing another
             # scheme's bitmap can false-negative (silent row loss), so
-            # such files are simply never skipped.
+            # such files are simply never skipped. A MISSING "h" is
+            # deliberately NOT grandfathered to the current scheme: the
+            # hash kernel already changed once during the unstamped era
+            # (multi-digest -> one-md5 double hashing), so an unstamped
+            # sidecar is genuinely ambiguous; compaction rewrites it
+            # with a stamp.
         p = os.path.join(self.data_dir, b["file"])
         bits = (cache or {}).get(p)
         if bits is None:

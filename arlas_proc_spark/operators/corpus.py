@@ -156,11 +156,11 @@ def strip_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
     dedup). ``line_sep`` is a literal separator, regex-escaped before
     the split."""
     require_columns(df, id_col, text_col)
-    sep_lit = "".join("\\" + ch if not ch.isalnum() else ch
-                      for ch in line_sep)
+    from arlas_proc_spark.operators.text import regex_literal
     lines = df.select(
         F.col(id_col),
-        F.posexplode_outer(F.split(F.col(text_col), sep_lit, -1))
+        F.posexplode_outer(
+            F.split(F.col(text_col), regex_literal(line_sep), -1))
          .alias("_pos", "_line"))
     flagged = flag_boilerplate_lines(
         lines, id_col, "_pos", "_line",

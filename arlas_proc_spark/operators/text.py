@@ -18,6 +18,13 @@ from arlas_proc_spark.operators.base import require_columns
 STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that"]
 
 
+def regex_literal(s: str) -> str:
+    """Escape a literal string for use as a Java-regex pattern (Spark's
+    split/regexp_* take regexes, not literals). Shared by every operator
+    that splits on a caller-supplied separator."""
+    return "".join("\\" + ch if not ch.isalnum() else ch for ch in s)
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization, empty-safe."""
     c = F.col(col) if isinstance(col, str) else col
@@ -136,9 +143,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text",
     quality gate decides); docs with no lines/bigrams yield 0.0
     (nothing repeats)."""
     require_columns(df, text_col)
-    sep_lit = "".join("\\" + ch if not ch.isalnum() else ch
-                      for ch in line_sep)
-    lines = F.split(F.col(text_col), sep_lit, -1)
+    lines = F.split(F.col(text_col), regex_literal(line_sep), -1)
     n_lines = F.size(lines)
     dup_line = F.when(
         n_lines > 0,

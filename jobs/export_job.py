@@ -3,7 +3,7 @@ plain parquet dataset — the corpus-release step.
 
 Reads a pinned version (a tag set by maintenance_job --set-tag, or an
 explicit --version; default CURRENT), optionally filtered/projected,
-and writes vanilla parquet plus a RELEASE.json sidecar recording the
+and writes vanilla parquet plus a _RELEASE.json sidecar (Hadoop-hidden name, so parquet readers of the dir skip it) recording the
 source table, the exact snapshot version, the filters, and the row
 count — enough for a consumer to audit which table state a training
 corpus was built from, and for the producer to re-export byte-
@@ -56,14 +56,21 @@ def main() -> None:
     spark = build_session(app_name="corpus-export", master=args.master)
     t = LakeTable(spark, args.table)
     if args.tag is not None:
-        version = t.tags()[args.tag]
-        df = t.read_tag(args.tag)
+        tags = t.tags()
+        if args.tag not in tags:
+            raise SystemExit(f"tag {args.tag!r} does not exist "
+                             f"(tags: {sorted(tags)})")
+        # resolve the tag to a version ONCE and export that version: a
+        # concurrent re-tag between two separate lookups could otherwise
+        # make the sidecar record a different version than the data
+        version = tags[args.tag]
+        df = t.read_version(version)
     elif args.version is not None:
         version = args.version
         df = t.read_version(version)
     else:
         version = t.snapshot()["version"]
-        df = t.read()
+        df = t.read_version(version)
     if args.where:
         df = df.where(args.where)
     if args.columns:
@@ -82,8 +89,17 @@ def main() -> None:
         "columns": (args.columns.split(",") if args.columns else None),
         "rows": obs.get["rows"],
     }
-    with open(os.path.join(args.out, "RELEASE.json"), "w") as f:
-        json.dump(release, f, indent=2)
+    # "_"-prefixed so Spark/Hadoop file indexes hide it from parquet
+    # readers of the release dir; written through the Hadoop FileSystem
+    # API so ANY Spark-writable --out URI works, not just local posix
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(args.out, "_RELEASE.json"))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(release, indent=2).encode()))
+    finally:
+        stream.close()
     print(json.dumps(release))
     spark.stop()
 

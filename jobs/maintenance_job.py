@@ -77,7 +77,7 @@ def main() -> None:
         # defers to compact()'s own default rather than restating it here
         kw = dict(tombstone_horizon_seq=args.tombstone_horizon,
                   target_rows_per_file=args.target_file_rows,
-                  cluster_by=(args.cluster_by.split(",")
+                  cluster_by=([c.strip() for c in args.cluster_by.split(",")]
                               if args.cluster_by else None))
         if args.compact_over is not None:
             kw["max_files_per_bucket"] = args.compact_over
@@ -85,7 +85,7 @@ def main() -> None:
     if args.rebucket is not None:
         report["rebucket"] = t.rebucket(
             args.rebucket, target_rows_per_file=args.target_file_rows,
-            cluster_by=(args.cluster_by.split(",")
+            cluster_by=([c.strip() for c in args.cluster_by.split(",")]
                         if args.cluster_by else None))
     if args.set_tag is not None:
         name, _, v = args.set_tag.partition("=")

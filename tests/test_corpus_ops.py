@@ -147,7 +147,7 @@ def test_contamination_broadcasts_benchmark(spark):
     corpus = _docs(spark, [(1, "a b c d")])
     plan = contamination_report(corpus, corpus) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 

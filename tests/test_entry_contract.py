@@ -111,3 +111,26 @@ def test_simhash_oracle_handles_tokenless_docs(spark, ddb):
     assert key(got) == key(want)
     z = set(zip(got.id_a, got.id_b))
     assert {(90001, 90002), (90001, 90003), (90002, 90003)} <= z
+
+
+def test_chunk_oracle_handles_tokenless_docs(spark, ddb):
+    """Empty/whitespace-only/null docs emit NO chunks in the engine;
+    the DuckDB oracle must agree — string_split_regex(trim('')) is ['']
+    (len 1), so without the empty-token filter the oracle would emit a
+    phantom ''-chunk (review finding, fixture has no such docs)."""
+    from arlas_proc_spark.operators.corpus import chunk_documents
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").limit(20))
+    extra = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, None)],
+        "doc_id long, text string")
+    all_docs = docs.unionByName(extra)
+    got = chunk_documents(all_docs, chunk_tokens=40, overlap=10).toPandas()
+    con = duckdb.connect()
+    con.register("documents", all_docs.toPandas())
+    want = con.execute(ORACLES["doc_chunks"]).fetchdf()
+    key = lambda df: sorted(map(tuple, df[  # noqa: E731
+        ["doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"]
+    ].values.tolist()))
+    assert key(got) == key(want)
+    assert not (got.doc_id >= 90001).any()  # tokenless docs emit nothing
