@@ -226,7 +226,8 @@ def main() -> None:
                  "embedding_topk", "embedding_topk_lsh", "simhash_neardups",
                  "enriched_events", "tempo_summary", "course_states",
                  "viterbi_states", "asof_enrich", "pretrain_corpus",
-                 "doc_chunks", "boilerplate_chunks", "pii_scrub"]:
+                 "doc_chunks", "boilerplate_chunks", "pii_scrub",
+                 "contamination", "repetition_stats"]:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
