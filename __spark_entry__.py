@@ -809,6 +809,21 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=3, round_to=2)
 
 
+def q_embedding_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized approximate top-k (operators/ann.py): per-vector
+    symmetric quantization (4x less vector memory/IO at corpus scale),
+    exact integer dot product, two float scale multiplies. The oracle
+    replays the identical floor-based quantizer and int math in DuckDB;
+    recall vs the float brute is asserted in tests/test_ann.py."""
+    from arlas_proc_spark.operators.ann import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+    e = quantize_embeddings(_t(spark, sf_dir, "embeddings"), "embedding")
+    return cosine_topk_quantized(e, e.where(F.col("vec_id") < 20),
+                                 "vec_id", k=3, round_to=3)
+
+
 def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_bucketed(e, e.where(F.col("vec_id") < 20), "vec_id",
@@ -1092,7 +1107,7 @@ _EXTRA_QUERIES = [
     "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
     "pretrain_corpus", "asof_enrich", "scd2_history",
     "doc_chunks", "boilerplate_chunks", "pii_scrub", "contamination",
-    "repetition_stats",
+    "repetition_stats", "embedding_topk_q8",
 ]
 
 
@@ -1169,6 +1184,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_q8": q_embedding_topk_q8,
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -1951,6 +1967,40 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM sims) x
+            WHERE rank <= 3""",
+        "embedding_topk_q8": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                       FROM embeddings),
+            s AS (SELECT vec_id, ve,
+                         list_max(list_transform(ve, x -> abs(x))) AS mx
+                  FROM v),
+            qz AS (SELECT vec_id,
+                          CASE WHEN mx > 0 THEN
+                            list_transform(ve, x -> CAST(floor(
+                                x / (mx / 127.0) + 0.5) AS TINYINT))
+                          ELSE list_transform(ve, x -> CAST(0 AS TINYINT))
+                          END AS qv,
+                          CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS qs,
+                          -- left-to-right fold == Spark's aggregate(0.0,+)
+                          sqrt(list_reduce(list_transform(ve, x -> x * x),
+                                           (a, b) -> a + b)) AS qn
+                   FROM s),
+            q AS (SELECT vec_id AS query_id, qv AS qqv, qs AS qqs, qn AS qqn
+                  FROM qz WHERE vec_id < 20),
+            sims AS (SELECT query_id, c.vec_id AS neighbor_id,
+                            round(CASE WHEN qqn * c.qn > 0 THEN
+                                (CAST(list_sum(list_transform(
+                                    generate_series(1, len(qqv)),
+                                    i -> CAST(qqv[i] AS BIGINT)
+                                         * CAST(c.qv[i] AS BIGINT)))
+                                    AS DOUBLE) * qqs) * c.qs / (qqn * c.qn)
+                                ELSE 0.0 END, 3) AS score
+                     FROM qz c CROSS JOIN q
+                     WHERE c.vec_id <> query_id)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id ASC) AS rank
                   FROM sims) x
             WHERE rank <= 3""",
         "embedding_ann_bucketed": """

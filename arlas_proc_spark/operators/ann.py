@@ -118,6 +118,85 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "q_vec",
+                        scale_col: str = "q_scale",
+                        norm_col: str = "q_norm") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5) (half-up — floor-based so the SAME
+    expression is exact in any SQL engine; numpy's banker's rounding is
+    deliberately NOT used). The 100-TB embedding lever: int8 cuts
+    vector memory/IO 4x, so 4x more corpus fits per executor and every
+    shuffle/broadcast of vectors shrinks accordingly. Pure JVM array
+    expressions — map-only, no UDF, no shuffle. Zero/null-safe: an
+    all-zero vector quantizes to zeros with scale 0.0; null vectors
+    pass through as null. ``norm_col`` carries the ORIGINAL vector's L2
+    norm (a left-to-right fold, mirrored exactly by the oracle's
+    list_reduce) so the search can rank by true approximate COSINE —
+    dot alone misranks whenever corpus norms differ."""
+    require_columns(df, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = (mx / F.lit(127.0)).cast("double")
+    q = F.when(mx > 0, F.transform(
+        v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    return (df.withColumn(out_col, q)
+              .withColumn(scale_col,
+                          # two whens, no otherwise: a null vector keeps a
+                          # NULL scale instead of a misleading 0.0
+                          F.when(mx > 0, scale)
+                           .when(mx.isNotNull(), F.lit(0.0)))
+              .withColumn(norm_col, norm))
+
+
+def cosine_topk_quantized(corpus_q: DataFrame, queries_q: DataFrame,
+                          id_col: str, k: int = 3,
+                          q_col: str = "q_vec", scale_col: str = "q_scale",
+                          norm_col: str = "q_norm",
+                          round_to: int = 3) -> DataFrame:
+    """Approximate top-k COSINE over int8-quantized vectors: score =
+    int_dot(q_a, q_b) * scale_a * scale_b / (norm_a * norm_b) ≈
+    cos(a, b) — the scales dequantize the exact integer dot product,
+    the carried original norms normalize it (dot alone misranks when
+    corpus norms differ). The integer dot is EXACT (int8×int8 summed in
+    long), so cross-engine parity holds to the last bit before the four
+    float ops. Recall vs the exact float brute is asserted in tests.
+
+    Same broadcast shape as cosine_topk: small query side broadcast,
+    corpus streamed — but the broadcast and the per-row arithmetic move
+    4x fewer bytes than the float form."""
+    require_columns(corpus_q, id_col, q_col, scale_col, norm_col)
+    q = queries_q.select(F.col(id_col).alias("query_id"),
+                         F.col(q_col).alias("_qv"),
+                         F.col(scale_col).alias("_qs"),
+                         F.col(norm_col).alias("_qn"))
+    c = corpus_q.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(q_col).alias("_cv"),
+                        F.col(scale_col).alias("_cs"),
+                        F.col(norm_col).alias("_cn"))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"),
+                   lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    denom = F.col("_qn") * F.col("_cn")
+    score = F.round(
+        F.when(denom > 0,
+               (int_dot.cast("double") * F.col("_qs")) * F.col("_cs")
+               / denom).otherwise(F.lit(0.0)),
+        round_to)
+    sims = (c.crossJoin(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", score.alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
 _MOD = 2_147_483_647  # Lehmer LCG modulus (2^31-1), same family as changefeed
 
 

@@ -227,7 +227,7 @@ def main() -> None:
                  "enriched_events", "tempo_summary", "course_states",
                  "viterbi_states", "asof_enrich", "pretrain_corpus",
                  "doc_chunks", "boilerplate_chunks", "pii_scrub",
-                 "contamination", "repetition_stats"]:
+                 "contamination", "repetition_stats", "embedding_topk_q8"]:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)

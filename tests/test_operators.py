@@ -438,6 +438,54 @@ def test_lsh_topk_recall_vs_brute(clustered_vecs):
     assert recall >= 0.9, f"LSH top-k recall {recall:.2f} < 0.9"
 
 
+def test_quantized_topk_recall_vs_brute(clustered_vecs):
+    """int8-quantized top-k must recover ≥90% of the float brute-force
+    top-3 (quantization error perturbs scores, not neighborhoods), and
+    the quantizer itself must round-trip within one quantization step."""
+    from arlas_proc_spark.operators.ann import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+    q8 = quantize_embeddings(clustered_vecs, "embedding")
+    row = q8.where(F.col("vec_id") == 0).first()
+    # round-trip: dequantized values within scale/2 of the originals
+    for orig, qi in zip(row.embedding, row.q_vec):
+        assert abs(float(orig) - qi * row.q_scale) <= row.q_scale / 2 + 1e-9
+    assert max(abs(x) for x in row.q_vec) == 127  # scale hits the range
+    brute3 = {(r.query_id, r.neighbor_id) for r in
+              cosine_topk(clustered_vecs,
+                          clustered_vecs.where(F.col("vec_id") < 30),
+                          "vec_id", "embedding", k=3).collect()}
+    brute5 = {(r.query_id, r.neighbor_id) for r in
+              cosine_topk(clustered_vecs,
+                          clustered_vecs.where(F.col("vec_id") < 30),
+                          "vec_id", "embedding", k=5).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk_quantized(q8, q8.where(F.col("vec_id") < 30),
+                                   "vec_id", k=3).collect()}
+    # The fixture is a knife-edge on purpose: a cluster's co-members sit
+    # within ONE int8 quantization step of each other, so strict top-3
+    # set equality wobbles at the 3rd/4th boundary. The standard ANN
+    # metric is rank-relaxed recall: every quantized neighbor must be a
+    # genuinely-near one (brute top-5), with strict overlap as a floor.
+    relaxed = len(quant & brute5) / len(quant)
+    strict = len(quant & brute3) / len(brute3)
+    assert relaxed >= 0.98, f"quantized recall@3-in-5 {relaxed:.2f} < 0.98"
+    assert strict >= 0.8, f"strict top-3 overlap {strict:.2f} < 0.8"
+
+
+def test_quantize_zero_and_null_vectors(spark):
+    from arlas_proc_spark.operators.ann import quantize_embeddings
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0, -2.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[1].q_vec == [0, 0] and out[1].q_scale == 0.0
+    assert out[2].q_vec is None and out[2].q_scale is None
+    assert out[3].q_vec == [64, -127]  # floor(63.5+0.5)=64, exact -127
+
+
 def test_embedding_near_dups_lsh_recall_and_precision(clustered_vecs):
     """All pairs the LSH variant returns must be exact-cosine >= threshold
     (precision 1 by construction: banding only proposes, cosine decides),
