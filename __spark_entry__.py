@@ -730,6 +730,32 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(d, bench)
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-accounting rollup: per (source, lang) document counts,
+    whitespace/BPE-ish token totals, and each stratum's share of the
+    corpus token budget — the table a pretraining-mix planner reads.
+    Exact decimal SUMs feed the share divide (order-independent), then
+    one double division; the share denominator rides a window over the
+    grouped result (no second scan)."""
+    from pyspark.sql.window import Window
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "lang",
+        F.size(tokens("text")).cast("long").alias("_ws"),
+        bpe_ish_token_count("text").cast("long").alias("_bpe"))
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_ws").cast("decimal(20,0)")).cast("long")
+         .alias("ws_tokens"),
+        F.sum(F.col("_bpe").cast("decimal(20,0)")).cast("long")
+         .alias("bpe_tokens"))
+    total = F.sum(F.col("bpe_tokens").cast("decimal(20,0)")) \
+        .over(Window.partitionBy())
+    return g.select(
+        "source", "lang", "n_docs", "ws_tokens", "bpe_tokens",
+        F.round((F.col("bpe_tokens").cast("double")
+                 / total.cast("double")), 6).alias("token_share"))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-document repetition (Gopher quality-rule family): duplicate
     line and duplicate word-bigram fractions, pure map-only expressions
@@ -1107,7 +1133,7 @@ _EXTRA_QUERIES = [
     "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
     "pretrain_corpus", "asof_enrich", "scd2_history",
     "doc_chunks", "boilerplate_chunks", "pii_scrub", "contamination",
-    "repetition_stats", "embedding_topk_q8",
+    "repetition_stats", "embedding_topk_q8", "token_budget",
 ]
 
 
@@ -1176,6 +1202,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
+        "token_budget": q_token_budget,
         "sample_bernoulli_docs": q_sample_bernoulli_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_weighted_docs": q_sample_weighted_docs,
@@ -1820,6 +1847,21 @@ def _all_oracle_sql() -> dict[str, str]:
                          THEN coalesce(m.n_cont, 0) * 1.0 / len(d.sh)
                          ELSE 0.0 END, 6) AS contamination
             FROM d LEFT JOIN m USING (doc_id)""",
+        "token_budget": f"""
+            WITH d AS (SELECT source, lang,
+                              CAST(len({_TOKS}) AS BIGINT) AS ws,
+                              CAST(len(regexp_extract_all(text,
+                                  '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe
+                       FROM documents),
+            g AS (SELECT source, lang, count(*) AS n_docs,
+                         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                         CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+                  FROM d GROUP BY source, lang)
+            SELECT source, lang, n_docs, ws_tokens, bpe_tokens,
+                   round(CAST(bpe_tokens AS DOUBLE)
+                         / CAST(sum(bpe_tokens) OVER () AS DOUBLE), 6)
+                       AS token_share
+            FROM g""",
         "repetition_stats": f"""
             WITH t AS (SELECT doc_id, text,
                               string_split(text, chr(10)) AS lines,
