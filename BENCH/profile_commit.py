@@ -89,6 +89,39 @@ def main() -> None:
                 for d in glob.glob(os.path.join(t.data_dir, "c*", "*")))
         out["listing_s"] = round(time.time() - t0, 3)
         out["listing_files_seen"] = n
+
+        # ---- sharded-manifest probe (r3 VERDICT Next #1): commit
+        # metadata IO must be O(touched buckets), not O(table files).
+        # On this ~n_files-file table, run a ONE-bucket merge and count
+        # (a) manifest files written, (b) manifest bytes written, vs what
+        # the r3 whole-table-JSON layout would have serialized.
+        snap = t.snapshot()
+        whole_table_bytes = sum(
+            os.path.getsize(os.path.join(t.meta_dir, ref["manifest"]))
+            for ref in snap["buckets"]._listing.values()
+            if ref.get("manifest"))
+        out["table_manifest_bytes_total"] = whole_table_bytes
+        before = {f: os.path.getmtime(os.path.join(t.meta_dir, f))
+                  for f in os.listdir(t.meta_dir)}
+        one = changefeed_df(spark, 64, parallelism=1, n_repos=2,
+                            files_per_repo=1)
+        t0 = time.time()
+        eng.apply_batch(one, 1)
+        out["one_bucket_commit_wall_s"] = round(time.time() - t0, 3)
+        new_manifests = [
+            f for f in os.listdir(t.meta_dir)
+            if f.startswith("m-") and f not in before]
+        out["one_bucket_commit_manifests_written"] = len(new_manifests)
+        out["one_bucket_commit_manifest_bytes"] = sum(
+            os.path.getsize(os.path.join(t.meta_dir, f))
+            for f in new_manifests)
+        snap2 = t.snapshot()
+        out["snapshot_json_bytes"] = os.path.getsize(
+            os.path.join(t.meta_dir, t._current_name()))
+        out["buckets_total"] = len(snap2["buckets"])
+        out["metadata_io_ratio_vs_whole_table"] = round(
+            (out["one_bucket_commit_manifest_bytes"]
+             + out["snapshot_json_bytes"]) / max(1, whole_table_bytes), 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))

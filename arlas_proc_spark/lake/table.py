@@ -37,11 +37,13 @@ stays O(1) per commit.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import shutil
 import time
 import uuid
+from collections.abc import MutableMapping
 from functools import reduce
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -78,6 +80,124 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     bucket VALUE instead double-hashes: murmur3(bucket) % P collides,
     leaving some tasks two buckets and some zero.)"""
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+
+class _LazyBuckets(MutableMapping):
+    """The in-memory view of a sharded manifest: ``snap["buckets"]`` with
+    Iceberg's manifest-list storage shape underneath.
+
+    On disk a snapshot holds only a tiny ``manifest_list`` —
+    ``{bucket: {manifest, files, rows, bytes}}`` — and each bucket's file
+    entries live in their own content-addressed manifest file
+    (``meta/m-<sha256[:20]>.json``). This class keeps every existing call
+    site working unchanged (``snap["buckets"][b]``, ``.items()``,
+    ``.values()``, ``set(snap["buckets"])`` …) while making commit
+    metadata IO O(touched buckets):
+
+    - a bucket's entries load lazily on first access and never load for
+      buckets a commit doesn't touch;
+    - ``clean_ref`` lets the committer carry an untouched bucket's
+      manifest reference forward verbatim — zero reads, zero writes;
+    - content addressing makes reuse exact: equal entries serialize to
+      the same manifest name, so an accidentally re-serialized unchanged
+      bucket dedups to a no-op write instead of a duplicate file.
+
+    Why this matters: the r3 layout rewrote ONE whole-table JSON manifest
+    per commit — at 100-TB file counts (10^5-10^6 entries) that is a
+    multi-hundred-MB driver-side serialize on EVERY commit. Iceberg's
+    answer is per-partition manifest files plus a manifest list
+    (reference analog: the keyed sink's per-batch incremental index
+    writes, ``sql/WritableDataFrame.scala:83-86``); this mirrors it."""
+
+    def __init__(self, meta_dir: str, listing: dict[str, dict]):
+        self._meta_dir = meta_dir
+        self._listing = dict(listing)   # bucket -> clean on-disk list entry
+        self._cache: dict[str, list] = {}   # loaded (or newly set) entries
+        self._deleted: set[str] = set()
+
+    # -- mapping protocol ------------------------------------------------
+    def __getitem__(self, k: str) -> list:
+        if k in self._cache:
+            return self._cache[k]
+        if k in self._deleted or k not in self._listing:
+            raise KeyError(k)
+        ref = self._listing[k]
+        if not ref.get("manifest"):
+            v: list = []
+        else:
+            with open(os.path.join(self._meta_dir, ref["manifest"])) as f:
+                v = json.load(f)["entries"]
+        self._cache[k] = v
+        return v
+
+    def __setitem__(self, k: str, v: list) -> None:
+        self._deleted.discard(k)
+        self._cache[k] = v
+
+    def __delitem__(self, k: str) -> None:
+        if k not in self:
+            raise KeyError(k)
+        self._cache.pop(k, None)
+        self._deleted.add(k)
+
+    def __iter__(self):
+        seen = set(self._cache) | (set(self._listing) - self._deleted)
+        return iter(sorted(seen, key=lambda x: (len(x), x)))
+
+    def __len__(self) -> int:
+        return len(set(self._cache) | (set(self._listing) - self._deleted))
+
+    def __contains__(self, k) -> bool:
+        # the Mapping default probes __getitem__, which would LOAD the
+        # manifest just to answer a membership test — keys are known
+        return k in self._cache or (k in self._listing
+                                    and k not in self._deleted)
+
+    # -- committer fast paths --------------------------------------------
+    def clean_ref(self, k: str) -> dict | None:
+        """The on-disk list entry for a bucket that provably cannot have
+        been mutated in this process (never loaded into the cache) — the
+        committer carries it forward without any IO. Loaded buckets
+        return None and are re-serialized; content addressing turns the
+        unchanged ones into no-op writes."""
+        if k in self._cache or k in self._deleted or k not in self._listing:
+            return None
+        return self._listing[k]
+
+    def summary(self, k: str) -> dict | None:
+        """{files, rows, bytes} for a bucket from the manifest LIST alone
+        (no manifest load) when the bucket is clean; None otherwise."""
+        ref = self.clean_ref(k)
+        if ref is None:
+            return None
+        return {"files": int(ref.get("files", 0)),
+                "rows": int(ref.get("rows", 0)),
+                "bytes": int(ref.get("bytes", 0))}
+
+
+def _manifest_body(entries: list[dict]) -> str:
+    """Canonical serialization — the content address must be a pure
+    function of the entries, so key order is pinned."""
+    return json.dumps({"entries": entries}, sort_keys=True,
+                      separators=(",", ":"))
+
+
+def _buckets_differ(b1, b2, k: str) -> bool:
+    """Did bucket ``k``'s file list change between two snapshots? With
+    sharded manifests on both sides this is a pure manifest-NAME compare
+    (content addressing: same name ⇔ same entries) — the change-feed
+    fallback diff stays O(buckets) driver-side dict math with zero
+    manifest loads for quiet buckets."""
+    in1, in2 = k in b1, k in b2
+    if in1 != in2:
+        return True
+    if not in1:
+        return False
+    if isinstance(b1, _LazyBuckets) and isinstance(b2, _LazyBuckets):
+        r1, r2 = b1.clean_ref(k), b2.clean_ref(k)
+        if r1 is not None and r2 is not None:
+            return r1.get("manifest") != r2.get("manifest")
+    return b1[k] != b2[k]
 
 
 class LakeTable(TableIO):
@@ -160,7 +280,40 @@ class LakeTable(TableIO):
 
     def snapshot(self) -> dict:
         with open(os.path.join(self.meta_dir, self._current_name())) as f:
-            return json.load(f)
+            return self._wrap_snap(json.load(f))
+
+    def _wrap_snap(self, raw: dict) -> dict:
+        """Materialize the in-memory snapshot view: sharded snapshots
+        (``manifest_list``) get a lazy buckets mapping; legacy inline
+        snapshots pass through and are sharded by their next commit."""
+        ml = raw.pop("manifest_list", None)
+        if ml is not None:
+            raw["buckets"] = _LazyBuckets(self.meta_dir, ml)
+        return raw
+
+    def _manifest_for(self, entries: list[dict]) -> tuple[str | None, dict]:
+        """Write-or-reuse the content-addressed manifest file for one
+        bucket's entries; returns (manifest name | None, summary). An
+        existing file with the same address IS the same content — reuse
+        without writing (also makes racing same-content writers
+        convergent). Empty buckets store no manifest at all."""
+        summary = {"files": len(entries),
+                   "rows": sum(int(e.get("rows") or 0) for e in entries),
+                   "bytes": sum(int(e.get("bytes") or 0) for e in entries)}
+        if not entries:
+            return None, summary
+        body = _manifest_body(entries)
+        name = f"m-{hashlib.sha256(body.encode()).hexdigest()[:20]}.json"
+        target = os.path.join(self.meta_dir, name)
+        if not os.path.exists(target):
+            tmp = os.path.join(self.meta_dir,
+                               f".{name}.tmp.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(body)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, target)
+        return name, summary
 
     def _commit_snapshot(self, snap: dict, expected_version: int | None) -> None:
         """Atomic durable commit: O_EXCL-create v{N}.json (fsynced), then
@@ -169,7 +322,25 @@ class LakeTable(TableIO):
         ``expected_version`` is an optimistic-concurrency check: the swap
         only proceeds if CURRENT still names that version (the O_EXCL
         create already serializes same-version writers; this catches a
-        competing writer that advanced CURRENT underneath us)."""
+        competing writer that advanced CURRENT underneath us).
+
+        Commit metadata IO is O(touched buckets), not O(table): buckets
+        the commit never loaded carry their manifest reference forward
+        verbatim (``clean_ref``); only loaded/assigned buckets are
+        re-serialized, and content addressing dedups the unchanged ones
+        to zero writes. A failed commit's fresh manifests are orphans —
+        ``expire_snapshots`` GCs unreferenced ``m-*.json``."""
+        buckets = snap.get("buckets", {})
+        listing: dict[str, dict] = {}
+        for k in list(buckets):
+            ref = buckets.clean_ref(k) \
+                if isinstance(buckets, _LazyBuckets) else None
+            if ref is None:
+                mname, summary = self._manifest_for(buckets[k])
+                ref = {"manifest": mname, **summary}
+            listing[k] = ref
+        snap = {k: v for k, v in snap.items() if k != "buckets"}
+        snap["manifest_list"] = listing
         name = f"v{snap['version']:010d}.json"
         target = os.path.join(self.meta_dir, name)
         try:
@@ -238,7 +409,10 @@ class LakeTable(TableIO):
         generations share key values, so key-range pruning can never hide
         a generation from LWW resolution — but a value/seq filter could,
         so those apply only after the resolve."""
-        snap = snapshot or self.snapshot()
+        # callers may hand a raw json.load'ed snapshot — wrap it so a
+        # sharded manifest_list materializes as the lazy buckets mapping
+        # (idempotent: an already-wrapped snap passes through untouched)
+        snap = self._wrap_snap(snapshot) if snapshot else self.snapshot()
         filters = _normalize_filters(filters)
         key_filters = [f for f in filters if f[0] in snap["key_cols"]]
         # a fully-specified key equality additionally probes the per-file
@@ -267,9 +441,13 @@ class LakeTable(TableIO):
         mor = {str(b) for b in snap.get("mor_buckets", [])}
         cow_entries: list[dict] = []
         mor_entries: list[dict] = []
-        for b, files in snap["buckets"].items():
+        # iterate keys, load entries only for selected buckets — on a
+        # sharded-manifest snapshot a bucket-restricted read (merge's
+        # touched set, lookup's single bucket) opens only those buckets'
+        # manifests
+        for b in snap["buckets"]:
             if sel is None or b in sel:
-                for e in files:
+                for e in snap["buckets"][b]:
                     # manifest min/max first (free dict math), bloom
                     # second (a sidecar read per surviving file)
                     if not _entry_may_match(
@@ -321,7 +499,7 @@ class LakeTable(TableIO):
             raise ValueError(f"snapshot v{version} not found (never "
                              f"committed, or expired by expire_snapshots)")
         with open(p) as f:
-            return json.load(f)
+            return self._wrap_snap(json.load(f))
 
     def bucket_stats(self) -> list[dict]:
         """Per-bucket file/row/byte totals of the CURRENT snapshot, from
@@ -332,14 +510,31 @@ class LakeTable(TableIO):
         n_buckets is overdue for ``rebucket``)."""
         snap = self.snapshot()
         mor = {str(b) for b in snap.get("mor_buckets", [])}
+        buckets = snap["buckets"]
         out = []
-        for b, files in sorted(snap["buckets"].items(), key=lambda kv:
-                               int(kv[0])):
-            rows = sum(int(e.get("rows", 0)) for e in files)
-            out.append({"bucket": int(b), "files": len(files),
-                        "rows": rows,
-                        "bytes": sum(int(e.get("bytes", 0)) for e in files),
-                        "mor": b in mor})
+        for b in sorted(buckets, key=int):
+            s = buckets.summary(b) if isinstance(buckets, _LazyBuckets) \
+                else None
+            if s is None:
+                files = buckets[b]
+                s = {"files": len(files),
+                     "rows": sum(int(e.get("rows", 0)) for e in files),
+                     "bytes": sum(int(e.get("bytes", 0)) for e in files)}
+            out.append({"bucket": int(b), **s, "mor": b in mor})
+        return out
+
+    def file_counts(self) -> dict[str, int]:
+        """Per-bucket live file counts from the manifest LIST alone — one
+        small JSON read, no per-bucket manifest loads. The cheap input
+        for operational triggers (e.g. streaming auto-compaction checks
+        this every micro-batch)."""
+        snap = self.snapshot()
+        buckets = snap["buckets"]
+        out = {}
+        for b in buckets:
+            s = buckets.summary(b) if isinstance(buckets, _LazyBuckets) \
+                else None
+            out[b] = s["files"] if s is not None else len(buckets[b])
         return out
 
     def lookup(self, **key) -> DataFrame:
@@ -582,7 +777,7 @@ class LakeTable(TableIO):
         mor2 = {int(x) for x in s2.get("mor_buckets", [])}
         changed = sorted(
             (int(b) for b in set(s1["buckets"]) | set(s2["buckets"])
-             if s1["buckets"].get(b) != s2["buckets"].get(b)
+             if _buckets_differ(s1["buckets"], s2["buckets"], b)
              or (int(b) in mor1) != (int(b) in mor2)),
         )
         if not changed:
@@ -1491,8 +1686,11 @@ class LakeTable(TableIO):
                 "deletes_appended": int(got["deletes_appended"] or 0)})
         mor = {str(b) for b in snap.get("mor_buckets", [])}
         for b, files in staged.items():
-            snap["buckets"].setdefault(str(b), [])
-            snap["buckets"][str(b)].extend(files)
+            # explicit reassignment (not setdefault+extend): the lazy
+            # buckets mapping tracks touched buckets by __setitem__, and
+            # only touched buckets' manifests are rewritten at commit
+            snap["buckets"][str(b)] = \
+                snap["buckets"].get(str(b), []) + files
             mor.add(str(b))
         snap["mor_buckets"] = sorted(mor, key=int)
         # append mode has no pre-images in hand (that's its whole point:
@@ -1676,8 +1874,22 @@ class LakeTable(TableIO):
             needed = max(1, -(-sum(rows) // target_rows_per_file))
             return len(fs) > max(max_files_per_bucket, needed)
 
-        victims = [int(b) for b, fs in snap["buckets"].items()
-                   if _victim(fs)]
+        buckets = snap["buckets"]
+        victims = []
+        for b in buckets:
+            if target_rows_per_file is None \
+                    and isinstance(buckets, _LazyBuckets):
+                # file COUNT decides; the manifest-list summary answers
+                # it without loading any bucket manifest — victim
+                # selection stays O(buckets) metadata, entries load only
+                # for the buckets actually rewritten
+                s = buckets.summary(b)
+                if s is not None:
+                    if s["files"] > max_files_per_bucket:
+                        victims.append(int(b))
+                    continue
+            if _victim(buckets[b]):
+                victims.append(int(b))
         if not victims:
             return {"compacted_buckets": 0}
         df = self.read(victims, snapshot=snap, with_tombstones=True)
@@ -1749,9 +1961,14 @@ class LakeTable(TableIO):
         referenced: set[str] = set()
         referenced_lineage: set[str] = set()
         referenced_changes: set[str] = set()
+        referenced_manifests: set[str] = set()
         for name in keep:
             with open(os.path.join(self.meta_dir, name)) as f:
-                snap = json.load(f)
+                snap = self._wrap_snap(json.load(f))
+            referenced_manifests.update(
+                ref["manifest"] for ref in getattr(
+                    snap["buckets"], "_listing", {}).values()
+                if ref.get("manifest"))
             for files in snap["buckets"].values():
                 referenced.update(e["file"] for e in files)
                 referenced.update(e["bloom"]["file"] for e in files
@@ -1764,6 +1981,20 @@ class LakeTable(TableIO):
             if name not in keep:
                 os.remove(os.path.join(self.meta_dir, name))
                 dropped_snaps += 1
+        # sharded-manifest GC: a manifest referenced by no retained
+        # snapshot (expired versions, or a commit loser's orphan) is
+        # dead; tmp spills from interrupted manifest writes age out too
+        dropped_manifests = 0
+        for fname in os.listdir(self.meta_dir):
+            full = os.path.join(self.meta_dir, fname)
+            if fname.startswith("m-") and fname.endswith(".json"):
+                if fname not in referenced_manifests and _expired(full):
+                    os.remove(full)
+                    dropped_manifests += 1
+            elif fname.startswith(".m-") and ".tmp." in fname \
+                    and _expired(full):
+                os.remove(full)
+                dropped_manifests += 1
         dropped_files = 0
         # data files live under per-commit directories (relative paths in
         # the manifest) — walk recursively; flat names cover legacy
@@ -1807,6 +2038,7 @@ class LakeTable(TableIO):
                     dropped_changes += 1
         return {"snapshots_expired": dropped_snaps,
                 "orphan_files_removed": dropped_files,
+                "orphan_manifests_removed": dropped_manifests,
                 "orphan_lineage_removed": dropped_lineage,
                 "orphan_changes_removed": dropped_changes,
                 "snapshots_retained": len(keep)}

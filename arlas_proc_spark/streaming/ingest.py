@@ -175,8 +175,11 @@ class StreamingIngest:
                 # unique, so a redeployed stream can't collide with a
                 # prior stream's compaction ids in the ledger.
                 snap = self.engine.table.snapshot()
-                if any(len(fs) >= self.compact_every
-                       for fs in snap["buckets"].values()):
+                # file_counts reads the manifest LIST only — with sharded
+                # manifests this per-batch check never loads a bucket
+                # manifest, so the trigger stays O(buckets) driver math
+                if any(n >= self.compact_every
+                       for n in self.engine.table.file_counts().values()):
                     self.engine.table.compact(
                         max_files_per_bucket=self.compact_every - 1,
                         batch_id=f"autocompact-{self.engine.ledger_scope[:8]}"

@@ -280,6 +280,9 @@ def test_unknown_bloom_scheme_never_skips(spark, tmp_path):
         for e in fs:
             if "bloom" in e:
                 e["bloom"]["h"] = "other-scheme-v9"
+    # hand-write the tampered snapshot in the legacy inline-buckets
+    # format (the loader supports both; json can't dump the lazy mapping)
+    snap["buckets"] = {b: fs for b, fs in snap["buckets"].items()}
     mf = os.path.join(t.meta_dir, f"v{snap['version']:010d}.json")
     with open(mf, "w") as f:
         json.dump(snap, f)
