@@ -350,15 +350,29 @@ def q_period_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_static_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W9: whole-partition null-backfill of a static per-key column with
-    default fallback."""
-    from arlas_proc_spark.operators.formatter import standardize_static_columns
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "maybe_tag",
-        F.when(F.col("event_id") % 7 == 0,
-               F.concat(F.lit("tag_"), F.col("user_id").cast("string"))))
+    """W9 + F4 composed: whole-partition null-backfill of a static
+    per-key column with default fallback, PLUS locale repair of a
+    comma-decimal string column to double (the formatter's two repair
+    passes run as one standardization step — r4 window consolidation:
+    this single graded row carries both operators; the single-op
+    locale_doubles variant stays oracle-checked in extras)."""
+    from arlas_proc_spark.operators.formatter import (
+        standardize_static_columns,
+        with_valid_double_columns,
+    )
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn(
+              "maybe_tag",
+              F.when(F.col("event_id") % 7 == 0,
+                     F.concat(F.lit("tag_"), F.col("user_id").cast("string"))))
+          .withColumn(
+              "v_str",
+              F.regexp_replace(F.round("value", 3).cast("string"),
+                               r"\.", ",")))
     out = standardize_static_columns(ev, "user_id", {"maybe_tag": "unknown"})
-    return out.select("event_id", "user_id", "maybe_tag")
+    out = with_valid_double_columns(out, ["v_str"])
+    return out.select("event_id", "user_id", "maybe_tag",
+                      F.col("v_str").alias("v_repaired"))
 
 
 def q_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,10 +469,15 @@ def q_resample_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7/W8: boundary detect + forward-filled run id per key."""
+    """W7/W8 composed: boundary detect (exposed as is_boundary) +
+    forward-filled run id per key — one graded row for both window
+    operators (r4 window consolidation; the count-only
+    state_boundaries rollup stays oracle-checked in extras). Both
+    expressions share one (user_id, es) window, one exchange."""
     ev = _events_regular(spark, sf_dir)
-    return with_state_id(ev, "user_id", "es", "event_type").select(
-        "event_id", "user_id", "state_id")
+    b = with_state_change_boundaries(ev, "user_id", "es", "event_type")
+    return with_state_id(b, "user_id", "es", "event_type").select(
+        "event_id", "user_id", "state_id", "is_boundary")
 
 
 def q_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,10 +626,16 @@ def q_top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality stats + BPE-ish token count composed into one graded
+    row (r4 window consolidation: token counting rode its own graded
+    query before; the single-op token_counts stays oracle-checked in
+    extras). Everything is JVM expressions over one projection — the
+    composition adds zero extra passes over text."""
     d = _t(spark, sf_dir, "documents")
     return with_text_stats(d).select(
         "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
-        "punct_ratio", "quality_score")
+        "punct_ratio", "quality_score",
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"))
 
 
 def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,15 +1150,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # 0-row demo over cdc_repo_stats' state. All 11 keep their DuckDB
 # oracles and stay green via tests/test_entry_contract.py (which gates
 # queries() ∪ extra_queries()).
+# r4 window consolidation: the six operators whose graded rows were
+# redundant (locale repair -> composed into static_standardize; boundary
+# count -> composed into state_runs; token counting -> composed into
+# text_stats; time_partition_counts' day-part derivation is graded in
+# period_filter and its agg in salted_event_stats; course_summary's
+# pipeline is graded via course_states; gap_sessions' window ops are
+# graded via session_spans/span_stats) moved here — still oracle-checked
+# every run — freeing graded slots for cdc_point_lookup, asof_enrich,
+# scd2_history, contamination, pretrain_corpus, sample_stratified_docs.
 _EXTRA_QUERIES = [
     "cdc_feed", "cdc_dedup", "cdc_vendored_files", "minhash_signatures",
     "embedding_ann_bucketed", "embedding_topk_lsh", "embedding_neardups_toy",
     "top_brands_by_revenue", "standard_timestamps", "visibility_change",
-    "forward_fill", "sample_bernoulli_docs", "sample_stratified_docs",
-    "sample_weighted_docs", "clean_docs", "cdc_point_lookup",
-    "pretrain_corpus", "asof_enrich", "scd2_history",
-    "doc_chunks", "boilerplate_chunks", "pii_scrub", "contamination",
+    "forward_fill", "sample_bernoulli_docs",
+    "sample_weighted_docs", "clean_docs",
+    "doc_chunks", "boilerplate_chunks", "pii_scrub",
     "repetition_stats", "embedding_topk_q8", "token_budget",
+    "locale_doubles", "token_counts", "state_boundaries",
+    "time_partition_counts", "course_summary", "gap_sessions",
 ]
 
 
@@ -1459,7 +1494,9 @@ def _all_oracle_sql() -> dict[str, str]:
                    + (CASE WHEN (CASE WHEN len(toks) > 0
                            THEN len(list_filter(toks, t -> list_contains({stop_list}, lower(t))))
                                 * 1.0 / len(toks) ELSE 0.0 END) >= 0.01
-                           THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+                           THEN 0.1 ELSE 0.0 END), 2) AS quality_score,
+                   CAST(len(regexp_extract_all(text,
+                       '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens
             FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) d"""
     return {
         "cdc_feed": feed,
@@ -1549,8 +1586,10 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    coalesce(maybe_tag,
                             min(maybe_tag) OVER (PARTITION BY user_id),
-                            'unknown') AS maybe_tag
-            FROM (SELECT event_id, user_id,
+                            'unknown') AS maybe_tag,
+                   CAST(replace(replace(CAST(round(value, 3) AS VARCHAR),
+                       '.', ','), ',', '.') AS DOUBLE) AS v_repaired
+            FROM (SELECT event_id, user_id, value,
                          CASE WHEN event_id % 7 = 0
                               THEN concat('tag_', CAST(user_id AS VARCHAR))
                          END AS maybe_tag
@@ -1651,7 +1690,8 @@ def _all_oracle_sql() -> dict[str, str]:
                   FROM b)
             SELECT event_id, user_id,
                    concat(user_id, '#', CAST(min(es) OVER
-                       (PARTITION BY user_id, run) AS VARCHAR)) AS state_id
+                       (PARTITION BY user_id, run) AS VARCHAR)) AS state_id,
+                   nb = 1 AS is_boundary
             FROM r""",
         "session_spans": f"""
             WITH ev AS (SELECT * FROM {_EV}),
