@@ -175,6 +175,89 @@ class _LazyBuckets(MutableMapping):
                 "bytes": int(ref.get("bytes", 0))}
 
 
+# ---- driver-side Murmur3 replica (Spark's `hash` expression) ----------
+# Spark's Murmur3Hash (sql/catalyst HashExpression, seed 42) chains
+# per-column hashes: h = hash(col_i, seed=h). Longs hash as two mixed
+# 32-bit halves, ints as one, strings as UTF-8 bytes via
+# Murmur3_x86_32.hashUnsafeBytes — whose TAIL processes each trailing
+# byte individually (sign-extended) through mixK1/mixH1, unlike standard
+# murmur3. Replicating it exactly makes `lookup()` bucket computation a
+# pure driver-side function: zero Spark jobs before the pruned read.
+# Pinned byte-identical against bucket_expr in tests/test_lake_manifest.py.
+_M3_C1, _M3_C2 = 0xCC9E2D51, 0x1B873593
+
+
+def _m3_mix_k1(k1: int) -> int:
+    k1 = (k1 * _M3_C1) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    return (k1 * _M3_C2) & 0xFFFFFFFF
+
+
+def _m3_mix_h1(h1: int, k1: int) -> int:
+    h1 = (h1 ^ k1) & 0xFFFFFFFF
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _m3_fmix(h1: int, length: int) -> int:
+    h1 = (h1 ^ length) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    return (h1 ^ (h1 >> 16)) & 0xFFFFFFFF
+
+
+def _m3_hash_int(value: int, seed: int) -> int:
+    return _m3_fmix(_m3_mix_h1(seed, _m3_mix_k1(value & 0xFFFFFFFF)), 4)
+
+
+def _m3_hash_long(value: int, seed: int) -> int:
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _m3_mix_h1(seed, _m3_mix_k1(v & 0xFFFFFFFF))
+    h1 = _m3_mix_h1(h1, _m3_mix_k1(v >> 32))
+    return _m3_fmix(h1, 8)
+
+
+def _m3_hash_bytes(data: bytes, seed: int) -> int:
+    h1 = seed & 0xFFFFFFFF
+    n4 = len(data) - len(data) % 4
+    for i in range(0, n4, 4):
+        h1 = _m3_mix_h1(h1, _m3_mix_k1(int.from_bytes(data[i:i + 4],
+                                                      "little")))
+    for i in range(n4, len(data)):
+        b = data[i]
+        if b > 127:           # Java's getByte sign-extends
+            b -= 256
+        h1 = _m3_mix_h1(h1, _m3_mix_k1(b & 0xFFFFFFFF))
+    return _m3_fmix(h1, len(data))
+
+
+_M3_SUPPORTED = {"long", "integer", "short", "byte", "string"}
+
+
+def py_bucket(values: list, type_names: list[str], n_buckets: int) -> int | None:
+    """pmod(hash(values...), n_buckets) computed driver-side, identical
+    to ``bucket_expr``. Returns None when any value's type is outside
+    the replicated set (caller falls back to the Spark-job path) —
+    never a wrong bucket. Null values hash as pass-through (Spark skips
+    them, leaving the running seed unchanged)."""
+    h = 42
+    for v, t in zip(values, type_names):
+        if v is None:
+            continue
+        if t not in _M3_SUPPORTED:
+            return None
+        if t == "string":
+            h = _m3_hash_bytes(str(v).encode("utf-8"), h)
+        elif t == "long":
+            h = _m3_hash_long(int(v), h)
+        else:  # integer / short / byte all hash via hashInt
+            h = _m3_hash_int(int(v), h)
+    signed = h - 0x100000000 if h >= 0x80000000 else h
+    return ((signed % n_buckets) + n_buckets) % n_buckets
+
+
 def _manifest_body(entries: list[dict]) -> str:
     """Canonical serialization — the content address must be a pure
     function of the entries, so key order is pinned."""
@@ -541,10 +624,12 @@ class LakeTable(TableIO):
         """Point lookup: prune to the ONE bucket the key hashes to, then
         let the key predicate push into that bucket's parquet scan — at
         any table size the read touches 1/n_buckets of the data, and the
-        pushed filter skips row groups inside it. The bucket id is
-        computed with the same Spark expression the writer used (a
-        LocalRelation-backed one-row job — no Python reimplementation of
-        murmur3 to drift out of sync)."""
+        pushed filter skips row groups inside it. The bucket id comes
+        from the driver-side Murmur3 replica (``py_bucket``, test-pinned
+        byte-identical against ``bucket_expr`` across types) — a point
+        lookup launches ZERO Spark jobs before the pruned read; key
+        types outside the replicated set fall back to the original
+        one-row Spark-expression job, never to a guessed bucket."""
         snap = self.snapshot()
         kc, n = snap["key_cols"], snap["n_buckets"]
         missing = [k for k in kc if k not in key]
@@ -559,10 +644,13 @@ class LakeTable(TableIO):
             return _provably_empty(self.spark,
                                    StructType.fromJson(snap["schema"]))
         fields = {f.name: f for f in StructType.fromJson(snap["schema"])}
-        row = self.spark.createDataFrame(
-            [tuple(key[k] for k in kc)],
-            StructType([fields[k] for k in kc]))
-        b = row.select(bucket_expr(kc, n).alias("b")).collect()[0]["b"]
+        b = py_bucket([key[k] for k in kc],
+                      [fields[k].dataType.typeName() for k in kc], n)
+        if b is None:  # unreplicated key type: exact Spark-expression path
+            row = self.spark.createDataFrame(
+                [tuple(key[k] for k in kc)],
+                StructType([fields[k] for k in kc]))
+            b = row.select(bucket_expr(kc, n).alias("b")).collect()[0]["b"]
         # key-equality filters prune FILES inside the bucket via manifest
         # min/max (selective after key-sorted compaction), then push into
         # the surviving parquet scans for row-group skipping

@@ -190,3 +190,59 @@ def test_merge_loads_only_touched_bucket_manifests(spark, tmp_path):
     one = t.read(buckets=[3], snapshot=snap2)
     one.count()
     assert len(snap2["buckets"]._cache) <= 1
+
+
+def test_py_bucket_matches_spark_hash(spark):
+    """The driver-side Murmur3 replica must agree with Spark's `hash`
+    expression on every supported type, including unicode, empty
+    strings, non-4-aligned byte lengths (the per-byte tail), negative
+    numbers, and int-vs-long width differences."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from arlas_proc_spark.lake.table import bucket_expr, py_bucket
+
+    strings = ["", "a", "ab", "abc", "abcd", "abcde", "répo/päth",
+               "日本語テキスト", "x" * 1000, "repo_0042", "src/main.py",
+               "\x00\x01", "emoji 🚀🔥", "tab\tnl\n"]
+    longs = [0, 1, -1, 42, -42, 2**31 - 1, -2**31, 2**62, -2**62]
+    ints = [0, 1, -1, 2**31 - 1, -2**31, 12345, -999]
+
+    for n in (1, 7, 16, 256):
+        rows = [(s, lo) for s, lo in zip(strings, longs * 2)]
+        df = spark.createDataFrame(rows, T.StructType([
+            T.StructField("s", T.StringType()),
+            T.StructField("lo", T.LongType())]))
+        got = df.select("s", "lo",
+                        bucket_expr(["s", "lo"], n).alias("b")).collect()
+        for r in got:
+            assert py_bucket([r.s, r.lo], ["string", "long"], n) == r.b, \
+                (r.s, r.lo, n)
+
+    df = spark.createDataFrame([(i,) for i in ints], T.StructType(
+        [T.StructField("i", T.IntegerType())]))
+    got = df.select("i", bucket_expr(["i"], 16).alias("b")).collect()
+    for r in got:
+        assert py_bucket([r.i], ["integer"], 16) == r.b, r.i
+
+    # unsupported type -> None (caller falls back), never a wrong bucket
+    assert py_bucket([1.5], ["double"], 16) is None
+    # null key values pass through (Spark skips nulls in hash chaining)
+    df = spark.createDataFrame([("a", None)], T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("lo", T.LongType())]))
+    r = df.select(bucket_expr(["s", "lo"], 16).alias("b")).collect()[0]
+    assert py_bucket(["a", None], ["string", "long"], 16) == r.b
+
+
+def test_lookup_launches_no_pre_read_jobs(spark, tmp_path):
+    """Point lookup computes its bucket driver-side: zero Spark jobs
+    before the pruned read (the read itself is lazy)."""
+    t = _wide_table(spark, tmp_path, n_buckets=16, rows=64)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = t.lookup(repo="r0", path="f0.py")   # no action triggered yet
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "lookup launched a Spark job before the read"
+    rows = df.collect()
+    assert [(r.repo, r.path) for r in rows] == [("r0", "f0.py")]
