@@ -470,6 +470,67 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def cosine_topk_ivf_q8(corpus: DataFrame, queries: DataFrame, id_col: str,
+                       vec_col: str, *, centroids: DataFrame, k: int = 3,
+                       n_probe: int = 2, round_to: int = 3,
+                       assign_round: int = 6) -> DataFrame:
+    """Quantized IVF (r3 VERDICT Next #8): int8 vectors INSIDE the
+    inverted lists. Assignment runs on the float vectors against the
+    small float centroid matrix (the matmul is the cheap part and its
+    precision decides list membership), but everything that SCALES with
+    the corpus — the inverted-list join's shuffle payload and the
+    per-candidate scoring arithmetic — carries int8 + scale + norm:
+    4x less memory/IO per list member, which at the 100-TB tier is the
+    dataset itself. Scoring is the exact int8 dot dequantized by the
+    two scales over the carried original norms (cosine_topk_quantized's
+    kernel), so cross-engine parity holds to the last bit before four
+    float ops. Same output shape as cosine_topk_ivf with ``score``
+    instead of ``cosine``. Recall vs float IVF and brute force is
+    asserted in tests/test_operators.py."""
+    require_columns(corpus, id_col, vec_col)
+    crows = sorted(centroids.select(F.col(id_col).cast("long"),
+                                    F.col(vec_col)).collect())
+    if not crows:
+        raise ValueError("centroids is empty")
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cent_mat = np.array([[float(x) for x in r[1]] for r in crows],
+                        dtype=np.float64)
+
+    def _prep(df: DataFrame, out_id: str, tag: str, top: int) -> DataFrame:
+        qz = quantize_embeddings(df, vec_col, out_col=f"_{tag}v",
+                                 scale_col=f"_{tag}s", norm_col=f"_{tag}n")
+        udf = _ivf_assign_kernel(cids, cent_mat, top, assign_round)
+        x = qz.select(F.col(id_col).alias(out_id),
+                      f"_{tag}v", f"_{tag}s", f"_{tag}n",
+                      udf(F.col(vec_col)).alias("_cids"))
+        if top == 1:
+            return x.withColumn("_cid", F.get("_cids", 0)).drop("_cids")
+        return x.withColumn("_cid", F.explode("_cids")).drop("_cids")
+
+    c = _prep(corpus, "neighbor_id", "c", 1)
+    q = _prep(queries, "query_id", "q", n_probe)
+    int_dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"),
+                   lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    denom = F.col("_qn") * F.col("_cn")
+    score = F.round(
+        F.when(denom > 0,
+               (int_dot.cast("double") * F.col("_qs")) * F.col("_cs")
+               / denom).otherwise(F.lit(0.0)),
+        round_to)
+    sims = (c.join(F.broadcast(q), "_cid")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", score.alias("score"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("score").alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
 def cosine_topk_bucketed(corpus: DataFrame, queries: DataFrame, id_col: str,
                          vec_col: str, k: int = 3, d: int = 4,
                          round_to: int = 3) -> DataFrame:

@@ -227,7 +227,8 @@ def main() -> None:
                  "enriched_events", "tempo_summary", "course_states",
                  "viterbi_states", "asof_enrich", "pretrain_corpus",
                  "doc_chunks", "boilerplate_chunks", "pii_scrub",
-                 "contamination", "repetition_stats", "embedding_topk_q8"]:
+                 "contamination", "repetition_stats", "embedding_topk_q8",
+                 "embedding_topk_ivf_q8", "canonical_docs"]:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)

@@ -967,3 +967,36 @@ def test_ivf_trainer_sample_mode_is_the_sample(clustered_vecs):
         train_ivf_centroids(clustered_vecs.where(F.col("vec_id") < 3),
                             "vec_id", "embedding", n_centroids=10,
                             n_iters=2)
+
+
+def test_ivf_q8_recall_vs_float_ivf_and_brute(clustered_vecs):
+    """Quantized IVF (int8 inside the inverted lists) must track BOTH
+    its float IVF twin (same lists, quantized scoring: rank-relaxed
+    recall vs the float-IVF top-5) and the global brute-force truth
+    (same relaxed metric as the flat quantized test — the fixture's
+    in-cluster gaps sit below one quantization step, so strict top-3
+    equality is a knife-edge by construction)."""
+    from arlas_proc_spark.operators.ann import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_ivf_q8,
+        train_ivf_centroids,
+    )
+    cents = train_ivf_centroids(clustered_vecs, "vec_id", "embedding",
+                                n_centroids=None,
+                                sample_filter=F.col("vec_id") % 10 == 0,
+                                n_iters=0)
+    q = clustered_vecs.where(F.col("vec_id") < 30)
+    fivf5 = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk_ivf(clustered_vecs, q, "vec_id", "embedding",
+                             centroids=cents, k=5, n_probe=3).collect()}
+    brute5 = {(r.query_id, r.neighbor_id) for r in
+              cosine_topk(clustered_vecs, q, "vec_id", "embedding",
+                          k=5).collect()}
+    qivf = {(r.query_id, r.neighbor_id) for r in
+            cosine_topk_ivf_q8(clustered_vecs, q, "vec_id", "embedding",
+                               centroids=cents, k=3, n_probe=3).collect()}
+    vs_float = len(qivf & fivf5) / len(qivf)
+    vs_brute = len(qivf & brute5) / len(qivf)
+    assert vs_float >= 0.95, f"q8-IVF vs float-IVF@3-in-5 {vs_float:.2f}"
+    assert vs_brute >= 0.9, f"q8-IVF vs brute@3-in-5 {vs_brute:.2f}"
