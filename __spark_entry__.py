@@ -985,6 +985,21 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                            round_to=2)
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/corpus.py pack_chunks): 40-token
+    chunks bin into 256-token packs by running offset within 8 hash
+    shards — the pretraining batch-prep step after chunking/cleaning.
+    One hash exchange + per-shard sort; shards independent at any
+    corpus size."""
+    from arlas_proc_spark.operators.corpus import chunk_documents, pack_chunks
+    ch = chunk_documents(_t(spark, sf_dir, "documents"), "doc_id",
+                         "text", chunk_tokens=40, overlap=0)
+    out = pack_chunks(ch, "doc_id", ("doc_id", "chunk_id"),
+                      "n_chunk_tokens", budget=256, n_shards=8)
+    return out.select("doc_id", "chunk_id", "n_chunk_tokens",
+                      "pack_id", "pack_offset")
+
+
 def q_embedding_topk_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized IVF (r3 VERDICT Next #8): int8 vectors inside the
     inverted lists — 4x less memory/IO per list member at the 100-TB
@@ -1256,7 +1271,7 @@ _EXTRA_QUERIES = [
     "repetition_stats", "embedding_topk_q8", "token_budget",
     "locale_doubles", "token_counts", "state_boundaries",
     "time_partition_counts", "course_summary", "gap_sessions",
-    "canonical_docs", "embedding_topk_ivf_q8",
+    "canonical_docs", "embedding_topk_ivf_q8", "packed_sequences",
 ]
 
 
@@ -1337,6 +1352,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_q8": q_embedding_topk_q8,
         "embedding_topk_ivf_q8": q_embedding_topk_ivf_q8,
+        "packed_sequences": q_packed_sequences,
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -2423,6 +2439,24 @@ def _all_oracle_sql() -> dict[str, str]:
                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
                   FROM sims) x
             WHERE rank <= 3""",
+        "packed_sequences": (
+            "WITH " + _chunk_lines_cte(40, 40) + ",\n"
+            "chunks AS (\n"
+            "  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,\n"
+            "         CAST(least(n - i*40, 40) AS BIGINT) AS n_chunk_tokens,\n"
+            "         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 8 AS shard\n"
+            "  FROM c, UNNEST(generate_series(0, k - 1)) AS u(i)),\n"
+            "s AS (SELECT *, SUM(n_chunk_tokens) OVER (PARTITION BY shard\n"
+            "          ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)\n"
+            "          - n_chunk_tokens AS start FROM chunks)\n"
+            "SELECT doc_id, chunk_id, n_chunk_tokens,\n"
+            "       concat(CAST(shard AS VARCHAR), '#',\n"
+            "              CAST(CAST(floor(start / 256.0) AS BIGINT)\n"
+            "                   AS VARCHAR)) AS pack_id,\n"
+            "       CAST(start - CAST(floor(start / 256.0) AS BIGINT) * 256\n"
+            "            AS BIGINT) AS pack_offset\n"
+            "FROM s"),
         "embedding_topk_ivf_q8": """
             WITH cents AS (SELECT vec_id AS cid, embedding AS cv
                            FROM embeddings WHERE vec_id % 25 = 0),

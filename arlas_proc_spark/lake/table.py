@@ -329,7 +329,12 @@ class LakeTable(TableIO):
         alphabet, so range stats never prune them. Worth it on
         merge-on-read tables where a bucket accumulates generations;
         costs one key-column scan + ~bits_per_key bits per row at commit
-        time, so it defaults off."""
+        time, so it defaults off. Scope note: sidecar bitmaps are
+        written executor-side with plain ``open()`` on the table path —
+        like the rest of Plan B, the table must live on a
+        posix-reachable shared filesystem (the jobs/ CLI documents the
+        same constraint); the Iceberg backend (Plan A) has no such
+        limit."""
         if stats_cols is None:
             stats_cols = list(dict.fromkeys(list(key_cols) + [seq_col]))
         t = cls(spark, path)

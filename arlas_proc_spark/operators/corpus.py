@@ -181,3 +181,58 @@ def strip_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
                                      lambda s: s["_line"]), line_sep))
         .alias(out_col)))
     return agg.select(id_col, out_col, "n_lines", "n_lines_kept")
+
+
+def pack_chunks(chunks: DataFrame, id_col: str = "doc_id",
+                order_cols: tuple = ("doc_id", "chunk_id"),
+                token_col: str = "n_chunk_tokens", budget: int = 2048,
+                n_shards: int = 64,
+                out_pack: str = "pack_id",
+                out_offset: str = "pack_offset") -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget packs (the
+    pretraining batch-prep step — concatenate short chunks up to the
+    context length so padding doesn't eat the batch).
+
+    Semantics: chunks are ordered deterministically within
+    ``n_shards`` hash shards (a doc's chunks stay in one shard, in
+    order) and bin by their running-token OFFSET: a chunk starting at
+    offset o goes to pack floor(o / budget). This is offset binning —
+    the form production packers use when they may split/truncate at
+    pack boundaries: every pack STARTS below the budget and overflows
+    by at most one chunk, packs are dense (no internal waste), and the
+    assignment is a pure window expression any engine replays exactly.
+    True no-overflow greedy packing is a sequential scan per shard —
+    strictly less parallel and not oracle-replayable; callers needing
+    it can post-split the at-most-one straddling chunk per pack.
+
+    Scale shape: ONE hash exchange on the shard id + a per-shard sort —
+    shards are independent, so 100-TB packing parallelizes to
+    ``n_shards`` regardless of document count; per-task state is one
+    running sum. Returns the input plus (pack_id, pack_offset) where
+    ``pack_id`` = '<shard>#<bin>' and ``pack_offset`` is the chunk's
+    token start offset inside its pack."""
+    require_columns(chunks, id_col, token_col, *order_cols)
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+    # portable shard hash (md5-of-identity, like operators/sampling.py):
+    # 8 hex chars < 2^32 parse as a non-negative long in any engine, so
+    # the oracle replays the exact same shard assignment
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(n_shards))
+    w = (Window.partitionBy("_shard")
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, 0))
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col))
+    pack = F.floor(start / F.lit(budget))
+    return (chunks.withColumn("_shard", shard)
+            .withColumn(out_pack,
+                        F.concat_ws("#", F.col("_shard").cast("string"),
+                                    pack.cast("string")))
+            .withColumn(out_offset,
+                        (start - pack * F.lit(budget)).cast("long"))
+            .drop("_shard"))

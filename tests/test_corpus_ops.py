@@ -204,3 +204,41 @@ def test_scrub_pii_is_shuffle_free(spark):
     d = _docs(spark, [(1, "x")])
     plan = scrub_pii(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_chunks_invariants(spark):
+    """Offset binning contract: every chunk's pack_offset is in
+    [0, budget); within a (shard) pack, chunks are contiguous in
+    (doc_id, chunk_id) order and offsets equal the running sum; a pack
+    overflows its budget by at most its one straddling chunk."""
+    from arlas_proc_spark.operators.corpus import chunk_documents, pack_chunks
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + (i * 37) % 90)))
+         for i in range(200)], "doc_id long, text string")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=0)
+    out = pack_chunks(ch, "doc_id", ("doc_id", "chunk_id"),
+                      "n_chunk_tokens", budget=64, n_shards=4).collect()
+    assert out
+    by_pack = {}
+    for r in out:
+        assert 0 <= r.pack_offset < 64
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, rows in by_pack.items():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        # offsets are the pack-local running sum in order
+        run = rows[0].pack_offset
+        for r in rows:
+            assert r.pack_offset == run
+            run += r.n_chunk_tokens
+        # total overflow bounded by the last (straddling) chunk
+        assert run - 64 <= rows[-1].n_chunk_tokens
+    # a doc's chunks never split across shards
+    shard_of = {}
+    for r in out:
+        s = r.pack_id.split("#")[0]
+        assert shard_of.setdefault(r.doc_id, s) == s
+    import pytest
+    with pytest.raises(ValueError):
+        pack_chunks(ch, budget=0)
+    with pytest.raises(ValueError):
+        pack_chunks(ch, n_shards=0)
