@@ -170,9 +170,12 @@ class _LazyBuckets(MutableMapping):
         ref = self.clean_ref(k)
         if ref is None:
             return None
-        return {"files": int(ref.get("files", 0)),
-                "rows": int(ref.get("rows", 0)),
-                "bytes": int(ref.get("bytes", 0))}
+        s = {"files": int(ref.get("files", 0)),
+             "rows": int(ref.get("rows", 0)),
+             "bytes": int(ref.get("bytes", 0))}
+        if "live" in ref:
+            s["live"] = int(ref["live"])
+        return s
 
 
 # ---- driver-side Murmur3 replica (Spark's `hash` expression) ----------
@@ -388,6 +391,11 @@ class LakeTable(TableIO):
         summary = {"files": len(entries),
                    "rows": sum(int(e.get("rows") or 0) for e in entries),
                    "bytes": sum(int(e.get("bytes") or 0) for e in entries)}
+        if all("live" in e for e in entries):
+            # live (non-tombstone) row total rides the manifest LIST, so
+            # count_rows() on a cow table is one small JSON read; omitted
+            # when any entry predates the stat (omission = "scan instead")
+            summary["live"] = sum(int(e["live"]) for e in entries)
         if not entries:
             return None, summary
         body = _manifest_body(entries)
@@ -402,6 +410,26 @@ class LakeTable(TableIO):
                 os.fsync(f.fileno())
             os.replace(tmp, target)
         return name, summary
+
+    def _serialized(self, snap: dict) -> dict:
+        """Flatten the in-memory snapshot to its on-disk form: per-bucket
+        manifest files written (content-addressed, unchanged buckets
+        dedup to no-op writes, clean buckets carry their reference
+        forward with zero IO) and ``buckets`` replaced by the
+        ``manifest_list``. Shared by the normal commit path and WAP
+        staging."""
+        buckets = snap.get("buckets", {})
+        listing: dict[str, dict] = {}
+        for k in list(buckets):
+            ref = buckets.clean_ref(k) \
+                if isinstance(buckets, _LazyBuckets) else None
+            if ref is None:
+                mname, summary = self._manifest_for(buckets[k])
+                ref = {"manifest": mname, **summary}
+            listing[k] = ref
+        snap = {k: v for k, v in snap.items() if k != "buckets"}
+        snap["manifest_list"] = listing
+        return snap
 
     def _commit_snapshot(self, snap: dict, expected_version: int | None) -> None:
         """Atomic durable commit: O_EXCL-create v{N}.json (fsynced), then
@@ -418,17 +446,7 @@ class LakeTable(TableIO):
         re-serialized, and content addressing dedups the unchanged ones
         to zero writes. A failed commit's fresh manifests are orphans —
         ``expire_snapshots`` GCs unreferenced ``m-*.json``."""
-        buckets = snap.get("buckets", {})
-        listing: dict[str, dict] = {}
-        for k in list(buckets):
-            ref = buckets.clean_ref(k) \
-                if isinstance(buckets, _LazyBuckets) else None
-            if ref is None:
-                mname, summary = self._manifest_for(buckets[k])
-                ref = {"manifest": mname, **summary}
-            listing[k] = ref
-        snap = {k: v for k, v in snap.items() if k != "buckets"}
-        snap["manifest_list"] = listing
+        snap = self._serialized(snap)
         name = f"v{snap['version']:010d}.json"
         target = os.path.join(self.meta_dir, name)
         try:
@@ -608,8 +626,56 @@ class LakeTable(TableIO):
                 s = {"files": len(files),
                      "rows": sum(int(e.get("rows", 0)) for e in files),
                      "bytes": sum(int(e.get("bytes", 0)) for e in files)}
+                if files and all("live" in e for e in files):
+                    s["live"] = sum(int(e["live"]) for e in files)
             out.append({"bucket": int(b), **s, "mor": b in mor})
         return out
+
+    def count_rows(self) -> int:
+        """Exact live-row count of the current snapshot — Iceberg's
+        metadata-only ``SELECT count(*)`` (manifests carry per-file
+        record counts, so a bare count never scans data). Here every
+        commit records per-file LIVE rows (non-tombstone, from the same
+        footer pass lineage already does — see ``_footer_stats``), rolled
+        up into the manifest list, so on an all-cow table this is one
+        small JSON read: no Spark job, no manifest loads, no data IO, at
+        ANY table size.
+
+        Two bucket classes can't be counted from metadata and fall back
+        to a (bucket-restricted, column-pruned) Spark count:
+        merge-on-read buckets — their generations overlap per key, so
+        per-file sums double-count until ``compact()`` folds them — and
+        buckets whose manifests predate the ``live`` stat. The fallback
+        reads ONLY those buckets; everything else still comes from the
+        list."""
+        total, fallback = self._count_rows_detail()
+        if fallback:
+            total += self.read(buckets=fallback).count()
+        return total
+
+    def _count_rows_detail(self) -> tuple[int, list[int]]:
+        """(metadata-counted live rows, buckets needing a scan) — split
+        out so tests can pin WHICH buckets fell back."""
+        snap = self.snapshot()
+        mor = {str(b) for b in snap.get("mor_buckets", [])}
+        buckets = snap["buckets"]
+        total = 0
+        fallback: list[int] = []
+        for b in buckets:
+            if b in mor:
+                fallback.append(int(b))
+                continue
+            s = buckets.summary(b) if isinstance(buckets, _LazyBuckets) \
+                else None
+            if s is not None and "live" in s:
+                total += s["live"]
+                continue
+            entries = buckets[b]
+            if all("live" in e for e in entries):
+                total += sum(int(e["live"]) for e in entries)
+            else:
+                fallback.append(int(b))
+        return total, sorted(fallback)
 
     def file_counts(self) -> dict[str, int]:
         """Per-bucket live file counts from the manifest LIST alone — one
@@ -933,8 +999,23 @@ class LakeTable(TableIO):
                     extra_metrics: dict | None = None,
                     additive_cols: list[str] | None = None,
                     delete_condition=None,
-                    set_properties: dict | None = None) -> dict:
+                    set_properties: dict | None = None,
+                    wap_id: str | None = None) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
+
+        ``wap_id``: write-audit-publish (Iceberg's WAP pattern). The
+        merge runs fully — files written, change feed emitted, ledger
+        entry prepared — but the resulting snapshot is STAGED under
+        ``meta/wap-<id>.json`` instead of becoming CURRENT: readers keep
+        seeing the pre-merge state. Audit the staged state with
+        ``read_wap(id)`` (row counts, null checks, contract queries),
+        then ``publish_wap(id)`` to atomically make it CURRENT, or
+        ``abandon_wap(id)`` to drop it (its files become GC-able
+        orphans). Publishing requires the table to still be at the
+        staged snapshot's parent version — a commit that landed in
+        between invalidates the staged file list, so publish refuses
+        with ``ConcurrentCommitError`` and the caller re-merges (the
+        batch id is still unledgered, so the re-merge is exactly-once).
 
         ``extra_metrics``: caller-supplied metrics (e.g. quarantine
         counts) folded into the batch's ledger entry so they are visible
@@ -1280,8 +1361,94 @@ class LakeTable(TableIO):
         _ledger_add(led, bid, metrics, ledger_scope)
         self._record_lineage(snap, self._write_lineage(version, bid, staged,
                                                        token=token))
-        self._commit_snapshot(snap, expected_version=version - 1)
+        if wap_id is not None:
+            self._stage_wap(wap_id, snap, parent=version - 1)
+            metrics["staged_wap"] = wap_id
+        else:
+            self._commit_snapshot(snap, expected_version=version - 1)
         return metrics
+
+    # --------------------------------------------------- write-audit-publish
+    @staticmethod
+    def _wap_name(wap_id: str) -> str:
+        if not wap_id or not all(
+                c.isalnum() or c in "._-" for c in wap_id):
+            raise ValueError(
+                f"wap_id {wap_id!r} must be non-empty [A-Za-z0-9._-]")
+        return f"wap-{wap_id}.json"
+
+    def _stage_wap(self, wap_id: str, snap: dict, parent: int) -> None:
+        """Persist a fully-built snapshot under ``meta/wap-<id>.json``
+        instead of committing it: manifests are written (content-
+        addressed, so a later publish re-serializes nothing), the parent
+        version is recorded for the publish-time CAS, and CURRENT is
+        untouched. O_EXCL — staging an id twice is an error, not a
+        silent overwrite of someone's audit subject."""
+        raw = self._serialized(snap)
+        raw["wap_parent"] = int(parent)
+        target = os.path.join(self.meta_dir, self._wap_name(wap_id))
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"wap id {wap_id!r} is already staged; publish or abandon "
+                f"it first") from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(raw, f)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _load_wap(self, wap_id: str) -> dict:
+        p = os.path.join(self.meta_dir, self._wap_name(wap_id))
+        if not os.path.exists(p):
+            raise ValueError(f"no staged snapshot for wap id {wap_id!r}")
+        with open(p) as f:
+            return json.load(f)
+
+    def wap_ids(self) -> list[str]:
+        """Currently staged (unpublished) WAP ids."""
+        return sorted(f[len("wap-"):-len(".json")]
+                      for f in os.listdir(self.meta_dir)
+                      if f.startswith("wap-") and f.endswith(".json"))
+
+    def read_wap(self, wap_id: str, **kwargs) -> DataFrame:
+        """The staged snapshot's table state, for auditing before
+        publish — same read path as the committed table (LWW, tombstone
+        filtering, file skipping via ``filters=``)."""
+        raw = self._load_wap(wap_id)
+        raw.pop("wap_parent", None)
+        return self.read(snapshot=raw, **kwargs)
+
+    def publish_wap(self, wap_id: str) -> dict:
+        """Atomically make a staged snapshot CURRENT (Iceberg's
+        cherrypick of a WAP snapshot). CAS: the table must still be at
+        the staged snapshot's parent — an intervening commit invalidates
+        the staged file lists (they embody the parent's state), so this
+        refuses with ``ConcurrentCommitError`` and the caller re-merges
+        the batch (still unledgered — exactly-once holds)."""
+        raw = self._load_wap(wap_id)
+        parent = raw.pop("wap_parent")
+        cur = self.snapshot()["version"]
+        if cur != parent:
+            raise ConcurrentCommitError(
+                f"staged wap {wap_id!r} has parent v{parent} but the "
+                f"table is at v{cur}: a commit landed since staging; "
+                f"abandon_wap and re-merge the batch")
+        self._commit_snapshot(self._wrap_snap(raw),
+                              expected_version=parent)
+        os.remove(os.path.join(self.meta_dir, self._wap_name(wap_id)))
+        return {"published_version": raw["version"], "wap_id": wap_id}
+
+    def abandon_wap(self, wap_id: str) -> None:
+        """Drop a staged snapshot. Its data/change/lineage files become
+        unreferenced orphans, GC'd by ``expire_snapshots`` after the
+        grace; its manifests may be shared with committed snapshots
+        (content addressing) and are GC'd only when nothing references
+        them."""
+        p = os.path.join(self.meta_dir, self._wap_name(wap_id))
+        if not os.path.exists(p):
+            raise ValueError(f"no staged snapshot for wap id {wap_id!r}")
+        os.remove(p)
 
     def _write_change_files(self, ch: DataFrame, version: int,
                             schema_v: int, token: str) -> dict:
@@ -1462,12 +1629,15 @@ class LakeTable(TableIO):
                 e = {"file": rel, "schema_v": schema_v}
                 staged[b].append(e)
                 entries.append((e, part))
-        for (e, _), (rows, nbytes, col_stats) in zip(
+        for (e, _), (rows, nbytes, col_stats, live) in zip(
                 entries, self._footer_stats([p for _, p in entries],
-                                            stats_cols or [])):
+                                            stats_cols or [],
+                                            tomb_col=_TOMB)):
             e["rows"], e["bytes"] = rows, nbytes
             if col_stats:
                 e["stats"] = col_stats
+            if live is not None:
+                e["live"] = live
         if bloom_bpk > 0 and key_cols and entries:
             self._write_bloom_sidecars(entries, key_cols, bloom_bpk)
         return staged
@@ -1577,23 +1747,30 @@ class LakeTable(TableIO):
         return True
 
     def _footer_stats(self, paths: list[str],
-                      stats_cols: list[str] | None = None)\
-            -> list[tuple[int, int, dict]]:
-        """(num_rows, size_bytes, {col: [min, max]}) per parquet path, in
-        order. Metadata only — never scans data pages. Min/max come from
-        the footer's row-group statistics, folded across row groups; a
+                      stats_cols: list[str] | None = None,
+                      tomb_col: str | None = None)\
+            -> list[tuple[int, int, dict, int | None]]:
+        """(num_rows, size_bytes, {col: [min, max]}, live_rows) per parquet
+        path, in order. Metadata only — never scans data pages, with ONE
+        exception: when ``tomb_col`` is given, live_rows (rows whose
+        tombstone flag is not true) usually folds straight from the
+        boolean column's row-group min/max (an all-live or all-tombstone
+        group costs nothing), and only a MIXED group pays a single-column
+        RLE-boolean read of that group. Min/max come from the footer's
+        row-group statistics, folded across row groups; a
         column is omitted when any row group lacks stats for it or its
         values aren't JSON-portable (the manifest is JSON) — omission
         just means "never skip on this column", so it is always safe."""
         stats_cols = stats_cols or []
 
-        def _one(p: str) -> tuple[int, int, dict]:
+        def _one(p: str) -> tuple[int, int, dict, int | None]:
             import pyarrow.parquet as pq
-            md = pq.ParquetFile(p).metadata
+            pf = pq.ParquetFile(p)
+            md = pf.metadata
             col_stats: dict[str, list] = {}
+            idx = {md.schema.column(j).name: j
+                   for j in range(md.num_columns)}
             if stats_cols and md.num_rows > 0:
-                idx = {md.schema.column(j).name: j
-                       for j in range(md.num_columns)}
                 for c in stats_cols:
                     j = idx.get(c)
                     if j is None:
@@ -1614,7 +1791,32 @@ class LakeTable(TableIO):
                         hi = st.max if hi is None else max(hi, st.max)
                     if ok and lo is not None:
                         col_stats[c] = [lo, hi]
-            return (md.num_rows, os.path.getsize(p), col_stats)
+            live: int | None = None
+            if tomb_col is not None:
+                j = idx.get(tomb_col)
+                if j is None:
+                    live = md.num_rows  # no tombstone column: all rows live
+                else:
+                    import pyarrow.compute as pc
+                    tombs = 0
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        st = rg.column(j).statistics
+                        if st is not None and st.has_min_max:
+                            if st.min is False and st.max is False:
+                                continue  # all-live group: free
+                            if (st.min is True and st.max is True
+                                    and st.has_null_count):
+                                # all non-null values are tombstones;
+                                # nulls coalesce to live at read time
+                                tombs += rg.num_rows - st.null_count
+                                continue
+                        col = pf.read_row_group(g, columns=[tomb_col]
+                                                ).column(0)
+                        s = pc.sum(col.cast("int64"))  # sum skips nulls
+                        tombs += int(s.as_py() or 0)
+                    live = md.num_rows - tombs
+            return (md.num_rows, os.path.getsize(p), col_stats, live)
         if len(paths) <= self._STATS_DISTRIBUTED_OVER:
             return [_one(p) for p in paths]
         try:
@@ -2051,11 +2253,15 @@ class LakeTable(TableIO):
         # every file they reference, below) survive until the tag drops
         keep |= {f"v{int(v):010d}.json"
                  for v in self.snapshot().get("tags", {}).values()}
+        # staged write-audit-publish snapshots pin their files until
+        # published or abandoned — an audit may outlast any grace window
+        waps = {f for f in os.listdir(self.meta_dir)
+                if f.startswith("wap-") and f.endswith(".json")}
         referenced: set[str] = set()
         referenced_lineage: set[str] = set()
         referenced_changes: set[str] = set()
         referenced_manifests: set[str] = set()
-        for name in keep:
+        for name in keep | waps:
             with open(os.path.join(self.meta_dir, name)) as f:
                 snap = self._wrap_snap(json.load(f))
             referenced_manifests.update(

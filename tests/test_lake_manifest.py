@@ -63,7 +63,7 @@ def test_snapshot_json_holds_list_not_entries(spark, tmp_path):
     raw = _raw_listing(t)
     # the snapshot JSON carries only per-bucket references + summaries
     for ref in raw.values():
-        assert set(ref) == {"manifest", "files", "rows", "bytes"}
+        assert set(ref) == {"manifest", "files", "rows", "bytes", "live"}
         if ref["files"]:
             assert ref["manifest"] in _manifests(t)
         else:
@@ -246,3 +246,88 @@ def test_lookup_launches_no_pre_read_jobs(spark, tmp_path):
     assert after == before, "lookup launched a Spark job before the read"
     rows = df.collect()
     assert [(r.repo, r.path) for r in rows] == [("r0", "f0.py")]
+
+
+# ---------------------------------------------------------------- count_rows
+
+def test_count_rows_metadata_only_on_cow(spark, tmp_path):
+    """Inserts, updates and deletes over several commits: count_rows()
+    equals a real scan, with ZERO buckets falling back to Spark — the
+    whole count comes from the manifest list's live-row sums."""
+    t = _wide_table(spark, tmp_path, n_buckets=4, rows=32)
+    t.merge_batch(_batch(spark, [
+        _ev(100 + i, "update", f"r{i % 8}", f"f{i}.py", f"c{i}u", f"V{i}")
+        for i in range(0, 10)]), 1)
+    t.merge_batch(_batch(spark, [
+        _ev(200 + i, "delete", f"r{i % 8}", f"f{i}.py", f"c{i}d", None)
+        for i in range(3, 9)]), 2)
+    fresh = LakeTable(spark, t.path)  # re-read everything from disk
+    meta, fallback = fresh._count_rows_detail()
+    assert fallback == []
+    assert meta == 32 - 6
+    assert fresh.count_rows() == fresh.read().count() == 26
+    # the per-bucket live stat is visible operationally too
+    stats = fresh.bucket_stats()
+    assert sum(s["live"] for s in stats) == 26
+    assert any(s["live"] < s["rows"] for s in stats)  # tombstones exist
+
+
+def test_count_rows_all_tombstone_files(spark, tmp_path):
+    """Deleting every key leaves files that are 100% tombstones — the
+    all-true row-group stats branch — and a metadata-only count of 0."""
+    t = _wide_table(spark, tmp_path, n_buckets=2, rows=8)
+    t.merge_batch(_batch(spark, [
+        _ev(100 + i, "delete", f"r{i % 8}", f"f{i}.py", f"c{i}d", None)
+        for i in range(8)]), 1)
+    meta, fallback = t._count_rows_detail()
+    assert fallback == [] and meta == 0
+    assert t.count_rows() == 0 == t.read().count()
+
+
+def test_count_rows_mor_buckets_fall_back_until_compact(spark, tmp_path):
+    """Merge-on-read generations overlap per key, so mor buckets must be
+    LWW-scanned; compact() folds them and the count returns to pure
+    metadata."""
+    t = _wide_table(spark, tmp_path, n_buckets=2, rows=8)
+    t.append_batch(_batch(spark, [
+        _ev(100 + i, "update", f"r{i % 8}", f"f{i}.py", f"c{i}u", f"V{i}")
+        for i in range(4)] + [
+        _ev(200, "delete", "r5", "f5.py", "c5d", None)]), 1)
+    meta, fallback = t._count_rows_detail()
+    assert fallback == [0, 1]  # every touched bucket is mor now
+    assert t.count_rows() == t.read().count() == 7
+    t.compact(max_files_per_bucket=1)
+    meta2, fallback2 = t._count_rows_detail()
+    assert fallback2 == []
+    assert meta2 == 7 == t.count_rows()
+
+
+def test_count_rows_legacy_manifest_without_live_falls_back(spark, tmp_path):
+    """Manifests written before the live stat existed: the affected
+    bucket scans, the rest still count from metadata, total stays
+    exact."""
+    from arlas_proc_spark.lake.table import _manifest_body
+    import hashlib
+    t = _wide_table(spark, tmp_path, n_buckets=4, rows=32)
+    v = t.snapshot()["version"]
+    with open(os.path.join(t.meta_dir, f"v{v:010d}.json")) as f:
+        raw = json.load(f)
+    listing = raw["manifest_list"]
+    victim = sorted(listing)[0]
+    with open(os.path.join(t.meta_dir, listing[victim]["manifest"])) as f:
+        entries = json.load(f)["entries"]
+    for e in entries:
+        e.pop("live", None)
+    body = _manifest_body(entries)
+    name = f"m-{hashlib.sha256(body.encode()).hexdigest()[:20]}.json"
+    with open(os.path.join(t.meta_dir, name), "w") as f:
+        f.write(body)
+    listing[victim] = {k: v2 for k, v2 in listing[victim].items()
+                       if k != "live"}
+    listing[victim]["manifest"] = name
+    with open(os.path.join(t.meta_dir, f"v{v:010d}.json"), "w") as f:
+        json.dump(raw, f)
+    fresh = LakeTable(spark, t.path)
+    meta, fallback = fresh._count_rows_detail()
+    assert fallback == [int(victim)]
+    assert fresh.count_rows() == fresh.read().count() == 32
