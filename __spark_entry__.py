@@ -868,6 +868,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "id_a", "id_b")
 
 
+def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MinHash-LSH index (cdc/dedup_index.py)
+    under the value gate: replay a 3-batch document change feed —
+    inserts, text revisions, deletes, a duplicate-delivery tie and a
+    stale cross-batch update that must LOSE the LWW — through
+    ``DedupIndex.update``, then emit the index's current candidate
+    pairs. Must equal the one-shot ``minhash_lsh_pairs`` SQL recomputed
+    from scratch on the corpus's FINAL state: the index converges to the
+    scratch recompute while only ever paying batch-sized minhash work
+    plus a broadcast candidate join per batch (the signature table never
+    shuffles)."""
+    from arlas_proc_spark.cdc.dedup_index import DedupIndex
+    tmp = _scratch_dir("arlas_dedupidx_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = DedupIndex.create(spark, f"{tmp}/idx", n=3, k=4, bands=2,
+                            n_buckets=8)
+
+    def ins(df: DataFrame, off: int) -> DataFrame:
+        return df.select(
+            "doc_id", "text", (F.col("doc_id") * 10 + off).alias("seq"),
+            F.lit("insert").alias("op"))
+
+    idx.update(ins(docs.where(F.col("doc_id") % 3 != 2), 0), 0)
+    revised = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" revised edition")).alias("text"),
+        (F.col("doc_id") * 10 + 2).alias("seq"),
+        F.lit("update").alias("op"))
+    idx.update(ins(docs.where(F.col("doc_id") % 3 == 2), 1)
+               .unionByName(revised), 1)
+    deletes = docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        (F.col("doc_id") * 10 + 3).alias("seq"),
+        F.lit("delete").alias("op"))
+    stale = docs.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit("stale update that must lose").alias("text"),
+        F.lit(1).cast("long").alias("seq"), F.lit("update").alias("op"))
+    idx.update(deletes.unionByName(stale), 2)
+    return idx.pairs()
+
+
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup decision over CLEANED text (r3 VERDICT
     Next #7): chunk each doc into 10-token segments (the fixture has no
@@ -1272,6 +1313,11 @@ _EXTRA_QUERIES = [
     "locale_doubles", "token_counts", "state_boundaries",
     "time_partition_counts", "course_summary", "gap_sessions",
     "canonical_docs", "embedding_topk_ivf_q8", "packed_sequences",
+    # r4: incremental_dedup_pairs SUBSUMES the one-shot minhash_lsh_pairs
+    # (same pairs over the final state, PLUS the index maintenance under
+    # LWW/delete/replay) — the one-shot moves here, the incremental takes
+    # its graded slot; the pair SQL also stays graded via dedup_clusters
+    "minhash_lsh_pairs",
 ]
 
 
@@ -1348,6 +1394,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "canonical_docs": q_canonical_docs,
+        "incremental_dedup_pairs": q_incremental_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_q8": q_embedding_topk_q8,
@@ -2127,6 +2174,15 @@ def _all_oracle_sql() -> dict[str, str]:
                    list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS m3
             FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents) d""",
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        # the incremental index must converge to the one-shot LSH SQL
+        # recomputed from scratch over the replay's FINAL doc state
+        "incremental_dedup_pairs": (
+            "WITH final_docs AS ("
+            "SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN text || ' revised edition' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 11 <> 0),"
+            + _minhash_pairs_sql_over("final_docs")
+            + "\n            SELECT id_a, id_b, n_bands_shared FROM mh_pairs"),
         "canonical_docs": _canonical_docs_oracle_sql(),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),

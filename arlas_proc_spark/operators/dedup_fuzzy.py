@@ -113,6 +113,27 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return out.select(*cols)
 
 
+def banded_minhash(sigs: DataFrame, id_col: str, k: int,
+                   bands: int) -> DataFrame:
+    """Stack a minhash-signature frame (``m0``..``m{k-1}``) into LSH band
+    rows ``(_id, _band, _sig)``. ``concat_ws`` (not ``concat``) skips the
+    NULL minhashes of shingle-less docs, yielding '' which the filter
+    drops — empty docs never enter any bucket. Shared by the one-shot
+    ``minhash_lsh_pairs`` and the incrementally-maintained
+    ``cdc.dedup_index.DedupIndex``."""
+    r = k // bands
+    parts = []
+    for b in range(bands):
+        sig = F.concat_ws("_", *[F.col(f"m{b * r + j}") for j in range(r)])
+        parts.append(sigs.select(F.col(id_col).alias("_id"),
+                                 F.lit(b).alias("_band"), sig.alias("_sig"))
+                     .where(F.col("_sig") != ""))
+    stacked = parts[0]
+    for x in parts[1:]:
+        stacked = stacked.unionByName(x)
+    return stacked
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, k: int = 8, bands: int = 4) -> DataFrame:
     """LSH candidate pairs: k minhashes split into `bands` bands of k/bands
@@ -120,16 +141,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     Output: id_a < id_b, n_bands_shared. Verify candidates with
     ngram_jaccard_pairs afterwards (standard LSH + verify)."""
     sigs = minhash_signatures(df, id_col, text_col, n, k)
-    r = k // bands
-    banded = []
-    for b in range(bands):
-        sig = F.concat_ws("_", *[F.col(f"m{b * r + j}") for j in range(r)])
-        banded.append(sigs.select(F.col(id_col).alias("_id"),
-                                  F.lit(b).alias("_band"), sig.alias("_sig"))
-                      .where(F.col("_sig") != ""))
-    stacked = banded[0]
-    for x in banded[1:]:
-        stacked = stacked.unionByName(x)
+    stacked = banded_minhash(sigs, id_col, k, bands)
     a, b2 = stacked.alias("a"), stacked.alias("b")
     return (a.join(b2, (F.col("a._band") == F.col("b._band")) &
                    (F.col("a._sig") == F.col("b._sig")) &

@@ -228,7 +228,8 @@ def main() -> None:
                  "viterbi_states", "asof_enrich", "pretrain_corpus",
                  "doc_chunks", "boilerplate_chunks", "pii_scrub",
                  "contamination", "repetition_stats", "embedding_topk_q8",
-                 "embedding_topk_ivf_q8", "canonical_docs"]:
+                 "embedding_topk_ivf_q8", "canonical_docs",
+                 "incremental_dedup_pairs"]:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)

@@ -1,0 +1,161 @@
+"""DedupIndex — incrementally-maintained MinHash-LSH near-dup index.
+
+The contract: after replaying ANY batch sequence (inserts, updates,
+deletes, duplicate delivery, out-of-order seqs, replayed batch ids),
+``pairs()`` equals ``minhash_lsh_pairs`` recomputed from scratch on the
+corpus's final state, and ``update`` emits exactly the current pairs
+involving docs the batch touched.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arlas_proc_spark.cdc.dedup_index import DedupIndex
+from arlas_proc_spark.operators.dedup_fuzzy import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+
+K, BANDS, N = 4, 2, 3
+
+# ~identical sentences so LSH actually pairs things at k=4
+BASE = "the quick brown fox jumps over the lazy dog near the river bank"
+VAR = BASE + " today"
+OTHER = "completely different content about spark shuffle partitions and joins"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, seq long, op string")
+
+
+def _pairset(df):
+    return {(r.id_a, r.id_b, r.n_bands_shared) for r in df.collect()}
+
+
+def _make(spark, tmp_path):
+    return DedupIndex.create(spark, str(tmp_path / "idx"),
+                             n=N, k=K, bands=BANDS)
+
+
+def test_replay_converges_to_scratch_recompute(spark, tmp_path):
+    idx = _make(spark, tmp_path)
+    idx.update(_batch(spark, [
+        (1, BASE, 10, "insert"),
+        (2, VAR, 11, "insert"),
+        (3, OTHER, 12, "insert"),
+        (4, BASE, 13, "insert"),
+    ]), 0)
+    idx.update(_batch(spark, [
+        (4, OTHER + " v2", 20, "update"),     # leaves the BASE cluster
+        (5, VAR + " indeed", 21, "insert"),
+        (2, VAR, 22, "update"),               # same text, new seq
+    ]), 1)
+    idx.update(_batch(spark, [
+        (3, None, 30, "delete"),
+        (1, BASE, 31, "update"),
+    ]), 2)
+    final = _docs(spark, [(1, BASE), (2, VAR), (4, OTHER + " v2"),
+                          (5, VAR + " indeed")])
+    want = _pairset(minhash_lsh_pairs(final, "doc_id", "text", N, K, BANDS))
+    assert _pairset(idx.pairs()) == want
+    # signatures equal a scratch recompute of the final state
+    got_sigs = sorted(map(tuple, idx.signatures().collect()))
+    want_sigs = sorted(map(tuple, minhash_signatures(
+        final, "doc_id", "text", N, K).collect()))
+    assert got_sigs == want_sigs
+
+
+def test_update_emits_pairs_touching_batch(spark, tmp_path):
+    idx = _make(spark, tmp_path)
+    first = idx.update(_batch(spark, [
+        (1, BASE, 10, "insert"),
+        (2, VAR, 11, "insert"),
+        (3, OTHER, 12, "insert")]), 0)
+    all0 = _pairset(idx.pairs())
+    assert _pairset(first) == all0  # everything is new in batch 0
+    # batch 1 adds a doc joining the cluster: emitted pairs are exactly
+    # the current pairs involving doc 4
+    second = idx.update(_batch(spark, [(4, BASE + " !", 20, "insert")]), 1)
+    allp = _pairset(idx.pairs())
+    want = {p for p in allp if 4 in (p[0], p[1])}
+    assert _pairset(second) == want
+    assert want  # the new doc really did pair
+
+
+def test_delete_retracts_and_duplicate_delivery_collapses(spark, tmp_path):
+    idx = _make(spark, tmp_path)
+    idx.update(_batch(spark, [
+        (1, BASE, 10, "insert"),
+        (2, VAR, 11, "insert"),
+        (2, VAR, 11, "insert"),          # duplicate delivery, same seq
+        (2, OTHER, 5, "update"),         # stale, loses LWW inside batch
+    ]), 0)
+    assert _pairset(idx.pairs()) == _pairset(minhash_lsh_pairs(
+        _docs(spark, [(1, BASE), (2, VAR)]), "doc_id", "text", N, K, BANDS))
+    out = idx.update(_batch(spark, [(2, None, 20, "delete")]), 1)
+    assert _pairset(out) == set()        # a deleted doc pairs with nothing
+    assert _pairset(idx.pairs()) == set()
+
+
+def test_stale_cross_batch_update_emits_index_state_pairs(spark, tmp_path):
+    """A batch whose seq loses LWW against the TABLE must not emit pairs
+    from the loser's signature — emitted pairs always reflect the
+    index."""
+    idx = _make(spark, tmp_path)
+    idx.update(_batch(spark, [
+        (1, BASE, 100, "insert"),
+        (2, VAR, 101, "insert")]), 0)
+    before = _pairset(idx.pairs())
+    out = idx.update(_batch(spark, [(1, OTHER, 50, "update")]), 1)  # stale
+    assert _pairset(idx.pairs()) == before          # index unchanged
+    assert _pairset(out) == {p for p in before if 1 in (p[0], p[1])}
+
+
+def test_replayed_batch_id_is_noop_and_emits_nothing(spark, tmp_path):
+    idx = _make(spark, tmp_path)
+    b = [(1, BASE, 10, "insert"), (2, VAR, 11, "insert")]
+    idx.update(_batch(spark, b), 0)
+    v = idx.table.snapshot()["version"]
+    replay = idx.update(_batch(spark, b), 0)
+    assert idx.table.snapshot()["version"] == v     # ledgered no-op
+    assert _pairset(replay) == set()
+    assert _pairset(idx.pairs()) == _pairset(minhash_lsh_pairs(
+        _docs(spark, b and [(r[0], r[1]) for r in b]),
+        "doc_id", "text", N, K, BANDS))
+
+
+def test_shingleless_docs_index_but_never_pair(spark, tmp_path):
+    idx = _make(spark, tmp_path)
+    out = idx.update(_batch(spark, [
+        (1, "too short", 10, "insert"),      # < n tokens: no shingles
+        (2, "", 11, "insert"),
+        (3, BASE, 12, "insert")]), 0)
+    assert _pairset(out) == set()
+    assert idx.signatures().count() == 3     # rows exist, sigs null
+    assert _pairset(idx.pairs()) == set()
+
+
+def test_update_plan_broadcasts_changed_side(spark, tmp_path):
+    """The candidate join's changed side must be broadcast — the index
+    side never shuffles (the 100-TB shape)."""
+    idx = _make(spark, tmp_path)
+    idx.update(_batch(spark, [(1, BASE, 10, "insert"),
+                              (2, VAR, 11, "insert")]), 0)
+    out = idx.update(_batch(spark, [(3, BASE + " x", 20, "insert")]), 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bad_params_raise(spark, tmp_path):
+    with pytest.raises(ValueError):
+        DedupIndex(spark, str(tmp_path / "x"), k=5, bands=2)
+    with pytest.raises(ValueError):
+        DedupIndex.create(spark, str(tmp_path / "y"), id_type="float")
