@@ -5,5 +5,8 @@ from arlas_proc_spark.cdc.engine import (  # noqa: F401
     lww_resolve,
     prepare_events,
 )
-from arlas_proc_spark.cdc.dedup_index import DedupIndex  # noqa: F401
+from arlas_proc_spark.cdc.dedup_index import (  # noqa: F401
+    DedupIndex,
+    DedupIndexRefresher,
+)
 from arlas_proc_spark.cdc.salting import salted_agg, with_salt  # noqa: F401

@@ -38,6 +38,10 @@ index is itself a CDC consumer.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -90,7 +94,8 @@ class DedupIndex:
     def update(self, batch: DataFrame, batch_id: int | str, *,
                text_col: str = "text", op_col: str = "op",
                seq_col: str = "seq",
-               delete_value: str = "delete") -> DataFrame:
+               delete_value: str = "delete",
+               set_properties: dict | None = None) -> DataFrame:
         """Fold one change batch (id, text, seq, op — dup delivery and
         out-of-order allowed) into the index; returns the NEW candidate
         pairs, i.e. every (id_a < id_b, n_bands_shared) pair of the
@@ -123,7 +128,8 @@ class DedupIndex:
         merged = self.table.merge_batch(
             sigs.unionByName(dels), batch_id, op_col="_op",
             delete_value=delete_value, batch_compacted=True,
-            ledger_scope=self.LEDGER_SCOPE)
+            ledger_scope=self.LEDGER_SCOPE,
+            set_properties=set_properties)
         # the touched docs' band rows come from the POST-merge index, not
         # from the batch signatures: a stale update (batch seq loses the
         # LWW against the table) keeps the table's signature, and pairs
@@ -181,3 +187,96 @@ class DedupIndex:
                     F.col("a._band").alias("_band"))
                 .groupBy("id_a", "id_b")
                 .agg(F.countDistinct("_band").alias("n_bands_shared")))
+
+
+class DedupIndexRefresher:
+    """Keeps a :class:`DedupIndex` in sync with a source ``LakeTable``'s
+    change feed — the near-dup index as a downstream CDC CONSUMER, the
+    same shape as ``lake.ivm.IncrementalAggView``. Plugs straight into
+    the streaming loop (``StreamingIngest(views=[refresher])``): after
+    every committed micro-batch, ``refresh()`` folds the table's NET key
+    changes since the cursor into the signature index.
+
+    Net semantics on purpose: the index stores only each doc's CURRENT
+    signature, so ``source.read_changes(cursor, v)`` — one manifest-diff-
+    pruned snapshot diff, one row per net-changed key — is sufficient and
+    strictly cheaper than replaying every per-commit transition. The
+    index row's LWW sequence is the SOURCE SNAPSHOT VERSION the change
+    was observed at (monotonic across refreshes; a delete row reuses its
+    pre-image's data seq, so the source seq column cannot order a delete
+    after the insert it retracts).
+
+    Exactly-once mirrors IVM exactly: the cursor is committed ATOMICALLY
+    with the index merge as a snapshot property of the index table, so no
+    crash window separates "signatures merged" from "cursor advanced";
+    empty windows advance a side cursor file (re-folding an empty window
+    is a no-op by definition).
+
+    Doc identity: ``id_expr`` (default ``concat_ws('|', <source key
+    cols>)`` — key columns are NOT NULL by table contract, so the
+    concatenation is collision-free for '|'-free keys)."""
+
+    _CURSOR_PROP = "dedup_index.cursor"
+
+    def __init__(self, spark: SparkSession, path: str, source, *,
+                 text_col: str = "content", id_expr: str | None = None,
+                 n: int = 3, k: int = 8, bands: int = 4,
+                 n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.source = source
+        self.text_col = text_col
+        key_cols = source.snapshot()["key_cols"]
+        self.id_expr = id_expr or \
+            "concat_ws('|', " + ", ".join(key_cols) + ")"
+        self.cursor_path = os.path.join(path, "cursor.json")
+        idx_path = os.path.join(path, "index")
+        if LakeTable.exists(spark, idx_path):
+            self.index = DedupIndex(spark, idx_path, id_col="doc_key",
+                                    n=n, k=k, bands=bands)
+        else:
+            os.makedirs(path, exist_ok=True)
+            self.index = DedupIndex.create(
+                spark, idx_path, id_col="doc_key", id_type="string",
+                n=n, k=k, bands=bands, n_buckets=n_buckets)
+
+    def cursor(self) -> int:
+        """Highest source version folded in (property ∨ side file — each
+        states 'everything ≤ N is folded', so max is always safe)."""
+        prop = int(self.index.table.snapshot().get("properties", {})
+                   .get(self._CURSOR_PROP, 0))
+        if not os.path.exists(self.cursor_path):
+            return prop
+        with open(self.cursor_path) as f:
+            return max(prop, int(json.load(f)["version"]))
+
+    def _advance_cursor(self, version: int) -> None:
+        tmp = os.path.join(self.path, f".cursor.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self.cursor_path)
+
+    def refresh(self) -> dict:
+        """Fold all source commits past the cursor into the index."""
+        src_v = self.source.snapshot()["version"]
+        last = self.cursor()
+        if src_v <= last:
+            return {"skipped": True, "source_version": last}
+        ch = self.source.read_changes(last, src_v)
+        batch = ch.select(
+            F.expr(self.id_expr).alias("doc_key"),
+            F.col(self.text_col).alias("text"),
+            F.lit(src_v).cast("long").alias("seq"),
+            F.when(F.col("change_type") == "delete", F.lit("delete"))
+             .otherwise(F.lit("upsert")).alias("op"))
+        pairs = self.index.update(
+            batch, f"src-{src_v}",
+            set_properties={self._CURSOR_PROP: src_v})
+        # merge_batch commits (and stamps the property) even for an empty
+        # net-change window; the side file additionally covers legacy /
+        # belt-and-braces, mirroring IVM's cursor layering
+        self._advance_cursor(src_v)
+        return {"source_version": src_v, "pairs": pairs}
+
+    def pairs(self) -> DataFrame:
+        return self.index.pairs()

@@ -159,3 +159,96 @@ def test_bad_params_raise(spark, tmp_path):
         DedupIndex(spark, str(tmp_path / "x"), k=5, bands=2)
     with pytest.raises(ValueError):
         DedupIndex.create(spark, str(tmp_path / "y"), id_type="float")
+
+
+# --------------------------------------------------- change-feed refresher
+
+def _source(spark, tmp_path):
+    from pyspark.sql import types as T
+    from arlas_proc_spark.lake.table import LakeTable
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("content", T.StringType(), True)])
+    return LakeTable.create(spark, str(tmp_path / "src"), schema,
+                            ["repo", "path"], "seq", n_buckets=4)
+
+
+def _src_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, content string"
+    ).select("repo", "path", "seq", "content", "op")
+
+
+def _recompute(spark, src):
+    """Ground truth: one-shot LSH pairs over the source's current state
+    with the refresher's doc identity."""
+    docs = src.read().selectExpr(
+        "concat_ws('|', repo, path) AS doc_key", "content")
+    return minhash_lsh_pairs(docs, "doc_key", "content", N, K, BANDS)
+
+
+def test_refresher_tracks_source_table(spark, tmp_path):
+    from arlas_proc_spark.cdc.dedup_index import DedupIndexRefresher
+    src = _source(spark, tmp_path)
+    ref = DedupIndexRefresher(spark, str(tmp_path / "ref"), src,
+                              n=N, k=K, bands=BANDS, n_buckets=4)
+    src.merge_batch(_src_batch(spark, [
+        (1, "insert", "r1", "a.py", BASE),
+        (2, "insert", "r1", "b.py", VAR),
+        (3, "insert", "r2", "c.py", OTHER)]), 0)
+    out = ref.refresh()
+    assert out["source_version"] == src.snapshot()["version"]
+    assert _pairset(ref.pairs()) == _pairset(_recompute(spark, src))
+    assert _pairset(ref.pairs())  # something actually paired
+    # update one member out of the cluster, delete another, add a new one
+    src.merge_batch(_src_batch(spark, [
+        (10, "update", "r1", "b.py", OTHER + " mutated"),
+        (11, "delete", "r2", "c.py", None),
+        (12, "insert", "r3", "d.py", BASE + " too")]), 1)
+    ref.refresh()
+    assert _pairset(ref.pairs()) == _pairset(_recompute(spark, src))
+    # idle refresh is a cursor-skipped no-op
+    v = ref.index.table.snapshot()["version"]
+    assert ref.refresh()["skipped"]
+    assert ref.index.table.snapshot()["version"] == v
+    # reopening from disk resumes the cursor
+    ref2 = DedupIndexRefresher(spark, str(tmp_path / "ref"), src,
+                               n=N, k=K, bands=BANDS)
+    assert ref2.refresh()["skipped"]
+
+
+def test_refresher_rides_streaming_ingest(spark, tmp_path):
+    """The views=[...] hook: the index refreshes after every committed
+    micro-batch of the streaming WAL tail, and ends equal to the
+    from-scratch recompute on the final table."""
+    from arlas_proc_spark.cdc.dedup_index import DedupIndexRefresher
+    from arlas_proc_spark.cdc.engine import EVENT_SCHEMA
+    from arlas_proc_spark.streaming.ingest import StreamingIngest
+    wal = str(tmp_path / "wal")
+    rows = [
+        (1, "insert", "r1", "a.py", "c1", 1000, "py", BASE),
+        (2, "insert", "r1", "b.py", "c2", 1001, "py", VAR),
+        (3, "insert", "r2", "c.py", "c3", 1002, "py", OTHER),
+        (4, "update", "r1", "b.py", "c4", 1003, "py", OTHER + " now"),
+        (5, "delete", "r2", "c.py", "c5", 1004, "py", None),
+        (6, "insert", "r3", "d.py", "c6", 1005, "py", BASE + " !"),
+    ]
+    for i in range(0, len(rows), 2):  # 3 WAL segments of 2 events
+        spark.createDataFrame(rows[i:i + 2], EVENT_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(wal)
+    ing = StreamingIngest(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ref = DedupIndexRefresher(spark, str(tmp_path / "ref"),
+                              ing.engine.table,
+                              n=N, k=K, bands=BANDS, n_buckets=4)
+    ing.views.append(ref)
+    ing.run_to_completion(wal, str(tmp_path / "ckpt"),
+                          max_files_per_trigger=1)
+    assert ref.cursor() == ing.engine.table.snapshot()["version"]
+    docs = ing.engine.table.read().selectExpr(
+        "concat_ws('|', repo, path) AS doc_key", "content")
+    want = _pairset(minhash_lsh_pairs(docs, "doc_key", "content",
+                                      N, K, BANDS))
+    assert _pairset(ref.pairs()) == want
+    assert want  # BASE docs really pair
