@@ -93,6 +93,26 @@ def main() -> None:
         out["metadata_io_ratio"] = round(
             out["commit_metadata_bytes"]
             / max(1, out["old_layout_bytes_per_commit"]), 4)
+
+        # count_rows: merge-on-read buckets force the LWW-scan fallback;
+        # after compaction the count is pure manifest-list math (no Spark
+        # job, no data IO) and must equal the full scan exactly
+        t0 = time.time()
+        c_mor = t.count_rows()
+        out["count_rows_mor_fallback_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        t.compact(max_files_per_bucket=1)
+        out["compact_wall_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        c_meta = t.count_rows()
+        out["count_rows_metadata_s"] = round(time.time() - t0, 4)
+        meta_only, fallback = t._count_rows_detail()
+        t0 = time.time()
+        c_scan = t.read().count()
+        out["count_rows_full_scan_s"] = round(time.time() - t0, 3)
+        assert c_meta == c_scan == c_mor and not fallback, \
+            (c_meta, c_scan, c_mor, fallback)
+        out["count_rows_live"] = c_meta
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))

@@ -64,12 +64,22 @@ class DedupIndex:
     def __init__(self, spark: SparkSession, path: str, *,
                  id_col: str = "doc_id", n: int = 3, k: int = 8,
                  bands: int = 4):
+        """Opening an EXISTING index adopts the parameters persisted at
+        create time (``dedup_params.json`` beside the table) — signatures
+        are only comparable under one (shingle, k, bands) setting, so a
+        caller-supplied mismatch is overridden, never mixed in."""
         if k % bands != 0:
             raise ValueError(f"k={k} must divide into bands={bands}")
         self.spark = spark
         self.id_col = id_col
         self.n, self.k, self.bands = n, k, bands
         self.table = LakeTable(spark, path)
+        self._params_path = os.path.join(path, "dedup_params.json")
+        if os.path.exists(self._params_path):
+            with open(self._params_path) as f:
+                p = json.load(f)
+            self.id_col = p["id_col"]
+            self.n, self.k, self.bands = p["n"], p["k"], p["bands"]
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, *,
@@ -88,6 +98,8 @@ class DedupIndex:
             [T.StructField("seq", T.LongType(), True)])
         LakeTable.create(spark, path, schema, [id_col], "seq",
                          n_buckets=n_buckets)
+        with open(idx._params_path, "w") as f:
+            json.dump({"id_col": id_col, "n": n, "k": k, "bands": bands}, f)
         return idx
 
     # ------------------------------------------------------------- maintain

@@ -252,3 +252,13 @@ def test_refresher_rides_streaming_ingest(spark, tmp_path):
                                       N, K, BANDS))
     assert _pairset(ref.pairs()) == want
     assert want  # BASE docs really pair
+
+
+def test_reopen_adopts_persisted_params(spark, tmp_path):
+    """Signatures are only comparable under one (shingle, k, bands)
+    setting — reopening an index overrides caller params with the ones
+    persisted at create time."""
+    DedupIndex.create(spark, str(tmp_path / "i"), n=N, k=K, bands=BANDS)
+    reopened = DedupIndex(spark, str(tmp_path / "i"), k=16, bands=8, n=5)
+    assert (reopened.n, reopened.k, reopened.bands) == (N, K, BANDS)
+    assert reopened.id_col == "doc_id"
