@@ -51,6 +51,7 @@ from arlas_proc_spark.lake.table import LakeTable
 from arlas_proc_spark.operators.base import require_columns
 from arlas_proc_spark.operators.dedup_fuzzy import (
     banded_minhash,
+    lsh_band_pairs,
     minhash_signatures,
 )
 
@@ -63,16 +64,25 @@ class DedupIndex:
 
     def __init__(self, spark: SparkSession, path: str, *,
                  id_col: str = "doc_id", n: int = 3, k: int = 8,
-                 bands: int = 4):
+                 bands: int = 4,
+                 broadcast_doc_limit: int = 500_000):
         """Opening an EXISTING index adopts the parameters persisted at
         create time (``dedup_params.json`` beside the table) — signatures
         are only comparable under one (shingle, k, bands) setting, so a
-        caller-supplied mismatch is overridden, never mixed in."""
-        if k % bands != 0:
-            raise ValueError(f"k={k} must divide into bands={bands}")
+        caller-supplied mismatch is overridden, never mixed in (stale
+        tuning flags on a scheduled job must not wedge a valid index, so
+        validation runs AFTER the override).
+
+        ``broadcast_doc_limit``: batches touching more docs than this run
+        their candidate join as a plain shuffle join instead of
+        broadcasting the changed side — a bootstrap or large backfill
+        folds the whole corpus as one batch, and a corpus-sized forced
+        broadcast would OOM the driver at exactly the scale this index
+        exists for."""
         self.spark = spark
         self.id_col = id_col
         self.n, self.k, self.bands = n, k, bands
+        self.broadcast_doc_limit = broadcast_doc_limit
         self.table = LakeTable(spark, path)
         self._params_path = os.path.join(path, "dedup_params.json")
         if os.path.exists(self._params_path):
@@ -80,17 +90,39 @@ class DedupIndex:
                 p = json.load(f)
             self.id_col = p["id_col"]
             self.n, self.k, self.bands = p["n"], p["k"], p["bands"]
+        elif LakeTable.exists(spark, path):
+            raise RuntimeError(
+                f"index table exists at {path} but dedup_params.json is "
+                f"missing — refusing to guess (n, k, bands): signatures "
+                f"written under one setting are unreadable under another")
+        if self.k % self.bands != 0:
+            raise ValueError(
+                f"k={self.k} must divide into bands={self.bands}")
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, *,
                id_col: str = "doc_id", id_type: str = "long",
                n: int = 3, k: int = 8, bands: int = 4,
-               n_buckets: int = 16) -> "DedupIndex":
-        idx = cls(spark, path, id_col=id_col, n=n, k=k, bands=bands)
+               n_buckets: int = 16,
+               broadcast_doc_limit: int = 500_000) -> "DedupIndex":
+        if k % bands != 0:
+            raise ValueError(f"k={k} must divide into bands={bands}")
         id_types = {"long": T.LongType(), "int": T.IntegerType(),
                     "string": T.StringType()}
         if id_type not in id_types:
             raise ValueError(f"id_type must be one of {sorted(id_types)}")
+        # params land DURABLY (tmp + atomic replace) BEFORE the table
+        # commit: a live table must never be reopenable without its exact
+        # (n, k, bands) — a crash between the two steps leaves only a
+        # params file, and a retried create overwrites it consistently
+        os.makedirs(path, exist_ok=True)
+        params_path = os.path.join(path, "dedup_params.json")
+        tmp = params_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"id_col": id_col, "n": n, "k": k, "bands": bands}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, params_path)
         id_field = T.StructField(id_col, id_types[id_type], False)
         schema = T.StructType(
             [id_field] +
@@ -98,9 +130,8 @@ class DedupIndex:
             [T.StructField("seq", T.LongType(), True)])
         LakeTable.create(spark, path, schema, [id_col], "seq",
                          n_buckets=n_buckets)
-        with open(idx._params_path, "w") as f:
-            json.dump({"id_col": id_col, "n": n, "k": k, "bands": bands}, f)
-        return idx
+        return cls(spark, path, id_col=id_col, n=n, k=k, bands=bands,
+                   broadcast_doc_limit=broadcast_doc_limit)
 
     # ------------------------------------------------------------- maintain
     def update(self, batch: DataFrame, batch_id: int | str, *,
@@ -153,10 +184,15 @@ class DedupIndex:
         touched = winners.select(F.col(idc).alias("_id")).distinct()
         if merged.get("skipped"):
             touched = touched.where(F.lit(False))
+        # a bootstrap / backfill batch can touch the whole corpus — above
+        # broadcast_doc_limit the changed side no longer fits a driver
+        # broadcast, so the candidate join degrades to a shuffle join
+        # instead of dying (the steady-state batch path stays broadcast)
+        small = touched.count() <= self.broadcast_doc_limit
+        changed = F.broadcast(touched) if small else touched
         banded_new = banded_minhash(self.signatures(), idc,
-                                    self.k, self.bands) \
-            .join(F.broadcast(touched), "_id")
-        return self._pairs_touching(banded_new)
+                                    self.k, self.bands).join(changed, "_id")
+        return self._pairs_touching(banded_new, broadcast=small)
 
     # --------------------------------------------------------------- query
     def signatures(self) -> DataFrame:
@@ -169,27 +205,23 @@ class DedupIndex:
         """ALL current candidate pairs, from signatures alone — no text
         rescan. Same output as ``minhash_lsh_pairs`` on the current
         corpus state: (id_a < id_b, n_bands_shared)."""
-        stacked = banded_minhash(self.signatures(), self.id_col,
-                                 self.k, self.bands)
-        a, b = stacked.alias("a"), stacked.alias("b")
-        return (a.join(b, (F.col("a._band") == F.col("b._band")) &
-                       (F.col("a._sig") == F.col("b._sig")) &
-                       (F.col("a._id") < F.col("b._id")))
-                .groupBy(F.col("a._id").alias("id_a"),
-                         F.col("b._id").alias("id_b"))
-                .agg(F.count(F.lit(1)).alias("n_bands_shared")))
+        return lsh_band_pairs(banded_minhash(
+            self.signatures(), self.id_col, self.k, self.bands))
 
-    def _pairs_touching(self, banded_new: DataFrame) -> DataFrame:
+    def _pairs_touching(self, banded_new: DataFrame, *,
+                        broadcast: bool = True) -> DataFrame:
         """Pairs of the current index involving any doc whose band rows
         are in ``banded_new`` (_id, _band, _sig). The changed side —
         batch-sized — is broadcast; the full index is scanned once,
         column-pruned, with no shuffle on the index side. A pair of two
         changed docs matches from both sides, so bands are counted
-        DISTINCT per pair rather than per match."""
+        DISTINCT per pair rather than per match. ``broadcast=False``
+        (corpus-sized backfills) plans a shuffle join instead."""
         idx = banded_minhash(self.signatures(), self.id_col,
                              self.k, self.bands)
+        changed = F.broadcast(banded_new) if broadcast else banded_new
         j = (idx.alias("a").join(
-            F.broadcast(banded_new).alias("b"),
+            changed.alias("b"),
             (F.col("a._band") == F.col("b._band")) &
             (F.col("a._sig") == F.col("b._sig")) &
             (F.col("a._id") != F.col("b._id"))))
@@ -233,7 +265,8 @@ class DedupIndexRefresher:
     def __init__(self, spark: SparkSession, path: str, source, *,
                  text_col: str = "content", id_expr: str | None = None,
                  n: int = 3, k: int = 8, bands: int = 4,
-                 n_buckets: int = 16):
+                 n_buckets: int = 16,
+                 broadcast_doc_limit: int = 500_000):
         self.spark = spark
         self.path = path
         self.source = source
@@ -244,13 +277,15 @@ class DedupIndexRefresher:
         self.cursor_path = os.path.join(path, "cursor.json")
         idx_path = os.path.join(path, "index")
         if LakeTable.exists(spark, idx_path):
-            self.index = DedupIndex(spark, idx_path, id_col="doc_key",
-                                    n=n, k=k, bands=bands)
+            self.index = DedupIndex(
+                spark, idx_path, id_col="doc_key", n=n, k=k, bands=bands,
+                broadcast_doc_limit=broadcast_doc_limit)
         else:
             os.makedirs(path, exist_ok=True)
             self.index = DedupIndex.create(
                 spark, idx_path, id_col="doc_key", id_type="string",
-                n=n, k=k, bands=bands, n_buckets=n_buckets)
+                n=n, k=k, bands=bands, n_buckets=n_buckets,
+                broadcast_doc_limit=broadcast_doc_limit)
 
     def cursor(self) -> int:
         """Highest source version folded in (property ∨ side file — each
@@ -268,19 +303,52 @@ class DedupIndexRefresher:
             json.dump({"version": version}, f)
         os.replace(tmp, self.cursor_path)
 
+    def _cursor_snapshot_available(self, version: int) -> bool:
+        try:
+            self.source.snapshot_at(version)
+            return True
+        except ValueError:
+            return False
+
     def refresh(self) -> dict:
-        """Fold all source commits past the cursor into the index."""
+        """Fold all source commits past the cursor into the index.
+
+        When the source has EXPIRED the snapshot at the cursor (a fresh
+        index against a table that ever ran ``expire_snapshots``, or a
+        refresh lag longer than the source's retention), a diff is
+        impossible — instead of wedging permanently, the refresher
+        RESEEDS: the source's current live state folds as upserts and
+        index keys absent from it fold as deletes (docs dropped during
+        the missed window must stop pairing). Same exactly-once merge,
+        same atomic cursor; strictly a full-corpus batch, which
+        ``update`` handles via its non-broadcast fallback."""
         src_v = self.source.snapshot()["version"]
         last = self.cursor()
         if src_v <= last:
             return {"skipped": True, "source_version": last}
-        ch = self.source.read_changes(last, src_v)
-        batch = ch.select(
-            F.expr(self.id_expr).alias("doc_key"),
-            F.col(self.text_col).alias("text"),
-            F.lit(src_v).cast("long").alias("seq"),
-            F.when(F.col("change_type") == "delete", F.lit("delete"))
-             .otherwise(F.lit("upsert")).alias("op"))
+        reseed = not self._cursor_snapshot_available(last)
+        if reseed:
+            live = self.source.read().select(
+                F.expr(self.id_expr).alias("doc_key"),
+                F.col(self.text_col).alias("text"),
+                F.lit(src_v).cast("long").alias("seq"),
+                F.lit("upsert").alias("op"))
+            stale = (self.index.signatures()
+                     .select(F.col(self.index.id_col).alias("doc_key"))
+                     .join(live.select("doc_key"), "doc_key", "left_anti")
+                     .select(F.col("doc_key"),
+                             F.lit(None).cast("string").alias("text"),
+                             F.lit(src_v).cast("long").alias("seq"),
+                             F.lit("delete").alias("op")))
+            batch = live.unionByName(stale)
+        else:
+            ch = self.source.read_changes(last, src_v)
+            batch = ch.select(
+                F.expr(self.id_expr).alias("doc_key"),
+                F.col(self.text_col).alias("text"),
+                F.lit(src_v).cast("long").alias("seq"),
+                F.when(F.col("change_type") == "delete", F.lit("delete"))
+                 .otherwise(F.lit("upsert")).alias("op"))
         pairs = self.index.update(
             batch, f"src-{src_v}",
             set_properties={self._CURSOR_PROP: src_v})
@@ -288,7 +356,8 @@ class DedupIndexRefresher:
         # net-change window; the side file additionally covers legacy /
         # belt-and-braces, mirroring IVM's cursor layering
         self._advance_cursor(src_v)
-        return {"source_version": src_v, "pairs": pairs}
+        return {"source_version": src_v, "pairs": pairs,
+                "reseeded": reseed}
 
     def pairs(self) -> DataFrame:
         return self.index.pairs()

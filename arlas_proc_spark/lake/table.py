@@ -990,17 +990,44 @@ class LakeTable(TableIO):
 
     # ----------------------------------------------------------------- merge
     def merge_batch(self, batch: DataFrame, batch_id: int | str, *,
-                    op_col: str = "op", delete_value: str = "delete",
-                    collect_metrics: bool = True,
-                    assume_all_buckets: bool = False,
-                    batch_compacted: bool = False,
-                    touched_buckets: list[int] | None = None,
-                    ledger_scope: str = "default",
-                    extra_metrics: dict | None = None,
-                    additive_cols: list[str] | None = None,
-                    delete_condition=None,
-                    set_properties: dict | None = None,
-                    wap_id: str | None = None) -> dict:
+                    commit_retries: int = 0, **kwargs) -> dict:
+        """Exactly-once keyed MERGE — see :meth:`_merge_batch_attempt`
+        for the full semantics and keyword surface.
+
+        ``commit_retries``: when another writer wins the snapshot CAS
+        mid-merge, re-run the WHOLE merge against the fresh snapshot up
+        to this many times instead of surfacing
+        ``ConcurrentCommitError`` — concurrent writers then CONVERGE
+        (each retry re-reads current state, and the loser's batch id
+        never reached the ledger, so the re-merge stays exactly-once;
+        its staged files are GC-able orphans). Default 0 keeps the
+        fail-fast contract for callers that coordinate externally.
+        WAP staging collisions (same ``wap_id`` already staged) are
+        NEVER retried — an id conflict cannot resolve by retrying."""
+        attempt = 0
+        while True:
+            try:
+                return self._merge_batch_attempt(batch, batch_id, **kwargs)
+            except ConcurrentCommitError:
+                if kwargs.get("wap_id") is not None:
+                    raise
+                attempt += 1
+                if attempt > commit_retries:
+                    raise
+
+    def _merge_batch_attempt(
+            self, batch: DataFrame, batch_id: int | str, *,
+            op_col: str = "op", delete_value: str = "delete",
+            collect_metrics: bool = True,
+            assume_all_buckets: bool = False,
+            batch_compacted: bool = False,
+            touched_buckets: list[int] | None = None,
+            ledger_scope: str = "default",
+            extra_metrics: dict | None = None,
+            additive_cols: list[str] | None = None,
+            delete_condition=None,
+            set_properties: dict | None = None,
+            wap_id: str | None = None) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         ``wap_id``: write-audit-publish (Iceberg's WAP pattern). The
@@ -1387,16 +1414,24 @@ class LakeTable(TableIO):
         raw = self._serialized(snap)
         raw["wap_parent"] = int(parent)
         target = os.path.join(self.meta_dir, self._wap_name(wap_id))
+        # fully write + fsync a tmp file, then hard-link it into place:
+        # link is atomic AND exclusive (EEXIST if the id is already
+        # staged), so a crash mid-write leaves only an orphan tmp — never
+        # a truncated wap-<id>.json that would wedge expire_snapshots'
+        # staged-snapshot scan and block restaging the id
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(raw, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, target)
         except FileExistsError:
             raise ConcurrentCommitError(
                 f"wap id {wap_id!r} is already staged; publish or abandon "
                 f"it first") from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(raw, f)
-            f.flush()
-            os.fsync(f.fileno())
+        finally:
+            os.unlink(tmp)
 
     def _load_wap(self, wap_id: str) -> dict:
         p = os.path.join(self.meta_dir, self._wap_name(wap_id))
@@ -2292,6 +2327,12 @@ class LakeTable(TableIO):
                     dropped_manifests += 1
             elif fname.startswith(".m-") and ".tmp." in fname \
                     and _expired(full):
+                os.remove(full)
+                dropped_manifests += 1
+            elif fname.startswith("wap-") and ".json.tmp-" in fname \
+                    and _expired(full):
+                # crash mid-_stage_wap: the fully-written-then-linked
+                # protocol leaves only this orphan tmp behind
                 os.remove(full)
                 dropped_manifests += 1
         dropped_files = 0

@@ -134,6 +134,19 @@ def banded_minhash(sigs: DataFrame, id_col: str, k: int,
     return stacked
 
 
+def lsh_band_pairs(stacked: DataFrame) -> DataFrame:
+    """Self-join the band rows of :func:`banded_minhash` into candidate
+    pairs (id_a < id_b, n_bands_shared). ONE copy of the pair contract —
+    shared by the one-shot ``minhash_lsh_pairs`` and the incremental
+    ``cdc.dedup_index.DedupIndex.pairs`` so the two can never drift."""
+    a, b2 = stacked.alias("a"), stacked.alias("b")
+    return (a.join(b2, (F.col("a._band") == F.col("b._band")) &
+                   (F.col("a._sig") == F.col("b._sig")) &
+                   (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands_shared")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, k: int = 8, bands: int = 4) -> DataFrame:
     """LSH candidate pairs: k minhashes split into `bands` bands of k/bands
@@ -141,13 +154,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     Output: id_a < id_b, n_bands_shared. Verify candidates with
     ngram_jaccard_pairs afterwards (standard LSH + verify)."""
     sigs = minhash_signatures(df, id_col, text_col, n, k)
-    stacked = banded_minhash(sigs, id_col, k, bands)
-    a, b2 = stacked.alias("a"), stacked.alias("b")
-    return (a.join(b2, (F.col("a._band") == F.col("b._band")) &
-                   (F.col("a._sig") == F.col("b._sig")) &
-                   (F.col("a._id") < F.col("b._id")))
-            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_bands_shared")))
+    return lsh_band_pairs(banded_minhash(sigs, id_col, k, bands))
 
 
 @pandas_udf(T.LongType())

@@ -262,3 +262,83 @@ def test_reopen_adopts_persisted_params(spark, tmp_path):
     reopened = DedupIndex(spark, str(tmp_path / "i"), k=16, bands=8, n=5)
     assert (reopened.n, reopened.k, reopened.bands) == (N, K, BANDS)
     assert reopened.id_col == "doc_id"
+
+
+def test_reopen_with_stale_invalid_flags_adopts_persisted_params(
+        spark, tmp_path):
+    """A scheduled job rerun with stale tuning flags (k=5 doesn't even
+    divide bands=2) must NOT wedge a valid on-disk index: validation
+    runs after the persisted-params override."""
+    DedupIndex.create(spark, str(tmp_path / "i"), n=N, k=K, bands=BANDS)
+    reopened = DedupIndex(spark, str(tmp_path / "i"), k=5, bands=2)
+    assert (reopened.n, reopened.k, reopened.bands) == (N, K, BANDS)
+
+
+def test_live_table_without_params_file_refuses(spark, tmp_path):
+    """Signatures written under one (n, k, bands) are unreadable under
+    another — a live index whose params file vanished must refuse to
+    reopen with guessed defaults."""
+    import os
+    idx = _make(spark, tmp_path)
+    os.remove(idx._params_path)
+    with pytest.raises(RuntimeError, match="dedup_params"):
+        DedupIndex(spark, str(tmp_path / "idx"))
+
+
+def test_corpus_sized_batch_runs_without_broadcast(spark, tmp_path):
+    """broadcast_doc_limit=0 forces every batch down the backfill path
+    (no forced broadcast of the changed side) — output must still equal
+    the scratch recompute, and the steady-state broadcast plan assert
+    must not hold here."""
+    idx = DedupIndex.create(spark, str(tmp_path / "idx"),
+                            n=N, k=K, bands=BANDS,
+                            broadcast_doc_limit=0)
+    out = idx.update(_batch(spark, [
+        (1, BASE, 10, "insert"),
+        (2, VAR, 11, "insert"),
+        (3, OTHER, 12, "insert"),
+        (4, BASE + " x", 13, "insert"),
+    ]), 0)
+    final = _docs(spark, [(1, BASE), (2, VAR), (3, OTHER),
+                          (4, BASE + " x")])
+    want = _pairset(minhash_lsh_pairs(final, "doc_id", "text", N, K, BANDS))
+    assert _pairset(out) == want
+    assert _pairset(idx.pairs()) == want
+
+
+def test_refresher_reseeds_when_cursor_snapshot_expired(spark, tmp_path):
+    """A fresh index against a source that already ran expire_snapshots
+    (cursor=0, v0 manifest gone), and an established index whose lag
+    exceeded the source's retention, must RESEED rather than wedge —
+    including retracting docs deleted during the missed window."""
+    from arlas_proc_spark.cdc.dedup_index import DedupIndexRefresher
+    src = _source(spark, tmp_path)
+    src.merge_batch(_src_batch(spark, [
+        (1, "insert", "r1", "a.py", BASE),
+        (2, "insert", "r1", "b.py", VAR),
+        (3, "insert", "r2", "c.py", OTHER)]), 0)
+    src.merge_batch(_src_batch(spark, [
+        (4, "insert", "r3", "d.py", BASE + " too")]), 1)
+    src.merge_batch(_src_batch(spark, [
+        (5, "insert", "r4", "e.py", OTHER + " v2")]), 2)
+    src.expire_snapshots(keep_last=2, orphan_grace_s=0)
+    with pytest.raises(ValueError):
+        src.snapshot_at(0)  # precondition: v0 really expired
+    # fresh refresher: cursor 0, diff impossible -> bootstrap reseed
+    ref = DedupIndexRefresher(spark, str(tmp_path / "ref"), src,
+                              n=N, k=K, bands=BANDS, n_buckets=4)
+    out = ref.refresh()
+    assert out["reseeded"]
+    assert _pairset(ref.pairs()) == _pairset(_recompute(spark, src))
+    # established refresher falls behind retention: miss a window that
+    # includes a DELETE, then reseed must retract it
+    src.merge_batch(_src_batch(spark, [
+        (10, "delete", "r1", "b.py", None),
+        (11, "insert", "r5", "f.py", BASE + " three")]), 3)
+    src.merge_batch(_src_batch(spark, [
+        (12, "update", "r3", "d.py", OTHER + " drifted")]), 4)
+    src.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    out = ref.refresh()
+    assert out["reseeded"]
+    assert _pairset(ref.pairs()) == _pairset(_recompute(spark, src))
+    assert not ref.refresh().get("reseeded")  # caught up again

@@ -958,3 +958,40 @@ def test_orphan_gc_grace_spares_inflight_writer_files(spark, tmp_path):
     res2 = t.expire_snapshots(keep_last=10)
     assert not _os.path.exists(young)
     assert res2["orphan_files_removed"] == 1
+
+
+def test_commit_retries_converge_on_cas_conflict(spark, tmp_path):
+    """merge_batch(commit_retries=N): a writer that loses the snapshot
+    CAS re-merges against the fresh state and converges — both writers'
+    rows land, both batch ids are ledgered exactly once."""
+    from arlas_proc_spark.lake.table import ConcurrentCommitError
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=4)
+    t.merge_batch(_batch(spark, [_ev(1, "insert", "r1", "a.py", "c1",
+                                     "v1")]), 0)
+    rival = LakeTable(spark, str(tmp_path / "t"))
+    rival_batch = _batch(spark, [_ev(2, "insert", "r2", "b.py", "c2",
+                                     "from-rival")])
+    real = t._commit_snapshot
+    fired = []
+
+    def sabotaged(snap, expected_version=None):
+        if not fired:
+            fired.append(True)
+            rival.merge_batch(rival_batch, "rival")  # lands first
+        return real(snap, expected_version=expected_version)
+
+    t._commit_snapshot = sabotaged
+    mine = _batch(spark, [_ev(3, "insert", "r3", "c.py", "c3", "from-me")])
+    # without retries the conflict surfaces
+    with pytest.raises(ConcurrentCommitError):
+        t.merge_batch(mine, "mine")
+    # with retries the loser re-merges and converges
+    fired.clear()
+    t.merge_batch(mine, "mine", commit_retries=2)
+    t._commit_snapshot = real
+    got = {(r.repo, r.path, r.content) for r in t.read().collect()}
+    assert got == {("r1", "a.py", "v1"), ("r2", "b.py", "from-rival"),
+                   ("r3", "c.py", "from-me")}
+    # replay of the retried id is a ledgered no-op
+    assert t.merge_batch(mine, "mine")["skipped"]

@@ -143,3 +143,28 @@ def test_changefeed_rides_publish(spark, tmp_path):
     ch = t.read_change_log(v0, v0 + 1)
     rows = [(r.repo, r.path, r.change_type) for r in ch.collect()]
     assert rows == [("r9", "a.py", "insert")]
+
+
+def test_crashed_stage_leaves_no_truncated_wap_file(spark, tmp_path):
+    """_stage_wap writes tmp-then-link: a writer crash mid-write leaves
+    only an orphan tmp (never a truncated wap-<id>.json), so GC keeps
+    running, the id is restageable, and the aged tmp is swept."""
+    import os
+    t = _make(spark, tmp_path)
+    # simulate the crash window: a half-written stage tmp on disk
+    dead = os.path.join(t.meta_dir, "wap-audit1.json.tmp-deadbeef")
+    with open(dead, "w") as f:
+        f.write('{"version": 3, "buck')  # truncated JSON
+    assert "audit1" not in t.wap_ids()  # tmp never lists as staged
+    # GC neither crashes on it nor treats it as a reference...
+    t.expire_snapshots(keep_last=2)
+    assert os.path.exists(dead)  # ...and spares it within the grace
+    # the id stages fine despite the orphan tmp
+    t.merge_batch(_batch(spark, [(100, "insert", "r9", "n.py", "x")]),
+                  "b-wap", wap_id="audit1")
+    t.publish_wap("audit1")
+    assert t.lookup(repo="r9", path="n.py").count() == 1
+    # an EXPIRED orphan tmp is swept
+    os.utime(dead, (1, 1))
+    t.expire_snapshots(keep_last=2)
+    assert not os.path.exists(dead)

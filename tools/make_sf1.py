@@ -15,10 +15,11 @@ row is a function of (source row, copy index)):
 - ``events.ts`` shifts by ``copy * 17s`` so (user_id, second) stays
   ~unique — otherwise the state-machine queries' dedup would collapse
   the copies right back to sf0.1;
-- ``documents.text`` passes through a per-copy vowel-rotation
-  ``translate`` so copies are real new documents (identical copies
-  would make every doc a 10-member near-dup cluster and blow the
-  pair-join oracles up quadratically);
+- ``documents.text`` passes through a per-copy character-substitution
+  ``translate`` (vowel/consonant/digit rotations on mixed-radix places,
+  distinct for every copy < 250) so copies are real new documents
+  (identical copies would make every doc a 10-member near-dup cluster
+  and blow the pair-join oracles up quadratically);
 - ``embeddings`` get a per-copy constant shift (+copy*0.002) so no two
   copies are cosine-identical (rank ties across engines are the one
   thing the top-k oracles cannot adjudicate);
@@ -35,10 +36,24 @@ import os
 import duckdb
 
 VOWELS = "aeiou"
+CONSONANTS = "rstln"
+DIGITS = "0123456789"
 
 
 def _rot(s: str, i: int) -> str:
     return s[i % len(s):] + s[:i % len(s)]
+
+
+def _sub(i: int) -> tuple[str, str]:
+    """Per-copy character substitution, DISTINCT for every i < 250: the
+    vowel rotation alone cycles every 5 copies (copies 5-9 would be
+    byte-identical to 0-4 — every doc an exact duplicate, which is
+    exactly what this transform exists to prevent), so the consonant and
+    digit alphabets rotate on the higher mixed-radix places."""
+    src = VOWELS + CONSONANTS + DIGITS
+    dst = (_rot(VOWELS, i % 5) + _rot(CONSONANTS, (i // 5) % 5) +
+           _rot(DIGITS, (i // 25) % 10))
+    return src, dst
 
 
 def main() -> None:
@@ -47,6 +62,9 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     a = ap.parse_args()
+    if a.copies > 250:
+        raise SystemExit("--copies > 250 would repeat a substitution "
+                         "(see _sub) and mint exact-duplicate documents")
     os.makedirs(a.out_dir, exist_ok=True)
     con = duckdb.connect()
     src, C = a.src, a.copies
@@ -66,13 +84,17 @@ def main() -> None:
                user_id, event_type, value, props
         FROM '{src}/events.parquet'"""))
 
-    write("documents", fan(lambda i: f"""
+    def _doc_sql(i: int) -> str:
+        s, d = _sub(i)
+        return f"""
         SELECT doc_id + {i} * 10000000 AS doc_id,
-               translate(text, '{VOWELS}', '{_rot(VOWELS, i)}') AS text,
+               translate(text, '{s}', '{d}') AS text,
                lang, source,
-               CAST(length(translate(text, '{VOWELS}',
-                    '{_rot(VOWELS, i)}')) AS BIGINT) AS n_chars
-        FROM '{src}/documents.parquet'"""))
+               CAST(length(translate(text, '{s}', '{d}')) AS BIGINT)
+                   AS n_chars
+        FROM '{src}/documents.parquet'"""
+
+    write("documents", fan(_doc_sql))
 
     write("embeddings", fan(lambda i: f"""
         SELECT vec_id + {i} * 10000000 AS vec_id,
