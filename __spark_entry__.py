@@ -774,6 +774,66 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(d, bench)
 
 
+def q_incremental_contamination(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Incrementally-maintained decontamination flags
+    (cdc/contamination_monitor.py) under the value gate: replay a
+    3-commit document change feed — inserts, text revisions, deletes,
+    and a stale cross-batch update that must LOSE the LWW — into a
+    keyed lake table while a ContaminationMonitor tails its change feed,
+    then emit the monitor's flags. Must equal the one-shot
+    ``contamination_report`` SQL recomputed on the table's FINAL state
+    against the frozen benchmark: the monitor converges while only ever
+    re-shingling each refresh's net-changed docs (batch-sized text pass
+    + broadcast hash-set probe + keyed MERGE — the corpus is never
+    re-scanned)."""
+    from arlas_proc_spark.cdc.contamination_monitor import (
+        ContaminationMonitor,
+    )
+    from pyspark.sql import types as T
+
+    from arlas_proc_spark.lake.table import LakeTable
+    tmp = _scratch_dir("arlas_contmon_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("text", T.StringType(), True)])
+    src = LakeTable.create(spark, f"{tmp}/src", schema, ["doc_id"],
+                           "seq", n_buckets=8)
+    mon = ContaminationMonitor(
+        spark, f"{tmp}/mon", src,
+        benchmark=docs.where(F.col("doc_id") < 20),
+        bench_text_col="text", text_col="text",
+        id_expr="cast(doc_id as string)", n=3, n_buckets=8)
+
+    def ins(df: DataFrame, off: int) -> DataFrame:
+        return df.select(
+            "doc_id", (F.col("doc_id") * 10 + off).alias("seq"), "text",
+            F.lit("insert").alias("op"))
+
+    src.merge_batch(ins(docs.where(F.col("doc_id") % 3 != 2), 0), 0)
+    mon.refresh()
+    revised = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", (F.col("doc_id") * 10 + 2).alias("seq"),
+        F.concat(F.col("text"), F.lit(" revised edition")).alias("text"),
+        F.lit("update").alias("op"))
+    src.merge_batch(ins(docs.where(F.col("doc_id") % 3 == 2), 1)
+                    .unionByName(revised), 1)
+    mon.refresh()
+    deletes = docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", (F.col("doc_id") * 10 + 3).alias("seq"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("delete").alias("op"))
+    stale = docs.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit(1).cast("long").alias("seq"),
+        F.lit("stale update that must lose").alias("text"),
+        F.lit("update").alias("op"))
+    src.merge_batch(deletes.unionByName(stale), 2)
+    mon.refresh()
+    return mon.report()
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-accounting rollup: per (source, lang) document counts,
     whitespace/BPE-ish token totals, and each stratum's share of the
@@ -1313,6 +1373,7 @@ _EXTRA_QUERIES = [
     "locale_doubles", "token_counts", "state_boundaries",
     "time_partition_counts", "course_summary", "gap_sessions",
     "canonical_docs", "embedding_topk_ivf_q8", "packed_sequences",
+    "incremental_contamination",
     # r4: incremental_dedup_pairs SUBSUMES the one-shot minhash_lsh_pairs
     # (same pairs over the final state, PLUS the index maintenance under
     # LWW/delete/replay) — the one-shot moves here, the incremental takes
@@ -1395,6 +1456,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "canonical_docs": q_canonical_docs,
         "incremental_dedup_pairs": q_incremental_dedup_pairs,
+        "incremental_contamination": q_incremental_contamination,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_q8": q_embedding_topk_q8,
@@ -2183,6 +2245,29 @@ def _all_oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 11 <> 0),"
             + _minhash_pairs_sql_over("final_docs")
             + "\n            SELECT id_a, id_b, n_bands_shared FROM mh_pairs"),
+        # the replayed feed's analytic final state: every doc inserted
+        # (both %3 partitions), %7 revised, %11 deleted; the stale
+        # seq=1 update always loses LWW (insert seqs are >= 10, and
+        # doc 0's %7 revision outranks it before its %11 delete)
+        "incremental_contamination": f"""
+            WITH fin AS (SELECT doc_id,
+                                CASE WHEN doc_id % 7 = 0
+                                     THEN text || ' revised edition'
+                                     ELSE text END AS text
+                         FROM documents WHERE doc_id % 11 <> 0),
+            d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+                         coalesce({_SHINGLES}, []) AS sh FROM fin),
+            b AS (SELECT DISTINCT unnest(coalesce({_SHINGLES}, [])) AS s
+                  FROM documents WHERE doc_id < 20),
+            m AS (SELECT doc_key, count(*) AS n_cont
+                  FROM (SELECT doc_key, unnest(sh) AS s FROM d) x
+                  JOIN b USING (s) GROUP BY doc_key)
+            SELECT d.doc_key, CAST(len(d.sh) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(m.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   round(CASE WHEN len(d.sh) > 0
+                         THEN coalesce(m.n_cont, 0) * 1.0 / len(d.sh)
+                         ELSE 0.0 END, 6) AS contamination
+            FROM d LEFT JOIN m USING (doc_key)""",
         "canonical_docs": _canonical_docs_oracle_sql(),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),

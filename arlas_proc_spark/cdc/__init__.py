@@ -5,6 +5,9 @@ from arlas_proc_spark.cdc.engine import (  # noqa: F401
     lww_resolve,
     prepare_events,
 )
+from arlas_proc_spark.cdc.contamination_monitor import (  # noqa: F401
+    ContaminationMonitor,
+)
 from arlas_proc_spark.cdc.dedup_index import (  # noqa: F401
     DedupIndex,
     DedupIndexRefresher,

@@ -97,13 +97,35 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     require_columns(corpus, id_col, text_col)
     bcol = bench_text_col or text_col
     require_columns(benchmark, bcol)
-    bench_sh = (benchmark
-                .select(F.explode(shingles(bcol, n)).alias("_s"))
-                .select(F.md5("_s").alias("_bk")).distinct())
+    bench_sh = benchmark_shingle_hashes(benchmark, bcol, n)
+    return contamination_scores(corpus, bench_sh, id_col, text_col, n)
+
+
+def benchmark_shingle_hashes(benchmark: DataFrame, text_col: str,
+                             n: int = 3) -> DataFrame:
+    """The benchmark set collapsed to its DISTINCT md5 shingle hashes
+    (one column ``_bk``) — the small broadcastable artifact both the
+    one-shot ``contamination_report`` and the incremental
+    ``cdc.contamination_monitor`` score against. Persist it once and the
+    benchmark text never needs re-shingling."""
+    from arlas_proc_spark.operators.text import shingles
+    return (benchmark
+            .select(F.explode(shingles(text_col, n)).alias("_s"))
+            .select(F.md5("_s").alias("_bk")).distinct())
+
+
+def contamination_scores(corpus: DataFrame, bench_hashes: DataFrame,
+                         id_col: str, text_col: str,
+                         n: int = 3) -> DataFrame:
+    """Score ``corpus`` docs against a precomputed benchmark hash set
+    (``_bk`` column, see :func:`benchmark_shingle_hashes`). One copy of
+    the scoring contract — the corpus side explodes map-side and joins
+    the BROADCAST hash set; no corpus shuffle before the per-doc agg."""
+    from arlas_proc_spark.operators.text import shingles
     doc_sh = corpus.select(
         F.col(id_col),
         F.explode_outer(shingles(text_col, n)).alias("_s"))
-    joined = doc_sh.join(F.broadcast(bench_sh),
+    joined = doc_sh.join(F.broadcast(bench_hashes),
                          F.md5(F.col("_s")) == F.col("_bk"), "left")
     return (joined.groupBy(id_col).agg(
         F.count("_s").alias("n_shingles"),

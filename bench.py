@@ -229,7 +229,7 @@ def main() -> None:
                  "doc_chunks", "boilerplate_chunks", "pii_scrub",
                  "contamination", "repetition_stats", "embedding_topk_q8",
                  "embedding_topk_ivf_q8", "canonical_docs",
-                 "incremental_dedup_pairs"]:
+                 "incremental_dedup_pairs", "incremental_contamination"]:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
