@@ -1015,6 +1015,60 @@ class LakeTable(TableIO):
                 if attempt > commit_retries:
                     raise
 
+    def delete_where(self, condition, batch_id: int | str, *,
+                     filters: list[tuple] | None = None,
+                     commit_retries: int = 0, **kwargs) -> dict:
+        """Predicate delete over the CURRENT live state (retention /
+        GDPR erasure — Iceberg ``DELETE FROM t WHERE …``): every live
+        row matching ``condition`` (a Column or SQL string) is
+        tombstoned in one exactly-once merge commit.
+
+        Out-of-band rank: the WAL is the source of truth, so the
+        tombstone must out-rank the victim's stored event AND any
+        at-least-once re-delivery of it, while still losing to any
+        genuinely later event. With a ``commit`` tie-break column the
+        tombstone reuses the victim's seq and appends ``'~'`` (ASCII
+        0x7E, > every hex digit) to its commit — strictly above the
+        victim at the same seq, strictly below seq+1. Without one it
+        must take seq+1 (the only rank above the victim), which
+        occupies that seq slot: a later WAL event AT exactly seq+1
+        would tie and lose, so feeds without a commit column should
+        not interleave out-of-band deletes with in-flight events.
+
+        ``filters`` — optional (col, op, value) triples handed to
+        :meth:`read` for manifest min/max file pruning, so a retention
+        delete (e.g. ``[('ts', '<', cutoff)]``) plans a scan over only
+        the files that can hold victims. ``condition`` is still applied
+        row-wise — filters need not be equivalent, only implied.
+
+        Rows whose key is already tombstoned are untouched (the read is
+        of live rows). Returns the merge metrics (``rows_deleted`` =
+        victims). All merge kwargs (wap_id, ledger_scope,
+        set_properties, …) pass through."""
+        snap = self.snapshot()
+        key_cols, seq_col = snap["key_cols"], snap["seq_col"]
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        has_commit = any(f["name"] == "commit"
+                         for f in snap["schema"]["fields"])
+        victims = self.read(filters=filters).where(cond)
+        if has_commit:
+            victims = victims.withColumn(
+                "commit", F.concat(F.coalesce(F.col("commit"), F.lit("")),
+                                   F.lit("~")))
+        else:
+            victims = victims.withColumn(
+                seq_col, F.coalesce(F.col(seq_col) + F.lit(1),
+                                    F.lit(0).cast("long")))
+        cols = [*key_cols, seq_col] + (["commit"] if has_commit else [])
+        op_col = kwargs.get("op_col", "op")
+        delete_value = kwargs.get("delete_value", "delete")
+        batch = victims.select(*cols).withColumn(
+            op_col, F.lit(delete_value))
+        # live state holds ≤1 row per key, so the batch is pre-compacted
+        return self.merge_batch(batch, batch_id,
+                                commit_retries=commit_retries,
+                                batch_compacted=True, **kwargs)
+
     def _merge_batch_attempt(
             self, batch: DataFrame, batch_id: int | str, *,
             op_col: str = "op", delete_value: str = "delete",
@@ -1025,6 +1079,7 @@ class LakeTable(TableIO):
             ledger_scope: str = "default",
             extra_metrics: dict | None = None,
             additive_cols: list[str] | None = None,
+            patch_cols: list[str] | None = None,
             delete_condition=None,
             set_properties: dict | None = None,
             wap_id: str | None = None) -> dict:
@@ -1069,6 +1124,27 @@ class LakeTable(TableIO):
         satisfy it is deleted (e.g. a counter folding to zero) — only
         knowable POST-merge, which is why it is not an op value.
 
+        ``patch_cols``: columns merged as SPARSE UPDATES (Iceberg
+        ``MERGE … UPDATE SET col``, Debezium partial events): a null
+        batch value means "unchanged" and inherits the prior value
+        instead of overwriting with null. The in-batch fold is
+        event-level, not winner-row-level — per key the merged value is
+        the latest non-null value by (seq, commit) among the batch's
+        events, falling back to the table's stored value; an in-batch
+        delete resets inheritance (events at-or-before the latest
+        delete, and the pre-batch stored value, never leak through it),
+        as does a stored tombstone (a revived key starts fresh).
+        Consequences, documented and tested: (a) a patch column can
+        never be explicitly set TO null — that is inherent to
+        null-means-unchanged encodings; (b) batches must be applied in
+        per-key non-decreasing event order (the ordered-WAL contract) —
+        a batch whose winner loses LWW is discarded whole, including
+        its patch contributions, so cross-batch reordering of a key's
+        events is NOT reconciled the way full-row LWW reconciles it;
+        within a batch, event order is irrelevant (the fold is
+        order-free). Incompatible with ``batch_compacted`` (the fold IS
+        the compaction) and disjoint from ``additive_cols``.
+
         Semantics (Iceberg ``MERGE INTO t USING s ON key``):
           WHEN MATCHED AND s.seq > t.seq AND s.op =  'delete' THEN DELETE
           WHEN MATCHED AND s.seq > t.seq AND s.op <> 'delete' THEN UPDATE *
@@ -1108,6 +1184,26 @@ class LakeTable(TableIO):
             raise ValueError(
                 f"batch is missing key column(s) {missing_keys}; key "
                 f"columns are required on every batch")
+
+        if patch_cols:
+            if batch_compacted:
+                raise ValueError(
+                    "patch_cols requires the merge's own in-batch fold; "
+                    "batch_compacted=True bypasses it")
+            reserved = set(key_cols) | {seq_col, op_col, "commit"}
+            bad = [c for c in patch_cols if c in reserved]
+            if bad:
+                raise ValueError(
+                    f"patch_cols may not include key/seq/commit/op "
+                    f"columns: {bad}")
+            absent = [c for c in patch_cols if c not in batch.columns]
+            if absent:
+                raise ValueError(
+                    f"patch_cols {absent} not present in the batch")
+            overlap = sorted(set(patch_cols) & set(additive_cols or []))
+            if overlap:
+                raise ValueError(
+                    f"columns cannot be both additive and patch: {overlap}")
 
         # 1. schema evolution: batch columns (minus op) vs live schema
         batch_data_schema = StructType(
@@ -1154,9 +1250,40 @@ class LakeTable(TableIO):
         if not batch_compacted:
             ord_first = [seq_col] + (["commit"] if "commit" in resolved.columns else [])
             ordered = ord_first + [c for c in resolved.columns if c not in ord_first]
-            resolved = (resolved.groupBy(*key_cols)
-                        .agg(F.max(F.struct(*ordered)).alias("_w"))
-                        .select("_w.*").select(*resolved.columns))
+            aggs = [F.max(F.struct(*ordered)).alias("_w")]
+            if patch_cols:
+                # event-level fold (see docstring): alongside the winner
+                # row, the SAME aggregation pass carries (a) the latest
+                # in-batch delete's (seq, commit) and (b) per patch column
+                # the latest non-null value's (seq, commit, value). The
+                # latest-non-null-overall IS the latest-non-null-after-the-
+                # delete whenever it ranks above the delete, so one max per
+                # column suffices — no second pass, no window.
+                ok = [F.col(seq_col).alias("s"),
+                      (F.col("commit") if "commit" in resolved.columns
+                       else F.lit("")).alias("c")]
+                aggs.append(F.max(F.when(
+                    F.col(op_col) == F.lit(delete_value),
+                    F.struct(*ok))).alias("_ld"))
+                for c in patch_cols:
+                    aggs.append(F.max(F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(*ok, F.col(c).alias("v"))))
+                        .alias(f"_pf_{c}"))
+            compacted = resolved.groupBy(*key_cols).agg(*aggs)
+            if patch_cols:
+                def _folded(c):
+                    p = F.col(f"_pf_{c}")
+                    rank = F.struct(p["s"].alias("s"), p["c"].alias("c"))
+                    live = F.col("_ld").isNull() | (rank > F.col("_ld"))
+                    return F.when(p.isNotNull() & live, p["v"])
+                resolved = compacted.select(
+                    *[(_folded(c) if c in patch_cols
+                       else F.col(f"_w.{c}")).alias(c)
+                      for c in resolved.columns],
+                    F.col("_ld").isNotNull().alias("_had_del"))
+            else:
+                resolved = compacted.select("_w.*").select(*resolved.columns)
 
         # 5. MERGE: current state (incl. delete tombstones — they out-rank
         #    later-arriving stale inserts) FULL OUTER JOIN batch on the key.
@@ -1179,7 +1306,9 @@ class LakeTable(TableIO):
 
         incoming = resolved.select(
             *[_in_col(f).alias(f"_n_{f.name}") for f in table_schema.fields],
-            F.col(op_col).alias(f"_n_{op_col}"))
+            F.col(op_col).alias(f"_n_{op_col}"),
+            (F.col("_had_del") if patch_cols else F.lit(False))
+            .alias("_n__had_del"))
         existing = cur.select(
             *[F.col(f.name).alias(f"_e_{f.name}") for f in table_schema.fields],
             F.coalesce(F.col(_TOMB), F.lit(False)).alias(f"_e_{_TOMB}"))
@@ -1243,6 +1372,16 @@ class LakeTable(TableIO):
                 summed = (F.coalesce(e_val, zero)
                           + F.coalesce(F.col(f"_n_{f.name}"), zero))
                 return F.when(use_new, summed) \
+                        .otherwise(F.col(f"_e_{f.name}"))
+            if patch_cols and f.name in patch_cols:
+                # sparse update: null batch value inherits the stored
+                # value — unless an in-batch delete or a stored tombstone
+                # sits between them (a revived key starts fresh)
+                inherit = F.when(
+                    ~F.col(f"_e_{_TOMB}") & ~F.col("_n__had_del"),
+                    F.col(f"_e_{f.name}"))
+                return F.when(use_new,
+                              F.coalesce(F.col(f"_n_{f.name}"), inherit)) \
                         .otherwise(F.col(f"_e_{f.name}"))
             return F.when(use_new, F.col(f"_n_{f.name}")) \
                     .otherwise(F.col(f"_e_{f.name}"))
