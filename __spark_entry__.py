@@ -240,6 +240,37 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256")
 
 
+def q_cdc_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-update CDC replay (merge_batch(patch_cols=...)): the feed's
+    update events carry null lang/content on a deterministic cadence
+    (null = "unchanged", Debezium partial events / Iceberg MERGE …
+    UPDATE SET col); replay in four in-order seq-range batches and read
+    the final state. The merged value per key+column must be the latest
+    non-null by (seq, commit), with deletes resetting inheritance —
+    checked against a DuckDB fold over the identical feed."""
+    from arlas_proc_spark.lake.table import LakeTable
+    tmp = _scratch_dir("arlas_patchrep_")
+    feed = changefeed_df(spark, N_FEED)
+    sparse = (feed
+              .withColumn("lang", F.when(
+                  (F.col("op") == "update") & (F.col("seq") % 3 == 0),
+                  F.lit(None).cast("string")).otherwise(F.col("lang")))
+              .withColumn("content", F.when(
+                  (F.col("op") == "update") & (F.col("seq") % 5 == 0),
+                  F.lit(None).cast("string")).otherwise(F.col("content"))))
+    t = LakeTable.create(spark, f"{tmp}/table",
+                         sparse.drop("op").schema, ["repo", "path"],
+                         "seq", n_buckets=8)
+    q = N_FEED // 4
+    for i in range(4):
+        lo, hi = i * q, (i + 1) * q if i < 3 else N_FEED
+        t.merge_batch(
+            sparse.where((F.col("seq") >= lo) & (F.col("seq") < hi)),
+            i, patch_cols=["lang", "content"], collect_metrics=False)
+    return t.read().select("repo", "path", "commit", "seq", "ts_s",
+                           "lang", "content")
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change feed OUT of the lake (the downstream half of the
     CDC loop): apply the feed in two batches, then read the
@@ -1379,6 +1410,9 @@ _EXTRA_QUERIES = [
     # LWW/delete/replay) — the one-shot moves here, the incremental takes
     # its graded slot; the pair SQL also stays graded via dedup_clusters
     "minhash_lsh_pairs",
+    # r4: sparse-update (patch_cols) replay — oracle-checked event-level
+    # fold with delete-reset semantics
+    "cdc_patch_replay",
 ]
 
 
@@ -1402,6 +1436,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_patch_replay": q_cdc_patch_replay,
         "cdc_ivm_lang_stats": q_cdc_ivm_lang_stats,
         "cdc_replicated": q_cdc_replicated,
         "cdc_repo_stats": q_cdc_repo_stats,
@@ -1688,6 +1723,47 @@ def _canonical_docs_oracle_sql() -> str:
         "FROM comp JOIN cleaned cl ON comp.doc_id = cl.doc_id")
 
 
+def _patch_replay_oracle_sql() -> str:
+    """Global event-level patch fold in SQL, mirroring
+    q_cdc_patch_replay: per key the winner row by (seq, commit); per
+    patch column the latest NON-NULL value by (seq, commit), kept only
+    if it ranks above the key's latest delete (nothing leaks through a
+    deletion). In-order seq-range batching makes the engine's per-batch
+    fold + inheritance equal this single global fold (pinned by
+    tests/test_lake_patch.py's split-equivalence test)."""
+    feed = changefeed_sql(N_FEED, dialect="duckdb")
+    ranked = ("SELECT f.*, row_number() OVER (PARTITION BY repo, path "
+              "ORDER BY seq DESC, commit DESC) AS rn FROM f")
+    return f"""
+WITH f0 AS ({feed}),
+f AS (SELECT seq, op, repo, path, commit, ts_s,
+        CASE WHEN op = 'update' AND seq % 3 = 0 THEN NULL ELSE lang END AS lang,
+        CASE WHEN op = 'update' AND seq % 5 = 0 THEN NULL ELSE content END AS content
+      FROM f0),
+win AS (SELECT repo, path, seq, commit, ts_s, op
+        FROM ({ranked}) r WHERE rn = 1),
+ld AS (SELECT repo, path, max(ROW(seq, commit)) AS r FROM f
+       WHERE op = 'delete' GROUP BY repo, path),
+pl AS (SELECT repo, path, lang AS v, ROW(seq, commit) AS r FROM (
+        SELECT * FROM (SELECT f.*, row_number() OVER (PARTITION BY repo, path
+          ORDER BY seq DESC, commit DESC) AS rn FROM f WHERE lang IS NOT NULL) q
+        WHERE rn = 1) s),
+pc AS (SELECT repo, path, content AS v, ROW(seq, commit) AS r FROM (
+        SELECT * FROM (SELECT f.*, row_number() OVER (PARTITION BY repo, path
+          ORDER BY seq DESC, commit DESC) AS rn FROM f WHERE content IS NOT NULL) q
+        WHERE rn = 1) s)
+SELECT w.repo, w.path, w.commit, w.seq, w.ts_s,
+  CASE WHEN pl.r IS NOT NULL AND (ld.r IS NULL OR pl.r > ld.r)
+       THEN pl.v END AS lang,
+  CASE WHEN pc.r IS NOT NULL AND (ld.r IS NULL OR pc.r > ld.r)
+       THEN pc.v END AS content
+FROM win w LEFT JOIN ld USING (repo, path)
+           LEFT JOIN pl USING (repo, path)
+           LEFT JOIN pc USING (repo, path)
+WHERE w.op <> 'delete'
+"""
+
+
 def _pii_oracle_sql() -> str:
     from arlas_proc_spark.operators.text import PII_PATTERNS
     em, ip, num = (p for p, _ in PII_PATTERNS)
@@ -1764,6 +1840,7 @@ def _all_oracle_sql() -> dict[str, str]:
             f"AND path = 'src/f_00000.py'"),
         "cdc_mor_replay": final,
         "cdc_replicated": final,
+        "cdc_patch_replay": _patch_replay_oracle_sql(),
         "cdc_change_feed": f"""
             WITH w1 AS (
               SELECT * FROM (
