@@ -70,7 +70,8 @@ class CdcEngine:
                  quarantine_dir: str | None = None,
                  table_io=None,
                  changefeed: bool = False,
-                 bloom_bits_per_key: int = 0):
+                 bloom_bits_per_key: int = 0,
+                 patch_cols: list[str] | None = None):
         """``broadcast_key_limit``: batches touching more distinct keys
         than this fall back from the broadcast join-back to the wide-argmax
         compaction — the winner set must fit in every executor for a
@@ -102,7 +103,19 @@ class CdcEngine:
         analog: ``filter/WithOutliersToStore.scala:40-94`` — flagged
         rows go to a separate keyed store, never silently dropped. When
         unset (default), a null key fails the batch loudly (strict WAL
-        contract)."""
+        contract).
+
+        ``patch_cols``: treat these payload columns as SPARSE UPDATES
+        (null = "unchanged" — Debezium partial events); the merge folds
+        each to its latest non-null value per key with delete-reset
+        semantics (LakeTable.merge_batch(patch_cols=...)). 'content' in
+        the set implies 'content_sha256' (the derived invariant must
+        fold WITH its base column — same null pattern, same donor
+        event). Requires write_mode='cow' (read-time LWW resolves whole
+        rows, so 'mor' appends cannot fold columns), and disables the
+        winners-broadcast fast path: losers may donate column values,
+        so every event crosses prepare_events and the merge's own
+        event-level fold does the compaction."""
         self.spark = spark
         self.quarantine_dir = quarantine_dir
         self.vectorized = vectorized_udfs
@@ -114,6 +127,15 @@ class CdcEngine:
             raise ValueError(f"write_mode must be 'cow' or 'mor', "
                              f"got {write_mode!r}")
         self.write_mode = write_mode
+        if patch_cols and write_mode == "mor":
+            raise ValueError(
+                "patch_cols requires write_mode='cow': merge-on-read "
+                "resolves whole rows at read time and cannot fold "
+                "column-level sparse updates")
+        self.patch_cols = list(patch_cols) if patch_cols else None
+        if self.patch_cols and "content" in self.patch_cols \
+                and "content_sha256" not in self.patch_cols:
+            self.patch_cols.append("content_sha256")
         # TableIO seam (SURVEY §7.1 Plan A): inject any TableIO —
         # e.g. lake.iceberg.IcebergTableIO over a real Iceberg runtime —
         # instead of the bundled snapshot backend
@@ -255,7 +277,13 @@ class CdcEngine:
                 return self.table.commit_empty_batch(
                     batch_id, scope=self.ledger_scope,
                     extra_metrics=extra_metrics)
-            if n_keys > self.broadcast_key_limit:
+            if self.patch_cols:
+                # sparse feed: losing events may donate column values, so
+                # no pre-merge compaction — prepare every event (sha256 of
+                # a null content is null, so the derived column folds with
+                # its base) and let the merge's event-level fold compact
+                compacted = events
+            elif n_keys > self.broadcast_key_limit:
                 compacted = lww_compact(events, strategy="agg")
             else:
                 compacted = lww_compact(events, winners=winners)
@@ -280,7 +308,9 @@ class CdcEngine:
                         prepared, batch_id,
                         collect_metrics=self.collect_metrics,
                         assume_all_buckets=assume_all_buckets,
-                        touched_buckets=touched, batch_compacted=True,
+                        touched_buckets=touched,
+                        batch_compacted=not self.patch_cols,
+                        patch_cols=self.patch_cols,
                         ledger_scope=self.ledger_scope,
                         extra_metrics=extra_metrics)
                 except ConcurrentCommitError as e:

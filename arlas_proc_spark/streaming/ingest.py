@@ -48,7 +48,8 @@ class StreamingIngest:
                  bloom_bits_per_key: int = 0,
                  views: list | None = None,
                  changefeed: bool = False,
-                 state_partitions: int | None = None):
+                 state_partitions: int | None = None,
+                 patch_cols: list[str] | None = None):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -88,7 +89,11 @@ class StreamingIngest:
         Ignored when resuming an existing checkpoint (partitioning is
         already pinned there). ``run_to_completion`` always restores the
         session conf; a continuous ``start()`` stopped before its first
-        micro-batch leaves it lowered until the next start/batch."""
+        micro-batch leaves it lowered until the next start/batch.
+        ``patch_cols``: ingest the WAL as SPARSE updates (null payload
+        = "unchanged"; see CdcEngine) — cow mode only. Stream dedup by
+        (key, commit) stays safe: re-deliveries are identical rows, so
+        dropping one never drops a column donor."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -97,12 +102,14 @@ class StreamingIngest:
         self.quarantine_dir = quarantine_dir
         self.changefeed = changefeed
         self.bloom_bits_per_key = bloom_bits_per_key
+        self.patch_cols = list(patch_cols) if patch_cols else None
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
                                 collect_metrics=collect_metrics,
                                 write_mode=write_mode,
                                 quarantine_dir=quarantine_dir,
                                 changefeed=changefeed,
-                                bloom_bits_per_key=bloom_bits_per_key)
+                                bloom_bits_per_key=bloom_bits_per_key,
+                                patch_cols=patch_cols)
         self.watermark = watermark
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
@@ -144,7 +151,8 @@ class StreamingIngest:
                 write_mode=self.write_mode,
                 quarantine_dir=self.quarantine_dir,
                 changefeed=self.changefeed,
-                bloom_bits_per_key=self.bloom_bits_per_key)
+                bloom_bits_per_key=self.bloom_bits_per_key,
+                patch_cols=self.patch_cols)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             # state_partitions: batch 0's stateful planning (which pinned
