@@ -122,20 +122,29 @@ _LANG_CANON_SQL = _lang_canon_sql()
 
 # DuckDB token/shingle snippets (documents.text)
 _TOKS = r"string_split_regex(trim(text), '\s+')"
-_SHINGLES = (
-    f"list_distinct(list_transform("
-    f"generate_series(1, greatest(len({_TOKS}) - 2, 0)), "
-    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+# shingles over a pre-bound `toks` column: every oracle stages
+# `{_TOKS} AS toks` in a wrapping subquery first. Inlining _TOKS into
+# the lambda would re-run the regex split per list element (3 splits ×
+# ~n shingles per doc) — measured 40× slower at sf1's 50k docs (98.8s
+# → 2.5s for the shingle pass alone). Same expressions, same result.
+_SHINGLES_T = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 
 def _minhash_pairs_sql_over(src: str, text_col: str = "text") -> str:
     """MinHash-LSH candidate-pair SQL over any (doc_id, <text_col>)
     source — the pairs/cluster oracles run it over ``documents`` and the
     canonical-election oracle over the boilerplate-cleaned CTE."""
+    # toks is bound ONCE in a subquery: inlining the regex split into
+    # the shingle lambda re-splits the text per element (3 splits ×
+    # ~n shingles per doc) — measured 40× slower at sf1 (98.8s → 2.5s
+    # for the shingle pass alone). Same expressions, same result.
     toks = rf"string_split_regex(trim({text_col}), '\s+')"
-    sh = (f"list_distinct(list_transform("
-          f"generate_series(1, greatest(len({toks}) - 2, 0)), "
-          f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))")
+    sh = ("list_distinct(list_transform("
+          "generate_series(1, greatest(len(toks) - 2, 0)), "
+          "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))")
     return f"""
             sig AS (
               SELECT doc_id,
@@ -143,7 +152,8 @@ def _minhash_pairs_sql_over(src: str, text_col: str = "text") -> str:
                      list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS m1,
                      list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS m2,
                      list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS m3
-              FROM (SELECT doc_id, {sh} AS sh FROM {src}) d),
+              FROM (SELECT doc_id, {sh} AS sh
+                    FROM (SELECT doc_id, {toks} AS toks FROM {src}) t0) d),
             banded AS (
               -- concat_ws, NOT concat: Spark's concat_ws skips the NULL
               -- minhashes of shingle-less docs (empty/short/cleaned-to-
@@ -2207,8 +2217,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "boilerplate_chunks": _boilerplate_oracle_sql(),
         "pii_scrub": _pii_oracle_sql(),
         "contamination": f"""
-            WITH d AS (SELECT doc_id, coalesce({_SHINGLES}, []) AS sh
-                       FROM documents),
+            WITH d AS (SELECT doc_id, coalesce({_SHINGLES_T}, []) AS sh
+                       FROM (SELECT doc_id, {_TOKS} AS toks
+                             FROM documents) _tk),
             b AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id < 20),
             m AS (SELECT doc_id, count(*) AS n_cont
                   FROM (SELECT doc_id, unnest(sh) AS s FROM d) x
@@ -2272,9 +2283,9 @@ def _all_oracle_sql() -> dict[str, str]:
                   WHERE text IS NOT NULL) d
             GROUP BY sha256(prefix) HAVING COUNT(*) > 1""",
         "doc_fingerprint": f"""
-            SELECT doc_id, list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min')
+            SELECT doc_id, list_aggregate(list_transform({_SHINGLES_T}, s -> md5(s)), 'min')
                    AS fingerprint
-            FROM documents""",
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) _tk""",
         # deterministic sampling: both engines compare the SAME md5-hex
         # draw against the SAME precomputed threshold constants
         # (fraction_threshold_hex: 0.25→'40000000', 0.5→'80000000',
@@ -2311,7 +2322,8 @@ def _all_oracle_sql() -> dict[str, str]:
                    list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS m1,
                    list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS m2,
                    list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS m3
-            FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents) d""",
+            FROM (SELECT doc_id, {_SHINGLES_T} AS sh
+                  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) _tk) d""",
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         # the incremental index must converge to the one-shot LSH SQL
         # recomputed from scratch over the replay's FINAL doc state
@@ -2333,9 +2345,11 @@ def _all_oracle_sql() -> dict[str, str]:
                                      ELSE text END AS text
                          FROM documents WHERE doc_id % 11 <> 0),
             d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_key,
-                         coalesce({_SHINGLES}, []) AS sh FROM fin),
-            b AS (SELECT DISTINCT unnest(coalesce({_SHINGLES}, [])) AS s
-                  FROM documents WHERE doc_id < 20),
+                         coalesce({_SHINGLES_T}, []) AS sh
+                  FROM (SELECT doc_id, {_TOKS} AS toks FROM fin) _tk),
+            b AS (SELECT DISTINCT unnest(coalesce({_SHINGLES_T}, [])) AS s
+                  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                        WHERE doc_id < 20) _tk2),
             m AS (SELECT doc_key, count(*) AS n_cont
                   FROM (SELECT doc_key, unnest(sh) AS s FROM d) x
                   JOIN b USING (s) GROUP BY doc_key)
@@ -2389,8 +2403,9 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b
               ON (a.s >> 56) = (b.s >> 56) AND a.doc_id < b.doc_id""",
         "ngram_jaccard_pairs": f"""
-            WITH d AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents
-                       WHERE doc_id < 200),
+            WITH d AS (SELECT doc_id, {_SHINGLES_T} AS sh
+                       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                             WHERE doc_id < 200) _tk),
             ex AS (SELECT doc_id AS _id, unnest(sh) AS _sh FROM d),
             sizes AS (SELECT _id, COUNT(*) AS _sz FROM ex GROUP BY _id),
             inter AS (SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS _i
