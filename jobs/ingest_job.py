@@ -64,10 +64,22 @@ def main() -> None:
                          "store (fewer = less per-batch commit overhead "
                          "at small triggers; pinned into the checkpoint "
                          "at first start)")
+    ap.add_argument("--patch-cols", default=None, metavar="COL[,COL...]",
+                    help="ingest the WAL as SPARSE updates: a null value "
+                         "in these payload columns means 'unchanged' and "
+                         "inherits the stored value (Debezium partial "
+                         "events; cow mode only — 'content' implies its "
+                         "derived content_sha256)")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --wal first (demo)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    patch_cols = ([c.strip() for c in args.patch_cols.split(",")]
+                  if args.patch_cols else None)
+    if patch_cols and args.write_mode == "mor":
+        ap.error("--patch-cols requires --write-mode cow: merge-on-read "
+                 "resolves whole rows at read time and cannot fold "
+                 "column-level sparse updates")
     if args.write_mode == "mor" and args.changefeed:
         ap.error("--write-mode mor cannot be combined with --changefeed: "
                  "merge-on-read commits emit no change rows, so CDF "
@@ -87,7 +99,8 @@ def main() -> None:
                           write_mode=args.write_mode,
                           compact_every=args.compact_every,
                           changefeed=args.changefeed,
-                          state_partitions=args.state_partitions)
+                          state_partitions=args.state_partitions,
+                          patch_cols=patch_cols)
     if args.continuous:
         q = ing.start(args.wal, args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger,

@@ -60,17 +60,34 @@ def main() -> None:
                          "of the key (ZORDER-style layout for range "
                          "pruning); applies to --compact-over and "
                          "--rebucket rewrites")
+    ap.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
+                    help="tombstone every live row matching this SQL "
+                         "predicate (retention / GDPR erasure), e.g. "
+                         "\"ts_s < 1700000000\"; one exactly-once merge "
+                         "commit, idempotent per --delete-batch-id")
+    ap.add_argument("--delete-batch-id", default=None,
+                    help="exactly-once id for --delete-where (required "
+                         "with it; re-running the same id is a no-op)")
     ap.add_argument("--set-tag", default=None, metavar="NAME[=VERSION]",
                     help="pin a snapshot under a name (GC-protected "
                          "until dropped); bare NAME pins CURRENT")
     ap.add_argument("--drop-tag", default=None, metavar="NAME")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if (args.delete_where is None) != (args.delete_batch_id is None):
+        ap.error("--delete-where and --delete-batch-id go together: the "
+                 "id is what makes the retention delete exactly-once "
+                 "across reruns")
 
     spark = build_session(app_name="cdc-maintenance", master=args.master)
     t = LakeTable(spark, args.table)
     report: dict = {"table": args.table,
                     "version_before": t.snapshot()["version"]}
+    if args.delete_where is not None:
+        # retention runs BEFORE compaction so the same maintenance pass
+        # can fold the tombstones it just wrote
+        report["delete_where"] = t.delete_where(
+            args.delete_where, args.delete_batch_id, commit_retries=2)
     if args.compact_over is not None or args.target_file_rows is not None:
         # --target-file-rows alone still compacts (its help text promises
         # oversize buckets become victims); an omitted --compact-over
