@@ -99,6 +99,33 @@ def main() -> None:
         extras["cdc_mor_incremental_events_per_sec"] = round(
             n_events / 10 / best_mor, 1)
 
+        # --- sparse-update incremental (patch_cols): the same 10% batch
+        #     with payload columns nulled on a cadence, through the
+        #     event-level fold (no winners-broadcast compaction; every
+        #     event crosses the Arrow sha — the cost of sparse feeds) ---
+        from pyspark.sql import functions as F
+        best_patch = float("inf")
+        for r in range(reps):
+            peng = CdcEngine(spark, f"{tmp}/table{r}", n_buckets=cpus,
+                             collect_metrics=False,
+                             patch_cols=["lang", "content"])
+            pinc = changefeed_df(spark, n_events // 10,
+                                 parallelism=cpus, **GEN)
+            pinc = (pinc
+                    .withColumn("lang", F.when(
+                        F.col("seq") % 3 == 0,
+                        F.lit(None).cast("string")).otherwise(F.col("lang")))
+                    .withColumn("content", F.when(
+                        F.col("seq") % 5 == 0,
+                        F.lit(None).cast("string")).otherwise(F.col("content")))
+                    .withColumn("seq", F.col("seq") + 2 * n_events))
+            t0 = time.time()
+            peng.apply_batch(pinc, "inc-patch")
+            best_patch = min(best_patch, time.time() - t0)
+        timings["cdc_patch_incremental"] = round(best_patch, 3)
+        extras["cdc_patch_incremental_events_per_sec"] = round(
+            n_events / 10 / best_patch, 1)
+
         # --- incremental view maintenance over the merge-emitted change
         #     log: fold a micro-batch into a per-(repo,lang) rollup in
         #     O(delta), vs the alternative a consumer without IVM runs
