@@ -555,9 +555,15 @@ class LakeTable(TableIO):
             if sel is None or b in sel:
                 for e in snap["buckets"][b]:
                     # manifest min/max first (free dict math), bloom
-                    # second (a sidecar read per surviving file)
-                    if not _entry_may_match(
-                            e, key_filters if b in mor else filters):
+                    # second (a sidecar read per surviving file). Stats
+                    # are keyed by at-write column names — translate
+                    # current-name filters back through any renames
+                    # newer than the file.
+                    flt = key_filters if b in mor else filters
+                    if snap.get("rename_log"):
+                        flt = _filters_at(flt, e.get("schema_v", 0),
+                                          snap["rename_log"])
+                    if not _entry_may_match(e, flt):
                         continue
                     if probe is not None and \
                             not self._bloom_contains(e, probe, bloom_cache):
@@ -579,6 +585,8 @@ class LakeTable(TableIO):
                 scan_schema = StructType(list(file_schema.fields) +
                                          [StructField(_TOMB, BooleanType(), True)])
                 df = self.spark.read.schema(scan_schema).parquet(*paths)
+                df = _apply_renames(df, int(sv),
+                                    snap.get("rename_log", []))
                 parts.append(align_to_schema(df, tomb_schema))
             return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -858,6 +866,64 @@ class LakeTable(TableIO):
     def tags(self) -> dict[str, int]:
         return dict(self.snapshot().get("tags", {}))
 
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column rename (Iceberg ``ALTER TABLE … RENAME
+        COLUMN``): one snapshot commit, zero data rewritten. Files
+        written before the rename keep the old parquet column name and
+        are projected forward at read time through the snapshot's
+        rename log (the name-mapping analog of Iceberg's field-id
+        indirection); manifest min/max pruning translates current-name
+        filters back to each file's at-write names. Key/seq/stats
+        column lists follow the rename — bucket assignment hashes
+        VALUES, so renaming a key column never moves a row.
+
+        Time travel is exact: each snapshot carries only the renames
+        committed at or before it, so ``read_version`` of an older
+        version shows the old name. After the rename, batches must use
+        the NEW name — a batch still carrying a retired name fails
+        loudly (it would otherwise evolve the old name back in as a
+        fresh null-filled column and silently fork the data).
+
+        Reference analog: the reference renames columns eagerly with
+        ``withColumnRenamed`` per frame (transform/WithCols.scala-style
+        lineage); a lake table must do it in metadata or rewrite
+        everything."""
+        if old == new:
+            raise ValueError("rename_column: old and new are identical")
+        if new in (_TOMB, _BUCKET) or new.startswith("_"):
+            raise ValueError(f"rename_column: {new!r} is reserved "
+                             f"(underscore-prefixed names are internal)")
+
+        def _mut(snap: dict) -> tuple[dict, bool]:
+            schema = StructType.fromJson(snap["schema"])
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"rename_column: no column {old!r} "
+                                 f"(have {names})")
+            if new in names:
+                raise ValueError(f"rename_column: column {new!r} "
+                                 f"already exists")
+            new_schema = StructType([
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old else f for f in schema.fields])
+            sv = max(int(v) for v in snap["schemas"]) + 1
+            snap["schemas"][str(sv)] = json.loads(new_schema.json())
+            snap["schema"] = json.loads(new_schema.json())
+            log = list(snap.get("rename_log", []))
+            log.append({"from": old, "to": new, "schema_v": sv})
+            snap["rename_log"] = log
+            snap["key_cols"] = [new if k == old else k
+                                for k in snap["key_cols"]]
+            if snap.get("seq_col") == old:
+                snap["seq_col"] = new
+            if snap.get("stats_cols"):
+                snap["stats_cols"] = [new if c == old else c
+                                      for c in snap["stats_cols"]]
+            return {"renamed": {"from": old, "to": new},
+                    "schema_v": sv, "version": snap["version"] + 1}, True
+
+        return self._metadata_commit(_mut)
+
     def set_bloom_bits(self, bits_per_key: int) -> dict:
         """Change the table's bloom-sidecar density (metadata-only commit).
         Takes effect on FUTURE data commits: every write path reads the
@@ -945,9 +1011,14 @@ class LakeTable(TableIO):
         kc, seq_col = s2["key_cols"], s2["seq_col"]
         tomb_schema = StructType(list(table_schema.fields) +
                                  [StructField(_TOMB, BooleanType(), True)])
-        old = align_to_schema(
-            self.read(buckets=changed, snapshot=s1, with_tombstones=True),
-            tomb_schema)
+        # a rename between the snapshots leaves the from-side frame under
+        # its old names — project it forward before aligning, or the
+        # renamed column null-fills and every row looks "changed"
+        old_f = self.read(buckets=changed, snapshot=s1,
+                          with_tombstones=True)
+        s1_top = max((int(v) for v in s1.get("schemas", {})), default=0)
+        old_f = _apply_renames(old_f, s1_top, s2.get("rename_log", []))
+        old = align_to_schema(old_f, tomb_schema)
         new = self.read(buckets=changed, snapshot=s2, with_tombstones=True)
         non_key = [f.name for f in table_schema.fields if f.name not in kc]
         pack = [*non_key, _TOMB]
@@ -1221,6 +1292,7 @@ class LakeTable(TableIO):
                 f"different op_col (or rebuild the table without the "
                 f"column — overwrite() loads STATE rows, so event frames "
                 f"should drop their op column first)")
+        _check_retired_names(batch.columns, snap)
         new_schema, changed = evolve_schema(table_schema, batch_data_schema)
         schema_v = max(int(v) for v in snap["schemas"]) if snap["schemas"] else 0
         if changed:
@@ -1671,8 +1743,9 @@ class LakeTable(TableIO):
         if not 0 <= from_version <= to_version <= cur_v:
             raise ValueError(f"need 0 <= from {from_version} <= to "
                              f"{to_version} <= current {cur_v}")
-        table_schema = StructType.fromJson(
-            self.snapshot_at(to_version)["schema"])
+        to_snap = self.snapshot_at(to_version)
+        table_schema = StructType.fromJson(to_snap["schema"])
+        rlog = to_snap.get("rename_log", [])
         out_schema = StructType(list(table_schema.fields) +
                                 [StructField("change_type", StringType(),
                                              True)])
@@ -1691,6 +1764,7 @@ class LakeTable(TableIO):
                     df = self.spark.read.schema(ch_schema).parquet(
                         *[os.path.join(self.changes_dir, f)
                           for f in entry["files"]])
+                    df = _apply_renames(df, int(entry["schema_v"]), rlog)
                     if not include_update_preimages:
                         df = df.where(
                             F.col("change_type") != "update_preimage")
@@ -2107,6 +2181,7 @@ class LakeTable(TableIO):
         batch_data_schema = StructType(
             [f for f in batch.schema.fields if f.name != op_col])
         table_schema = StructType.fromJson(snap["schema"])
+        _check_retired_names(batch.columns, snap)
         new_schema, changed = evolve_schema(table_schema, batch_data_schema)
         schema_v = max(int(v) for v in snap["schemas"]) if snap["schemas"] else 0
         if changed:
@@ -2618,6 +2693,59 @@ def _bloom_positions(key_string: str, m: int, k: int) -> list[int]:
 
 
 _FILTER_OPS = {"=", "<", "<=", ">", ">=", "in"}
+
+
+def _check_retired_names(batch_cols: list[str], snap: dict) -> None:
+    """A batch column carrying a RENAMED-AWAY name would evolve it back
+    in as a fresh null-filled column and silently fork the data — fail
+    with the current name instead (upstream must switch names at the
+    rename point)."""
+    log = snap.get("rename_log") or []
+    if not log:
+        return
+    current = {f["name"] for f in snap["schema"]["fields"]}
+    final: dict[str, str] = {}
+    for r in log:  # oldest first: follow chains a→b→c to the live name
+        final = {k: (r["to"] if v == r["from"] else v)
+                 for k, v in final.items()}
+        final[r["from"]] = r["to"]
+    bad = {c: final[c] for c in batch_cols
+           if c in final and c not in current}
+    if bad:
+        raise ValueError(
+            f"batch uses renamed-away column name(s) "
+            f"{ {k: f'now {v!r}' for k, v in bad.items()} }; write with "
+            f"the current names")
+
+
+def _apply_renames(df: DataFrame, file_sv: int,
+                   rename_log: list[dict]) -> DataFrame:
+    """Project a frame read under schema version ``file_sv`` forward
+    through every column rename committed AFTER it (oldest first), so
+    ``align_to_schema`` matches values by their current name instead of
+    null-filling a renamed column out of existence."""
+    for r in rename_log or []:
+        if int(r["schema_v"]) > int(file_sv) and r["from"] in df.columns:
+            df = df.withColumnRenamed(r["from"], r["to"])
+    return df
+
+
+def _filters_at(filters: list[tuple], entry_sv: int,
+                rename_log: list[dict]) -> list[tuple]:
+    """Translate current-name filters back to the names a file was
+    WRITTEN under (its manifest stats are keyed by those), walking the
+    rename log newest-to-oldest across every rename newer than the
+    file's schema version."""
+    if not rename_log:
+        return filters
+    out = []
+    for c, op, v in filters:
+        name = c
+        for r in reversed(rename_log):
+            if int(r["schema_v"]) > int(entry_sv) and r["to"] == name:
+                name = r["from"]
+        out.append((name, op, v))
+    return out
 
 
 def _normalize_filters(filters: list[tuple] | None) -> list[tuple]:
