@@ -68,6 +68,11 @@ def main() -> None:
     ap.add_argument("--delete-batch-id", default=None,
                     help="exactly-once id for --delete-where (required "
                          "with it; re-running the same id is a no-op)")
+    ap.add_argument("--rename-column", default=None, metavar="OLD=NEW",
+                    help="metadata-only column rename (Iceberg ALTER "
+                         "TABLE … RENAME COLUMN): one snapshot commit, "
+                         "zero data rewritten; old files project "
+                         "forward at read time")
     ap.add_argument("--set-tag", default=None, metavar="NAME[=VERSION]",
                     help="pin a snapshot under a name (GC-protected "
                          "until dropped); bare NAME pins CURRENT")
@@ -104,6 +109,11 @@ def main() -> None:
             args.rebucket, target_rows_per_file=args.target_file_rows,
             cluster_by=([c.strip() for c in args.cluster_by.split(",")]
                         if args.cluster_by else None))
+    if args.rename_column is not None:
+        old, sep, new = args.rename_column.partition("=")
+        if not sep or not old or not new:
+            ap.error("--rename-column takes OLD=NEW")
+        report["rename_column"] = t.rename_column(old, new)
     if args.set_tag is not None:
         name, _, v = args.set_tag.partition("=")
         report["set_tag"] = t.set_tag(name, int(v) if v else None)
