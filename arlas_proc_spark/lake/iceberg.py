@@ -169,6 +169,14 @@ class IcebergTableIO(TableIO):
             f"CALL system.rewrite_data_files(table => '{self.identifier}')")
         return {"compacted_buckets": -1}
 
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only rename via Iceberg's own field-id indirection
+        (the bundled backend's rename-log analog — LakeTable.rename_column,
+        lake/table.py)."""
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} RENAME COLUMN {old} TO {new}")
+        return {"renamed": {"from": old, "to": new}}
+
     def lineage(self) -> list[dict]:
         rows = self.spark.sql(
             f"SELECT snapshot_id, committed_at, operation, summary "

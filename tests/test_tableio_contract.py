@@ -119,3 +119,18 @@ def test_snapshot_and_lineage_surface(spark, tio):
     snap = tio.snapshot()
     assert isinstance(snap, dict) and snap
     assert isinstance(tio.lineage(), list)
+
+
+def test_rename_column_contract(spark, tio):
+    """Both backends rename metadata-only: values survive under the new
+    name, later batches use the new name, old name is gone."""
+    tio.merge_batch(_batch(spark, [
+        (1, "insert", "r", "a.py", "c1", "v1")]), 0)
+    tio.rename_column("content", "source_text")
+    st = tio.read()
+    assert "source_text" in st.columns and "content" not in st.columns
+    assert {r.source_text for r in st.collect()} == {"v1"}
+    b = (_batch(spark, [(2, "update", "r", "a.py", "c2", "v2")])
+         .withColumnRenamed("content", "source_text"))
+    tio.merge_batch(b, 1)
+    assert {r.source_text for r in tio.read().collect()} == {"v2"}
