@@ -169,6 +169,24 @@ class IcebergTableIO(TableIO):
             f"CALL system.rewrite_data_files(table => '{self.identifier}')")
         return {"compacted_buckets": -1}
 
+    def delete_where(self, condition, batch_id: int | str,
+                     **kwargs) -> dict:
+        """Predicate delete via Iceberg's own DELETE FROM, idempotent per
+        batch id through the same property ledger as merges (the bundled
+        backend's tombstone-merge analog — LakeTable.delete_where).
+        Iceberg has no LWW seq rank, so re-delivered victim events are
+        the caller's concern here; the bundled backend out-ranks them."""
+        scope = kwargs.get("ledger_scope", "default")
+        if self._committed(batch_id, scope):
+            return {"batch_id": str(batch_id), "skipped": True}
+        cond = condition if isinstance(condition, str) else None
+        if cond is None:
+            raise ValueError("IcebergTableIO.delete_where takes a SQL "
+                             "string condition")
+        self.spark.sql(f"DELETE FROM {self.identifier} WHERE {cond}")
+        self._advance(batch_id, scope)
+        return {"batch_id": str(batch_id), "deleted_where": cond}
+
     def rename_column(self, old: str, new: str) -> dict:
         """Metadata-only rename via Iceberg's own field-id indirection
         (the bundled backend's rename-log analog — LakeTable.rename_column,

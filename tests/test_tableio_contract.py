@@ -134,3 +134,16 @@ def test_rename_column_contract(spark, tio):
          .withColumnRenamed("content", "source_text"))
     tio.merge_batch(b, 1)
     assert {r.source_text for r in tio.read().collect()} == {"v2"}
+
+
+def test_delete_where_contract(spark, tio):
+    """Predicate deletes: matching live rows disappear in one commit;
+    the same batch id replays as a no-op."""
+    tio.merge_batch(_batch(spark, [
+        (i, "insert", "r", f"f{i}.py", f"c{i}",
+         "keep" if i % 2 else "drop") for i in range(6)]), 0)
+    tio.delete_where("content = 'drop'", "ret-1")
+    assert {r.content for r in tio.read().collect()} == {"keep"}
+    r2 = tio.delete_where("content = 'drop'", "ret-1")
+    assert r2.get("skipped") is True
+    assert tio.read().count() == 3
