@@ -220,3 +220,75 @@ def test_incremental_view_always_matches_recompute(spark, tmp_path_factory,
     want = {r.repo: (r.n_rows, r.sum_len)
             for r in view.recompute_df().collect()}
     assert got == want
+
+
+@st.composite
+def sparse_logs(draw):
+    """In-order batch splits of a sparse feed (null payload = unchanged):
+    events strictly seq-ordered ACROSS batches (the ordered-WAL contract
+    patch mode documents), shuffled WITHIN a batch, with byte-identical
+    duplicate deliveries landing in the originating batch."""
+    n = draw(st.integers(min_value=1, max_value=40))
+    events = []
+    for seq in range(n):
+        repo, path = draw(st.sampled_from(KEYS))
+        op = draw(st.sampled_from(["insert", "update", "delete"]))
+        lang = None if op == "delete" else draw(
+            st.sampled_from([None, "py", "go", "rs"]))
+        content = None if op == "delete" else draw(
+            st.sampled_from([None, f"v{seq}", "x"]))
+        events.append((seq, op, repo, path, f"c{seq}",
+                       1_700_000_000 + seq, lang, content))
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(draw(st.lists(st.integers(0, n), min_size=n_batches - 1,
+                                max_size=n_batches - 1)))
+    bounds = [0, *cuts, n]
+    batches = []
+    for a, b in zip(bounds, bounds[1:]):
+        batch = list(events[a:b])
+        for i in draw(st.lists(st.integers(0, max(len(batch) - 1, 0)),
+                               max_size=2)):
+            if batch:
+                batch.append(batch[i])  # duplicate delivery, same batch
+        batches.append(draw(st.permutations(batch)))
+    return batches
+
+
+def _patch_oracle(batches) -> dict:
+    """Event-at-a-time fold: delete kills the key (and its history);
+    a non-delete upserts with null columns inheriting the live value."""
+    state: dict = {}
+    for e in sorted((e for b in batches for e in b),
+                    key=lambda x: (x[0], x[4])):
+        seq, op, repo, path, _c, _t, lang, content = e
+        k = (repo, path)
+        if op == "delete":
+            state.pop(k, None)
+            continue
+        prev = state.get(k)
+        state[k] = (seq,
+                    lang if lang is not None else (prev[1] if prev else None),
+                    content if content is not None
+                    else (prev[2] if prev else None))
+    return state
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(batches=sparse_logs())
+def test_sparse_log_in_order_splits_converge(spark, tmp_path_factory,
+                                             batches):
+    table = str(tmp_path_factory.mktemp("propp") / "t")
+    engine = CdcEngine(spark, table, n_buckets=4, collect_metrics=False,
+                       patch_cols=["lang", "content"])
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        df = spark.createDataFrame(
+            batch, "seq long, op string, repo string, path string, "
+                   "commit string, ts_s long, lang string, content string")
+        engine.apply_batch(df, i)
+    got = {(r.repo, r.path): (r.seq, r.lang, r.content)
+           for r in engine.state().collect()}
+    assert got == _patch_oracle(batches)
