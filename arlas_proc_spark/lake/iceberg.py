@@ -195,6 +195,23 @@ class IcebergTableIO(TableIO):
             f"ALTER TABLE {self.identifier} RENAME COLUMN {old} TO {new}")
         return {"renamed": {"from": old, "to": new}}
 
+    def add_column(self, name: str, dtype) -> dict:
+        """Explicit metadata-only add via Iceberg's own ADD COLUMN (the
+        bundled backend's analog — LakeTable.add_column)."""
+        ddl = dtype if isinstance(dtype, str) else dtype.simpleString()
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} ADD COLUMN {name} {ddl}")
+        return {"added": {"name": name, "type": ddl}}
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only drop via Iceberg's own field-id retirement (the
+        bundled backend's drop-log analog — LakeTable.drop_column,
+        lake/table.py): old files keep the bytes, readers mask them, and
+        a re-used name is a brand-new field id."""
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} DROP COLUMN {name}")
+        return {"dropped": name}
+
     def lineage(self) -> list[dict]:
         rows = self.spark.sql(
             f"SELECT snapshot_id, committed_at, operation, summary "

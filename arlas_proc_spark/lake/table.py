@@ -586,7 +586,8 @@ class LakeTable(TableIO):
                                          [StructField(_TOMB, BooleanType(), True)])
                 df = self.spark.read.schema(scan_schema).parquet(*paths)
                 df = _apply_renames(df, int(sv),
-                                    snap.get("rename_log", []))
+                                    snap.get("rename_log", []),
+                                    snap.get("drop_log", []))
                 parts.append(align_to_schema(df, tomb_schema))
             return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -924,6 +925,90 @@ class LakeTable(TableIO):
 
         return self._metadata_commit(_mut)
 
+    def add_column(self, name: str, dtype) -> dict:
+        """Explicit metadata-only column add (Iceberg ``ALTER TABLE …
+        ADD COLUMN``): one snapshot commit, zero data rewritten. The
+        new column is nullable — every existing row reads NULL (the
+        same projection batch-driven evolution uses). ``dtype`` is a
+        DDL type string (``"double"``, ``"array<string>"``) or a
+        ``DataType``. Adding a name retired by a rename is refused (it
+        would fork the renamed column's history); adding a name freed
+        by ``drop_column`` is a brand-new column — the drop log keeps
+        the old bytes masked."""
+        if isinstance(dtype, str):
+            dtype = StructType.fromDDL(f"`{name}` {dtype}")[0].dataType
+        if name.startswith("_"):
+            raise ValueError(f"add_column: {name!r} is reserved "
+                             f"(underscore-prefixed names are internal)")
+
+        def _mut(snap: dict) -> tuple[dict, bool]:
+            schema = StructType.fromJson(snap["schema"])
+            if name in [f.name for f in schema.fields]:
+                raise ValueError(f"add_column: column {name!r} "
+                                 f"already exists")
+            _check_retired_names([name], snap)
+            new_schema = StructType(list(schema.fields) +
+                                    [StructField(name, dtype, True)])
+            sv = max(int(v) for v in snap["schemas"]) + 1
+            snap["schemas"][str(sv)] = json.loads(new_schema.json())
+            snap["schema"] = json.loads(new_schema.json())
+            return {"added": {"name": name,
+                              "type": dtype.simpleString()},
+                    "schema_v": sv, "version": snap["version"] + 1}, True
+
+        return self._metadata_commit(_mut)
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only column drop (Iceberg ``ALTER TABLE … DROP
+        COLUMN``): one snapshot commit, zero data rewritten. Files
+        written before the drop keep the physical parquet column; the
+        read path masks it through the snapshot's drop log (the
+        field-id-retirement analog of Iceberg's drop), so it never
+        surfaces — and, crucially, never RESURRECTS: a later batch may
+        reuse the name, which evolves in as a brand-new column whose
+        value is NULL for every row written before the re-add, exactly
+        Iceberg's drop-then-add semantics. ``compact()`` rewrites under
+        the current schema, so the bytes physically disappear at the
+        table's own maintenance cadence instead of in a synchronous
+        100-TB rewrite.
+
+        Key and sequence columns cannot be dropped (they define row
+        identity and LWW ordering for every existing file). Time travel
+        is exact: each snapshot carries only the drops committed at or
+        before it, so ``read_version`` of an older version still shows
+        the column with its values.
+
+        Reference analog: the reference narrows frames eagerly with
+        ``drop`` per transformer (``transform/ArlasTransformer.scala``
+        lineage); a lake table must retire the column in metadata or
+        rewrite everything."""
+        def _mut(snap: dict) -> tuple[dict, bool]:
+            schema = StructType.fromJson(snap["schema"])
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"drop_column: no column {name!r} "
+                                 f"(have {names})")
+            if name in snap["key_cols"]:
+                raise ValueError(f"drop_column: {name!r} is a key column")
+            if name == snap.get("seq_col"):
+                raise ValueError(f"drop_column: {name!r} is the sequence "
+                                 f"column")
+            new_schema = StructType([f for f in schema.fields
+                                     if f.name != name])
+            sv = max(int(v) for v in snap["schemas"]) + 1
+            snap["schemas"][str(sv)] = json.loads(new_schema.json())
+            snap["schema"] = json.loads(new_schema.json())
+            log = list(snap.get("drop_log", []))
+            log.append({"name": name, "schema_v": sv})
+            snap["drop_log"] = log
+            if snap.get("stats_cols"):
+                snap["stats_cols"] = [c for c in snap["stats_cols"]
+                                      if c != name]
+            return {"dropped": name, "schema_v": sv,
+                    "version": snap["version"] + 1}, True
+
+        return self._metadata_commit(_mut)
+
     def set_bloom_bits(self, bits_per_key: int) -> dict:
         """Change the table's bloom-sidecar density (metadata-only commit).
         Takes effect on FUTURE data commits: every write path reads the
@@ -1017,7 +1102,8 @@ class LakeTable(TableIO):
         old_f = self.read(buckets=changed, snapshot=s1,
                           with_tombstones=True)
         s1_top = max((int(v) for v in s1.get("schemas", {})), default=0)
-        old_f = _apply_renames(old_f, s1_top, s2.get("rename_log", []))
+        old_f = _apply_renames(old_f, s1_top, s2.get("rename_log", []),
+                               s2.get("drop_log", []))
         old = align_to_schema(old_f, tomb_schema)
         new = self.read(buckets=changed, snapshot=s2, with_tombstones=True)
         non_key = [f.name for f in table_schema.fields if f.name not in kc]
@@ -1746,6 +1832,7 @@ class LakeTable(TableIO):
         to_snap = self.snapshot_at(to_version)
         table_schema = StructType.fromJson(to_snap["schema"])
         rlog = to_snap.get("rename_log", [])
+        dlog = to_snap.get("drop_log", [])
         out_schema = StructType(list(table_schema.fields) +
                                 [StructField("change_type", StringType(),
                                              True)])
@@ -1764,7 +1851,8 @@ class LakeTable(TableIO):
                     df = self.spark.read.schema(ch_schema).parquet(
                         *[os.path.join(self.changes_dir, f)
                           for f in entry["files"]])
-                    df = _apply_renames(df, int(entry["schema_v"]), rlog)
+                    df = _apply_renames(df, int(entry["schema_v"]), rlog,
+                                        dlog)
                     if not include_update_preimages:
                         df = df.where(
                             F.col("change_type") != "update_preimage")
@@ -2705,10 +2793,16 @@ def _check_retired_names(batch_cols: list[str], snap: dict) -> None:
         return
     current = {f["name"] for f in snap["schema"]["fields"]}
     final: dict[str, str] = {}
-    for r in log:  # oldest first: follow chains a→b→c to the live name
-        final = {k: (r["to"] if v == r["from"] else v)
-                 for k, v in final.items()}
-        final[r["from"]] = r["to"]
+    # walk renames AND drops oldest-first: follow chains a→b→c to the
+    # live name; a drop ENDS a lineage (old values are masked by the
+    # drop log), so those names are free for honest re-use again
+    for e in _evolution_events(log, snap.get("drop_log", [])):
+        if e["kind"] == "rename":
+            final = {k: (e["to"] if v == e["from"] else v)
+                     for k, v in final.items()}
+            final[e["from"]] = e["to"]
+        else:
+            final = {k: v for k, v in final.items() if v != e["name"]}
     bad = {c: final[c] for c in batch_cols
            if c in final and c not in current}
     if bad:
@@ -2718,15 +2812,34 @@ def _check_retired_names(batch_cols: list[str], snap: dict) -> None:
             f"the current names")
 
 
+def _evolution_events(rename_log: list[dict],
+                      drop_log: list[dict]) -> list[dict]:
+    """Renames and drops merged into one timeline ordered by the schema
+    version each committed at (each bumps schema_v once, so versions are
+    unique across both logs)."""
+    events = ([{"kind": "rename", **r} for r in rename_log or []]
+              + [{"kind": "drop", **d} for d in drop_log or []])
+    events.sort(key=lambda e: int(e["schema_v"]))
+    return events
+
+
 def _apply_renames(df: DataFrame, file_sv: int,
-                   rename_log: list[dict]) -> DataFrame:
+                   rename_log: list[dict],
+                   drop_log: list[dict] | None = None) -> DataFrame:
     """Project a frame read under schema version ``file_sv`` forward
-    through every column rename committed AFTER it (oldest first), so
-    ``align_to_schema`` matches values by their current name instead of
-    null-filling a renamed column out of existence."""
-    for r in rename_log or []:
-        if int(r["schema_v"]) > int(file_sv) and r["from"] in df.columns:
-            df = df.withColumnRenamed(r["from"], r["to"])
+    through every column rename AND drop committed AFTER it (oldest
+    first), so ``align_to_schema`` matches values by their current name
+    instead of null-filling a renamed column out of existence — and so
+    a physical column retired by ``drop_column`` is masked BEFORE
+    alignment, never resurrecting into a later same-named column."""
+    for e in _evolution_events(rename_log, drop_log):
+        if int(e["schema_v"]) <= int(file_sv):
+            continue
+        if e["kind"] == "rename":
+            if e["from"] in df.columns:
+                df = df.withColumnRenamed(e["from"], e["to"])
+        elif e["name"] in df.columns:
+            df = df.drop(e["name"])
     return df
 
 

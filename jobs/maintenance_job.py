@@ -73,6 +73,12 @@ def main() -> None:
                          "TABLE … RENAME COLUMN): one snapshot commit, "
                          "zero data rewritten; old files project "
                          "forward at read time")
+    ap.add_argument("--drop-column", default=None, metavar="NAME",
+                    help="metadata-only column drop (Iceberg ALTER "
+                         "TABLE … DROP COLUMN): one snapshot commit, "
+                         "zero data rewritten; old files mask the "
+                         "column at read time and the next compaction "
+                         "removes the bytes")
     ap.add_argument("--set-tag", default=None, metavar="NAME[=VERSION]",
                     help="pin a snapshot under a name (GC-protected "
                          "until dropped); bare NAME pins CURRENT")
@@ -114,6 +120,8 @@ def main() -> None:
         if not sep or not old or not new:
             ap.error("--rename-column takes OLD=NEW")
         report["rename_column"] = t.rename_column(old, new)
+    if args.drop_column is not None:
+        report["drop_column"] = t.drop_column(args.drop_column)
     if args.set_tag is not None:
         name, _, v = args.set_tag.partition("=")
         report["set_tag"] = t.set_tag(name, int(v) if v else None)

@@ -136,6 +136,26 @@ def test_rename_column_contract(spark, tio):
     assert {r.source_text for r in tio.read().collect()} == {"v2"}
 
 
+def test_drop_column_contract(spark, tio):
+    """Both backends drop metadata-only: the column vanishes from reads,
+    other columns keep their values, and a later batch re-using the name
+    evolves it in as a BRAND-NEW column — rows untouched since before
+    the drop read NULL, never the old bytes (field-id semantics)."""
+    tio.merge_batch(_batch(spark, [
+        (1, "insert", "r", "a.py", "c1", "v1"),
+        (2, "insert", "r", "b.py", "c2", "v2")]), 0)
+    tio.drop_column("content")
+    st = tio.read()
+    assert "content" not in st.columns
+    assert {(r.repo, r.path, r.commit) for r in st.collect()} == {
+        ("r", "a.py", "c1"), ("r", "b.py", "c2")}
+    # re-add by a later batch: only the touched key carries a value
+    tio.merge_batch(_batch(spark, [
+        (3, "update", "r", "a.py", "c3", "fresh")]), 1)
+    got = {(r.repo, r.path): r.content for r in tio.read().collect()}
+    assert got == {("r", "a.py"): "fresh", ("r", "b.py"): None}
+
+
 def test_delete_where_contract(spark, tio):
     """Predicate deletes: matching live rows disappear in one commit;
     the same batch id replays as a no-op."""
