@@ -82,6 +82,26 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
 
 
+def routed_bucket_expr(snap: dict):
+    """The bucket router every WRITE path must use: ``bucket_expr``
+    under the table's bucket count — unless an incremental rebucket
+    (``begin_rebucket``/``migrate_buckets``) is in progress, in which
+    case keys whose OLD bucket has already been migrated route to their
+    new-spec bucket, stored under the transitional id ``old_n + new_b``
+    (ids >= old_n are unambiguous: old ids are < old_n; the finalize
+    step shifts them down). Migration proceeds over a CONTIGUOUS
+    frontier — old buckets ``[0, frontier)`` are migrated — so the
+    router is one comparison, not a membership test over thousands of
+    bucket ids."""
+    kc, n = snap["key_cols"], snap["n_buckets"]
+    old = bucket_expr(kc, n)
+    mig = snap.get("rebucket")
+    if not mig or not int(mig.get("frontier", 0)):
+        return old
+    new = bucket_expr(kc, int(mig["to_n"])) + F.lit(int(n))
+    return F.when(old < F.lit(int(mig["frontier"])), new).otherwise(old)
+
+
 class _LazyBuckets(MutableMapping):
     """The in-memory view of a sharded manifest: ``snap["buckets"]`` with
     Iceberg's manifest-list storage shape underneath.
@@ -724,13 +744,21 @@ class LakeTable(TableIO):
             return _provably_empty(self.spark,
                                    StructType.fromJson(snap["schema"]))
         fields = {f.name: f for f in StructType.fromJson(snap["schema"])}
-        b = py_bucket([key[k] for k in kc],
-                      [fields[k].dataType.typeName() for k in kc], n)
+        types = [fields[k].dataType.typeName() for k in kc]
+        vals = [key[k] for k in kc]
+        mig = snap.get("rebucket")
+        b = py_bucket(vals, types, n)
+        if b is not None and mig and b < int(mig.get("frontier", 0)):
+            # mid-rebucket: the key's old bucket is behind the frontier,
+            # so its state lives at the transitional new-spec id
+            nb = py_bucket(vals, types, int(mig["to_n"]))
+            b = None if nb is None else n + nb
         if b is None:  # unreplicated key type: exact Spark-expression path
             row = self.spark.createDataFrame(
                 [tuple(key[k] for k in kc)],
                 StructType([fields[k] for k in kc]))
-            b = row.select(bucket_expr(kc, n).alias("b")).collect()[0]["b"]
+            b = row.select(routed_bucket_expr(snap).alias("b")) \
+                   .collect()[0]["b"]
         # key-equality filters prune FILES inside the bucket via manifest
         # min/max (selective after key-sorted compaction), then push into
         # the surviving parquet scans for row-group skipping
@@ -780,11 +808,148 @@ class LakeTable(TableIO):
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap["n_buckets"] = new_n_buckets
+        # a full rewrite supersedes any in-progress incremental rebucket
+        snap.pop("rebucket", None)
         # logical no-op for the change log, like compaction
         snap["changes"] = {"version": version, "files": [],
                            "schema_v": schema_v, "rows": 0}
         snap["version"] = version
         metrics = {"batch_id": bid, "rebucketed_to": new_n_buckets}
+        _ledger_add(snap["ledger"], bid, metrics)
+        self._record_lineage(snap, self._write_lineage(version, bid, staged,
+                                                       token=token))
+        self._commit_snapshot(snap, expected_version=version - 1)
+        return metrics
+
+    def begin_rebucket(self, to_n_buckets: int) -> dict:
+        """Start an INCREMENTAL bucket-count migration (Iceberg
+        partition-spec evolution done progressively): a metadata-only
+        commit that arms the router; ``migrate_buckets`` then moves K
+        old buckets per maintenance pass while ingest continues.
+
+        ``rebucket`` rewrites the whole table in one commit — the right
+        call at test scale and a non-starter at 100 TB, where a full
+        rewrite is days of cluster time during which ingest must not
+        stall. The incremental path keeps every commit O(step):
+        migration moves ``frontier`` old buckets at the operator's own
+        cadence, and every concurrent merge/append routes each key by
+        the CURRENT frontier — old bucket if not yet migrated, new-spec
+        bucket (stored under the transitional id ``old_n + new_b``)
+        once it is. Because a key's state lives in exactly one bucket
+        under the router at all times, LWW/exactly-once semantics are
+        untouched mid-migration; the final step shifts transitional ids
+        down and flips ``n_buckets``.
+
+        No cancel: the escape hatches are driving ``migrate_buckets``
+        to completion, a full ``rebucket`` (which supersedes the
+        migration in one rewrite), or ``overwrite`` (full replace)."""
+        to_n_buckets = int(to_n_buckets)
+        if to_n_buckets < 1:
+            raise ValueError("to_n_buckets must be >= 1")
+
+        def _mut(snap: dict) -> tuple[dict, bool]:
+            if snap.get("rebucket"):
+                raise ValueError(
+                    f"a rebucket to {snap['rebucket']['to_n']} buckets "
+                    f"is already in progress (frontier "
+                    f"{snap['rebucket']['frontier']}/{snap['n_buckets']})"
+                    f"; drive migrate_buckets to completion first")
+            if to_n_buckets == snap["n_buckets"]:
+                raise ValueError(
+                    f"table already has {to_n_buckets} buckets; to "
+                    f"re-layout in place use rebucket(cluster_by=...)")
+            snap["rebucket"] = {"to_n": to_n_buckets, "frontier": 0}
+            return {"rebucket_to": to_n_buckets, "frontier": 0,
+                    "version": snap["version"] + 1}, True
+
+        return self._metadata_commit(_mut)
+
+    def migrate_buckets(self, count: int = 1, *,
+                        batch_id: str | None = None,
+                        target_rows_per_file: int | None = None) -> dict:
+        """One incremental-rebucket step: move the next ``count`` old
+        buckets (the contiguous frontier) to the new spec. Reads ONLY
+        those buckets (merge-on-read generations LWW-resolve on the way
+        through, tombstones travel — they still out-rank stale late
+        arrivals after the move), writes their rows under transitional
+        new-spec ids, and commits: O(step) data IO, O(touched-manifest)
+        metadata, one CAS snapshot commit that concurrent writers
+        either precede or retry against. Different steps carry disjoint
+        keys, so a transitional bucket's files never overlap — plain
+        cow union at read time.
+
+        The step that moves the LAST old bucket also finalizes in the
+        SAME commit: transitional ids shift down by old_n, ``n_buckets``
+        becomes the new count, the router disarms. Idempotent per
+        ``batch_id`` (default ties to the target version). Returns the
+        new frontier; call in a loop (or from the maintenance job) to
+        drain."""
+        if count < 1:
+            raise ValueError("count must be >= 1")
+        snap = self.snapshot()
+        mig = snap.get("rebucket")
+        if not mig:
+            raise ValueError("no rebucket in progress; call "
+                             "begin_rebucket(to_n) first")
+        n, to_n = snap["n_buckets"], int(mig["to_n"])
+        fr = int(mig["frontier"])
+        bid = batch_id or f"rebucket-step-{snap['version'] + 1}"
+        if _ledger_contains(snap["ledger"], bid):
+            return {"batch_id": bid, "skipped": True}
+        step = list(range(fr, min(fr + count, n)))
+        if not step:
+            return {"batch_id": bid, "frontier": fr, "done": True,
+                    "skipped": True}
+        t0 = time.time()
+        key_cols = snap["key_cols"]
+        df = self.read(step, snapshot=snap, with_tombstones=True)
+        out = df.withColumn(_BUCKET,
+                            bucket_expr(key_cols, to_n) + F.lit(int(n)))
+        version = snap["version"] + 1
+        schema_v = max(int(v) for v in snap["schemas"])
+        token = uuid.uuid4().hex[:12]
+        # repartition(to_n, keys) partitions by pmod(hash(key), to_n) —
+        # exactly the new-spec transform — so each task writes exactly
+        # one transitional bucket (same alignment trick as merge_batch)
+        staged = self._write_bucket_files(
+            out, version, schema_v, to_n,
+            key_cols=key_cols, token=token,
+            stats_cols=snap.get("stats_cols"),
+            bloom_bpk=snap.get("bloom_bits_per_key", 0),
+            max_records_per_file=target_rows_per_file)
+        for b in step:
+            if str(b) in snap["buckets"]:
+                del snap["buckets"][str(b)]
+        for b, files in staged.items():
+            snap["buckets"][str(b)] = \
+                snap["buckets"].get(str(b), []) + files
+        # the moved buckets' generations were LWW-resolved by the read;
+        # transitional buckets stay cow unless appends marked them mor
+        step_set = {str(b) for b in step}
+        mor = {str(x) for x in snap.get("mor_buckets", [])} - step_set
+        new_frontier = step[-1] + 1
+        done = new_frontier >= n
+        if done:
+            # finalize in the SAME commit: every old bucket is migrated,
+            # so all remaining int keys are transitional — shift down
+            for k in sorted(list(snap["buckets"]), key=int):
+                entries = snap["buckets"][k]
+                del snap["buckets"][k]
+                snap["buckets"][str(int(k) - n)] = entries
+            mor = {str(int(b) - n) for b in mor}
+            snap["n_buckets"] = to_n
+            snap.pop("rebucket", None)
+        else:
+            snap["rebucket"] = {"to_n": to_n, "frontier": new_frontier}
+        snap["mor_buckets"] = sorted(mor, key=int)
+        # migration never changes logical state: a change-log no-op
+        snap["changes"] = {"version": version, "schema_v": schema_v,
+                           "files": [], "rows": 0}
+        snap["version"] = version
+        metrics = {"batch_id": bid, "migrated_buckets": len(step),
+                   "frontier": new_frontier if not done else n,
+                   "done": done,
+                   "wall_s": round(time.time() - t0, 3)}
         _ledger_add(snap["ledger"], bid, metrics)
         self._record_lineage(snap, self._write_lineage(version, bid, staged,
                                                        token=token))
@@ -1393,8 +1558,19 @@ class LakeTable(TableIO):
         #    entirely (assume_all_buckets); callers that already know the
         #    set (CdcEngine derives it from the narrow argmax winners) pass
         #    ``touched_buckets`` so the batch plan is consumed exactly once.
-        resolved = batch.withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
-        if assume_all_buckets:
+        migrating = bool(snap.get("rebucket", {}).get("frontier"))
+        resolved = batch.withColumn(_BUCKET, routed_bucket_expr(snap))
+        if migrating:
+            # mid-rebucket, caller-computed touched sets (engine/IVM use
+            # the plain old-spec transform) don't know the router —
+            # recompute from the routed ids; a full replay must rewrite
+            # every bucket the manifest currently has
+            ids = {r[0] for r in
+                   resolved.select(_BUCKET).distinct().collect()}
+            if assume_all_buckets:
+                ids |= {int(b) for b in snap["buckets"]}
+            touched = sorted(ids)
+        elif assume_all_buckets:
             touched = list(range(n_buckets))
         elif touched_buckets is not None:
             touched = list(touched_buckets)
@@ -1493,7 +1669,10 @@ class LakeTable(TableIO):
         # side eliminates the join entirely and the incoming repartition is
         # then the only thing clustering the write.
         p_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        aligned = p_shuffle % n_buckets == 0
+        # mid-rebucket the router breaks the partition↔bucket identity
+        # (transitional ids aren't pmod(h, n)); correctness never depends
+        # on alignment, but the one-file-per-bucket claim would be false
+        aligned = p_shuffle % n_buckets == 0 and not migrating
         existing = existing.repartition(
             n_buckets, *[F.col(f"_e_{k}") for k in key_cols])
         incoming = incoming.repartition(
@@ -1609,7 +1788,7 @@ class LakeTable(TableIO):
         # no lower-seq event can still arrive)
         out = observed.select(
             *[f.name for f in table_schema.fields], _TOMB,
-            bucket_expr(key_cols, n_buckets).alias(_BUCKET))
+            routed_bucket_expr(snap).alias(_BUCKET))
 
         # 6. write new files for touched buckets (repartition by bucket so
         #    each bucket lands in few files), then commit atomically
@@ -2292,7 +2471,7 @@ class LakeTable(TableIO):
         out_schema = StructType(list(table_schema.fields) +
                                 [StructField(_TOMB, BooleanType(), True)])
         out = align_to_schema(tagged, out_schema) \
-            .withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
+            .withColumn(_BUCKET, routed_bucket_expr(snap))
 
         metrics: dict = {"batch_id": bid, "mode": "append",
                          **(extra_metrics or {})}
@@ -2421,6 +2600,9 @@ class LakeTable(TableIO):
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0))
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
+        # full replace under the plain spec cancels any in-progress
+        # incremental rebucket (transitional buckets are all replaced)
+        snap.pop("rebucket", None)
         snap.pop("changes", None)  # full replace: step is snapshot-diffed
         if snap.get("changefeed"):
             # durable gap marker for raw-file feed tailers (see append_batch)
@@ -2530,7 +2712,11 @@ class LakeTable(TableIO):
                             (F.col(snap["seq_col"]) <= tombstone_horizon_seq)))
         sort_cols, stats_cols = _clustered_layout(
             snap, cluster_by, df.columns)
-        out = df.withColumn(_BUCKET, bucket_expr(snap["key_cols"], n_buckets))
+        # routed: a transitional bucket's rows route back to the SAME
+        # transitional id (their old bucket is behind the frontier), an
+        # unmigrated bucket's rows to itself — a plain-spec expression
+        # here would re-route migrated rows back into old buckets
+        out = df.withColumn(_BUCKET, routed_bucket_expr(snap))
         version = snap["version"] + 1
         schema_v = max(int(v) for v in snap["schemas"])
         token = uuid.uuid4().hex[:12]

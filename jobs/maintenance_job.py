@@ -73,6 +73,18 @@ def main() -> None:
                          "TABLE … RENAME COLUMN): one snapshot commit, "
                          "zero data rewritten; old files project "
                          "forward at read time")
+    ap.add_argument("--begin-rebucket", default=None, type=int,
+                    metavar="N",
+                    help="arm an INCREMENTAL bucket-count migration to "
+                         "N buckets (metadata-only); then drive "
+                         "--migrate-buckets per maintenance pass while "
+                         "ingest continues — the 100-TB alternative to "
+                         "--rebucket's one-shot full rewrite")
+    ap.add_argument("--migrate-buckets", default=None, type=int,
+                    metavar="K",
+                    help="move the next K old buckets of an in-progress "
+                         "incremental rebucket; the step moving the "
+                         "last bucket also finalizes (flips n_buckets)")
     ap.add_argument("--drop-column", default=None, metavar="NAME",
                     help="metadata-only column drop (Iceberg ALTER "
                          "TABLE … DROP COLUMN): one snapshot commit, "
@@ -122,6 +134,12 @@ def main() -> None:
         report["rename_column"] = t.rename_column(old, new)
     if args.drop_column is not None:
         report["drop_column"] = t.drop_column(args.drop_column)
+    if args.begin_rebucket is not None:
+        report["begin_rebucket"] = t.begin_rebucket(args.begin_rebucket)
+    if args.migrate_buckets is not None:
+        report["migrate_buckets"] = t.migrate_buckets(
+            args.migrate_buckets,
+            target_rows_per_file=args.target_file_rows)
     if args.set_tag is not None:
         name, _, v = args.set_tag.partition("=")
         report["set_tag"] = t.set_tag(name, int(v) if v else None)
