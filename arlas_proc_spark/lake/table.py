@@ -384,6 +384,95 @@ class LakeTable(TableIO):
     def exists(cls, spark: SparkSession, path: str) -> bool:
         return os.path.exists(os.path.join(path, "meta", "CURRENT"))
 
+    @classmethod
+    def shallow_clone(cls, spark: SparkSession, src_path: str,
+                      dest_path: str, *,
+                      pin_source_tag: bool = True) -> "LakeTable":
+        """Zero-copy clone (Delta ``SHALLOW CLONE``): a NEW table whose
+        first snapshot references the source's data files in place —
+        one metadata commit, no data IO, however large the source. The
+        clone then lives its own life: merges copy-on-write ONLY the
+        buckets they touch into the clone's own storage (per-bucket
+        divergence), compaction localizes whole buckets, and the
+        clone's GC walks only its own data dir, so it can never delete
+        source bytes. The sandbox primitive at 100 TB: test a risky
+        backfill/migration against the full table for the cost of one
+        JSON write, then throw the clone away.
+
+        The source is protected the other way by ``pin_source_tag``
+        (default on): clone creation tags the source snapshot, so the
+        source's own ``expire_snapshots`` keeps every referenced file
+        until the operator explicitly drops the tag — the same
+        source-retention hazard Delta documents, made explicit instead
+        of implicit. Schema history, evolution logs, ledger (replaying
+        an already-applied batch onto the clone stays a no-op — the
+        whole point of a convergence sandbox), bucket spec, and any
+        in-flight incremental rebucket all carry over; tags do not
+        (they pin versions the clone's fresh history doesn't have), and
+        on a changefeed source the clone starts with a durable log-gap
+        marker (its change history begins at clone time).
+
+        Clones chain: cloning a clone re-points every entry at the root
+        that actually stores it."""
+        src = cls(spark, src_path)
+        s = src.snapshot()
+        if cls.exists(spark, dest_path):
+            raise ValueError(f"destination {dest_path!r} already holds "
+                             f"a table")
+        src_roots = s.get("external_roots", {})
+        roots: dict[str, str] = {}
+
+        def _root_id(p: str) -> str:
+            for k, v in roots.items():
+                if v == p:
+                    return k
+            k = str(len(roots))
+            roots[k] = p
+            return k
+
+        buckets: dict[str, list[dict]] = {}
+        for b in s["buckets"]:
+            out = []
+            for e in s["buckets"][b]:
+                e = dict(e)
+                base = (src_roots[e["root"]] if "root" in e
+                        else src.data_dir)
+                e["root"] = _root_id(base)
+                out.append(e)
+            buckets[str(b)] = out
+        if pin_source_tag:
+            name = "clone-" + "".join(
+                c if c.isalnum() or c in "._-" else "-"
+                for c in os.path.basename(os.path.abspath(dest_path)))
+            src.set_tag(name, s["version"])
+        t = cls(spark, dest_path)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = {
+            "version": 0,
+            "schema": s["schema"],
+            "key_cols": list(s["key_cols"]),
+            "seq_col": s["seq_col"],
+            "n_buckets": s["n_buckets"],
+            "stats_cols": list(s.get("stats_cols") or []),
+            "bloom_bits_per_key": int(s.get("bloom_bits_per_key", 0)),
+            "changefeed": bool(s.get("changefeed")),
+            "buckets": buckets,
+            "external_roots": roots,
+            "mor_buckets": list(s.get("mor_buckets", [])),
+            "ledger": json.loads(json.dumps(s["ledger"])),
+            "schemas": s["schemas"],
+        }
+        for opt in ("rename_log", "drop_log", "rebucket", "properties"):
+            if s.get(opt):
+                snap[opt] = s[opt]
+        if snap["changefeed"]:
+            # raw-file feed tailers must see that pre-clone changes are
+            # unservable (same marker append_batch uses for its gap)
+            snap["log_gap_version"] = 0
+        t._commit_snapshot(snap, expected_version=None)
+        return t
+
     # ------------------------------------------------------------- snapshots
     def _current_name(self) -> str:
         with open(os.path.join(self.meta_dir, "CURRENT")) as f:
@@ -565,6 +654,7 @@ class LakeTable(TableIO):
                                  [StructField(_TOMB, BooleanType(), True)])
         out_schema = tomb_schema if with_tombstones else table_schema
         mor = {str(b) for b in snap.get("mor_buckets", [])}
+        roots = snap.get("external_roots", {})
         cow_entries: list[dict] = []
         mor_entries: list[dict] = []
         # iterate keys, load entries only for selected buckets — on a
@@ -586,7 +676,8 @@ class LakeTable(TableIO):
                     if not _entry_may_match(e, flt):
                         continue
                     if probe is not None and \
-                            not self._bloom_contains(e, probe, bloom_cache):
+                            not self._bloom_contains(e, probe, bloom_cache,
+                                                     roots=roots):
                         continue
                     (mor_entries if b in mor else cow_entries).append(e)
         if not cow_entries and not mor_entries:
@@ -598,7 +689,7 @@ class LakeTable(TableIO):
             by_sv: dict[str, list[str]] = {}
             for e in entries:
                 by_sv.setdefault(str(e["schema_v"]), []).append(
-                    os.path.join(self.data_dir, e["file"]))
+                    _entry_path(self.data_dir, roots, e))
             parts = []
             for sv, paths in by_sv.items():
                 file_schema = StructType.fromJson(snap["schemas"][sv])
@@ -2226,7 +2317,8 @@ class LakeTable(TableIO):
          .collect())
 
     def _bloom_contains(self, entry: dict, key_string: str,
-                        cache: dict | None = None) -> bool:
+                        cache: dict | None = None,
+                        roots: dict | None = None) -> bool:
         """Probe a file's bloom sidecar for a fully-specified key. True on
         any doubt (no sidecar recorded, file unreadable) — blooms are an
         optimization, never a correctness gate. False positives cost one
@@ -2234,6 +2326,8 @@ class LakeTable(TableIO):
         b = entry.get("bloom")
         if not b:
             return True
+        if roots is None:
+            roots = {}
         if b.get("h") != _BLOOM_SCHEME:
             return True  # unknown/older hash scheme: probing another
             # scheme's bitmap can false-negative (silent row loss), so
@@ -2243,7 +2337,8 @@ class LakeTable(TableIO):
             # (multi-digest -> one-md5 double hashing), so an unstamped
             # sidecar is genuinely ambiguous; compaction rewrites it
             # with a stamp.
-        p = os.path.join(self.data_dir, b["file"])
+        # sidecars live NEXT to their data file — same root as the entry
+        p = _entry_path(self.data_dir, roots, entry, rel=b["file"])
         bits = (cache or {}).get(p)
         if bits is None:
             try:
@@ -2996,6 +3091,19 @@ def _check_retired_names(batch_cols: list[str], snap: dict) -> None:
             f"batch uses renamed-away column name(s) "
             f"{ {k: f'now {v!r}' for k, v in bad.items()} }; write with "
             f"the current names")
+
+
+def _entry_path(data_dir: str, roots: dict | None, e: dict,
+                rel: str | None = None) -> str:
+    """Absolute path of a manifest entry's file (or a sibling like its
+    bloom sidecar via ``rel``): the table's own data dir for normal
+    entries, the recorded external root for entries referencing another
+    table's storage (``shallow_clone``)."""
+    rel = e["file"] if rel is None else rel
+    r = e.get("root")
+    if r is not None:
+        return os.path.join((roots or {})[str(r)], rel)
+    return os.path.join(data_dir, rel)
 
 
 def _evolution_events(rename_log: list[dict],
