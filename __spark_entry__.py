@@ -231,6 +231,33 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "seq", "ts_s", "lang", "content", "content_sha256")
 
 
+def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rebucket path under the graded contract: replay the
+    feed in three cow batches while a bucket-count migration (8 → 5,
+    lake/table.py begin_rebucket/migrate_buckets) is armed and stepping
+    BETWEEN the batches — every merge routes keys across the moving
+    frontier — then drain, finalize, and read the final state, which
+    must equal the bucketing-invariant converged oracle exactly."""
+    tmp = _scratch_dir("arlas_rebucket_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False)
+    feed = changefeed_df(spark, N_FEED)
+    third = N_FEED // 3
+    engine.apply_batch(feed.where(feed.seq < third), 0)
+    t = engine.table
+    t.begin_rebucket(5)
+    t.migrate_buckets(3)
+    engine.apply_batch(
+        feed.where((feed.seq >= third) & (feed.seq < 2 * third)), 1)
+    t.migrate_buckets(3)
+    engine.apply_batch(feed.where(feed.seq >= 2 * third), 2)
+    while not t.migrate_buckets(2).get("done"):
+        pass
+    return engine.state().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
 def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-lookup read path under the graded contract: replay the feed
     as four out-of-order merge-on-read generations into a BLOOM-enabled
@@ -1423,6 +1450,9 @@ _EXTRA_QUERIES = [
     # r4: sparse-update (patch_cols) replay — oracle-checked event-level
     # fold with delete-reset semantics
     "cdc_patch_replay",
+    # r4: incremental bucket-count migration interleaved with cow merges
+    # — final state must be bucketing-invariant vs the converged oracle
+    "cdc_rebucket_replay",
 ]
 
 
@@ -1444,6 +1474,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_rebucket_replay": q_cdc_rebucket_replay,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_patch_replay": q_cdc_patch_replay,
@@ -1849,6 +1880,7 @@ def _all_oracle_sql() -> dict[str, str]:
             f"content_sha256 FROM ({final}) f WHERE repo = 'repo_0000' "
             f"AND path = 'src/f_00000.py'"),
         "cdc_mor_replay": final,
+        "cdc_rebucket_replay": final,
         "cdc_replicated": final,
         "cdc_patch_replay": _patch_replay_oracle_sql(),
         "cdc_change_feed": f"""
