@@ -978,6 +978,13 @@ class LakeTable(TableIO):
         if count < 1:
             raise ValueError("count must be >= 1")
         snap = self.snapshot()
+        # ledger FIRST: a redelivered step id (CLI retry after the
+        # commit landed — possibly the finalizing step, after which no
+        # migration is "in progress" anymore) must be the exactly-once
+        # no-op, not an error
+        if batch_id is not None and _ledger_contains(snap["ledger"],
+                                                     str(batch_id)):
+            return {"batch_id": str(batch_id), "skipped": True}
         mig = snap.get("rebucket")
         if not mig:
             raise ValueError("no rebucket in progress; call "

@@ -73,6 +73,11 @@ def main() -> None:
                          "TABLE … RENAME COLUMN): one snapshot commit, "
                          "zero data rewritten; old files project "
                          "forward at read time")
+    ap.add_argument("--shallow-clone-to", default=None, metavar="DEST",
+                    help="zero-copy clone of the table into DEST (one "
+                         "metadata commit, no data IO); the source "
+                         "snapshot is tagged so its GC keeps the "
+                         "referenced files until the tag is dropped")
     ap.add_argument("--begin-rebucket", default=None, type=int,
                     metavar="N",
                     help="arm an INCREMENTAL bucket-count migration to "
@@ -134,6 +139,9 @@ def main() -> None:
         report["rename_column"] = t.rename_column(old, new)
     if args.drop_column is not None:
         report["drop_column"] = t.drop_column(args.drop_column)
+    if args.shallow_clone_to is not None:
+        LakeTable.shallow_clone(spark, args.table, args.shallow_clone_to)
+        report["shallow_clone_to"] = args.shallow_clone_to
     if args.begin_rebucket is not None:
         report["begin_rebucket"] = t.begin_rebucket(args.begin_rebucket)
     if args.migrate_buckets is not None:

@@ -183,6 +183,12 @@ def test_step_idempotence_and_metrics(spark, tmp_path):
     assert m2.get("skipped") is True
     assert t.snapshot()["version"] == v
     assert t.snapshot()["rebucket"]["frontier"] == 2
+    # replaying the FINALIZING step after completion is also a no-op,
+    # not a "no rebucket in progress" error (a CLI retry lands here)
+    t.migrate_buckets(99, batch_id="step-2")
+    assert "rebucket" not in t.snapshot()
+    m3 = t.migrate_buckets(99, batch_id="step-2")
+    assert m3.get("skipped") is True
 
 
 def test_validations_and_cancellation_paths(spark, tmp_path):
