@@ -126,6 +126,20 @@ def main() -> None:
         extras["cdc_patch_incremental_events_per_sec"] = round(
             n_events / 10 / best_patch, 1)
 
+        # --- incremental rebucketing: migrate the replayed table to 2x
+        #     the bucket count in 4 frontier steps (each step reads only
+        #     its slice of old buckets; ingest-compatible maintenance) ---
+        mt = peng.table
+        live_rows = mt.count_rows()   # metadata-only on a cow table
+        mt.begin_rebucket(cpus * 2)
+        t0 = time.time()
+        while not mt.migrate_buckets(max(1, cpus // 4)).get("done"):
+            pass
+        mig_wall = time.time() - t0
+        timings["cdc_rebucket_migration"] = round(mig_wall, 3)
+        extras["cdc_rebucket_rows_per_sec"] = round(live_rows / mig_wall, 1)
+        extras["cdc_rebucket_rows"] = live_rows
+
         # --- incremental view maintenance over the merge-emitted change
         #     log: fold a micro-batch into a per-(repo,lang) rollup in
         #     O(delta), vs the alternative a consumer without IVM runs
