@@ -49,7 +49,8 @@ class StreamingIngest:
                  views: list | None = None,
                  changefeed: bool = False,
                  state_partitions: int | None = None,
-                 patch_cols: list[str] | None = None):
+                 patch_cols: list[str] | None = None,
+                 migrate_per_batch: int | None = None):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -93,7 +94,15 @@ class StreamingIngest:
         ``patch_cols``: ingest the WAL as SPARSE updates (null payload
         = "unchanged"; see CdcEngine) — cow mode only. Stream dedup by
         (key, commit) stays safe: re-deliveries are identical rows, so
-        dropping one never drops a column donor."""
+        dropping one never drops a column donor.
+        ``migrate_per_batch``: when an incremental rebucket is armed on
+        the table (``begin_rebucket``), advance its frontier by this
+        many old buckets after every committed micro-batch — the full
+        production loop for re-partitioning a live table: ingest and
+        migration interleave in one single-writer stream until the
+        migration finalizes itself, no separate maintenance window.
+        Armed-state detection is a driver-side manifest-list read per
+        batch; a table with no migration in progress pays only that."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -117,6 +126,7 @@ class StreamingIngest:
         self.compact_every = compact_every
         self.views = list(views or [])
         self.state_partitions = state_partitions
+        self.migrate_per_batch = migrate_per_batch
         self._restore_partitions: str | None = None
 
     def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -192,6 +202,14 @@ class StreamingIngest:
                         max_files_per_bucket=self.compact_every - 1,
                         batch_id=f"autocompact-{self.engine.ledger_scope[:8]}"
                                  f"-v{snap['version']}")
+            if self.migrate_per_batch:
+                # interleave an armed incremental rebucket with ingest:
+                # one frontier step per committed micro-batch, in the
+                # same single-writer loop (no CAS contention); the last
+                # step finalizes and the check becomes a cheap no-op
+                if self.engine.table.snapshot().get("rebucket"):
+                    self.engine.table.migrate_buckets(
+                        self.migrate_per_batch)
             # downstream rollups ride the same loop: each refresh folds
             # exactly this batch's change feed (O(delta)); skipped
             # redeliveries refresh as no-ops via the view cursor

@@ -70,6 +70,12 @@ def main() -> None:
                          "inherits the stored value (Debezium partial "
                          "events; cow mode only — 'content' implies its "
                          "derived content_sha256)")
+    ap.add_argument("--migrate-per-batch", type=int, default=None,
+                    help="advance an armed incremental rebucket "
+                         "(maintenance_job --begin-rebucket) by this "
+                         "many old buckets after every committed "
+                         "micro-batch — re-partition the live table "
+                         "inside the ingest loop itself")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --wal first (demo)")
     ap.add_argument("--master", default=None)
@@ -100,7 +106,8 @@ def main() -> None:
                           compact_every=args.compact_every,
                           changefeed=args.changefeed,
                           state_partitions=args.state_partitions,
-                          patch_cols=patch_cols)
+                          patch_cols=patch_cols,
+                          migrate_per_batch=args.migrate_per_batch)
     if args.continuous:
         q = ing.start(args.wal, args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger,

@@ -235,6 +235,41 @@ def test_changefeed_quiet_across_steps_loud_across_merges(spark, tmp_path):
     assert ch.where("change_type = 'insert'").count() == 30
 
 
+def test_streaming_loop_drives_armed_migration(spark, tmp_path):
+    """StreamingIngest(migrate_per_batch=k): an armed rebucket advances
+    inside the ingest loop itself — the production shape for
+    re-partitioning a live table — and the drained state matches a
+    never-migrated ingest of the same WAL."""
+    from arlas_proc_spark.sources import write_changefeed_batches
+    from arlas_proc_spark.streaming import StreamingIngest
+
+    wal = str(tmp_path / "wal")
+    write_changefeed_batches(spark, wal, 3000, n_batches=6)
+
+    ing = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=8,
+                          migrate_per_batch=2)
+    # first drain creates the table; arm the migration, then feed the
+    # rest through the SAME loop — steps fire after each micro-batch
+    ing.run_to_completion(wal, str(tmp_path / "ck"),
+                          max_files_per_trigger=2)
+    ing.engine.table.begin_rebucket(5)
+    write_changefeed_batches(spark, wal, 6000, n_batches=12)
+    ing2 = StreamingIngest(spark, str(tmp_path / "t"), n_buckets=8,
+                           migrate_per_batch=2)
+    ing2.run_to_completion(wal, str(tmp_path / "ck"),
+                           max_files_per_trigger=2)
+    snap = ing2.engine.table.snapshot()
+    # 6+ new micro-batches x 2 buckets/step drains all 8 old buckets
+    assert snap["n_buckets"] == 5 and "rebucket" not in snap
+
+    oracle = StreamingIngest(spark, str(tmp_path / "o"), n_buckets=8)
+    oracle.run_to_completion(wal, str(tmp_path / "cko"),
+                             max_files_per_trigger=4)
+    a = sorted((r.repo, r.path, r.seq) for r in ing2.state().collect())
+    b = sorted((r.repo, r.path, r.seq) for r in oracle.state().collect())
+    assert a == b and len(a) > 0
+
+
 def test_metadata_counts_exact_mid_migration(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS,
                          "seq", n_buckets=8)
