@@ -441,9 +441,13 @@ class LakeTable(TableIO):
                 out.append(e)
             buckets[str(b)] = out
         if pin_source_tag:
-            name = "clone-" + "".join(
+            # version-qualified: two clones sharing a destination
+            # basename must not collide on one tag name (set_tag
+            # replaces — the older clone would silently lose its pin)
+            name = ("clone-" + "".join(
                 c if c.isalnum() or c in "._-" else "-"
                 for c in os.path.basename(os.path.abspath(dest_path)))
+                + f"-v{s['version']}")
             src.set_tag(name, s["version"])
         t = cls(spark, dest_path)
         os.makedirs(t.meta_dir, exist_ok=True)
