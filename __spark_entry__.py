@@ -258,6 +258,27 @@ def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256")
 
 
+def q_cdc_clone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy sandbox + predicate delete under the graded contract:
+    replay the feed, shallow-clone the table (one metadata commit — the
+    clone reads the source's files through external roots), run a
+    retention delete_where on the CLONE, and return the clone's state:
+    the converged oracle minus the predicate's victims. The source is
+    untouched (pinned by the clone tag); tests/test_lake_clone.py pins
+    that side."""
+    tmp = _scratch_dir("arlas_clone_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False)
+    engine.replay(changefeed_df(spark, N_FEED))
+    from arlas_proc_spark.lake.table import LakeTable
+    clone = LakeTable.shallow_clone(spark, f"{tmp}/table",
+                                    f"{tmp}/sandbox")
+    clone.delete_where("lang = 'python'", "retention-1")
+    return clone.read().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
 def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-lookup read path under the graded contract: replay the feed
     as four out-of-order merge-on-read generations into a BLOOM-enabled
@@ -1453,6 +1474,9 @@ _EXTRA_QUERIES = [
     # r4: incremental bucket-count migration interleaved with cow merges
     # — final state must be bucketing-invariant vs the converged oracle
     "cdc_rebucket_replay",
+    # r4: shallow clone + retention delete_where on the clone, vs the
+    # converged oracle minus the predicate's victims
+    "cdc_clone_retention",
 ]
 
 
@@ -1475,6 +1499,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_rebucket_replay": q_cdc_rebucket_replay,
+        "cdc_clone_retention": q_cdc_clone_retention,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_patch_replay": q_cdc_patch_replay,
@@ -1881,6 +1906,10 @@ def _all_oracle_sql() -> dict[str, str]:
             f"AND path = 'src/f_00000.py'"),
         "cdc_mor_replay": final,
         "cdc_rebucket_replay": final,
+        "cdc_clone_retention": (
+            f"SELECT repo, path, commit, seq, ts_s, lang, content, "
+            f"content_sha256 FROM ({final}) f "
+            f"WHERE lang IS NULL OR lang <> 'python'"),
         "cdc_replicated": final,
         "cdc_patch_replay": _patch_replay_oracle_sql(),
         "cdc_change_feed": f"""
