@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from arlas_proc_spark.cdc.engine import CdcEngine, lww_resolve, prepare_events
@@ -296,6 +297,60 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         repo="repo_0000", path="src/f_00000.py").select(
         "repo", "path", "commit", "seq", "ts_s", "lang", "content",
         "content_sha256")
+
+
+def _debezium_envelopes(spark: SparkSession):
+    """The feed rendered as Debezium envelope strings with deterministic
+    fault injection (seq%97=3 truncated → malformed, =5 op-corrupted →
+    bad_op) — the exact corpus the DuckDB oracle rebuilds from the same
+    portable SQL (sources/debezium.py encode + fault expressions)."""
+    from arlas_proc_spark.sources.debezium import (encode_debezium_sql,
+                                                   faulty_envelope_sql)
+    env = faulty_envelope_sql(encode_debezium_sql(dialect="spark"))
+    feed = changefeed_sql(N_FEED, dialect="spark")
+    return spark.sql(f"SELECT {env} AS value FROM ({feed}) f")
+
+
+_DBZ_ROW_SCHEMA = T.StructType([
+    T.StructField(c, T.StringType())
+    for c in ("repo", "path", "commit", "lang", "content")])
+
+
+def q_cdc_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-adapter path end-to-end: the feed arrives as RAW Debezium
+    envelope JSON (the standard public CDC wire format) with deterministic
+    broken records mixed in; decode_debezium (one map-only from_json)
+    classifies + splits them, and the good rows replay through the lake
+    engine. Final state must equal the oracle that parses the SAME
+    envelope corpus with DuckDB's JSON functions and applies the same
+    classification rules — the decode semantics themselves are under the
+    value gate, not just the happy path."""
+    from arlas_proc_spark.sources.debezium import (decode_debezium,
+                                                   split_debezium)
+    tmp = _scratch_dir("arlas_dbz_")
+    good, _bad = split_debezium(
+        decode_debezium(_debezium_envelopes(spark), _DBZ_ROW_SCHEMA))
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False)
+    engine.replay(good.select("seq", "op", "repo", "path", "commit",
+                              "ts_s", "lang", "content"))
+    return engine.state().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
+def q_debezium_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for the Debezium decode: per-reason counts
+    over the same faulty envelope corpus (duplicate deliveries included —
+    batch decode has no stream dedup). Oracled by DuckDB running the
+    identical classification over the identical corpus."""
+    from arlas_proc_spark.sources.debezium import (DLQ_REASON,
+                                                   decode_debezium,
+                                                   split_debezium)
+    _good, bad = split_debezium(
+        decode_debezium(_debezium_envelopes(spark), _DBZ_ROW_SCHEMA))
+    return (bad.groupBy(F.col(DLQ_REASON).alias("reason"))
+            .agg(F.count(F.lit(1)).alias("n")))
 
 
 def q_cdc_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,6 +1532,10 @@ _EXTRA_QUERIES = [
     # r4: shallow clone + retention delete_where on the clone, vs the
     # converged oracle minus the predicate's victims
     "cdc_clone_retention",
+    # r4: raw Debezium envelope boundary — decode (map-only from_json) +
+    # dead-letter classification + replay of the decoded rows; DuckDB
+    # re-parses the identical envelope corpus with its JSON functions
+    "cdc_debezium_replay", "debezium_dlq",
 ]
 
 
@@ -1500,6 +1559,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_rebucket_replay": q_cdc_rebucket_replay,
         "cdc_clone_retention": q_cdc_clone_retention,
+        "cdc_debezium_replay": q_cdc_debezium_replay,
+        "debezium_dlq": q_debezium_dlq,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_patch_replay": q_cdc_patch_replay,
@@ -1830,6 +1891,70 @@ WHERE w.op <> 'delete'
 """
 
 
+def _debezium_decoded_cte() -> str:
+    """DuckDB replica of decode_debezium over the SAME faulty envelope
+    corpus the Spark queries build: the feed rendered by the portable
+    encoder + fault injector (sources/debezium.py), then parsed with
+    DuckDB's JSON functions under the decode's classification rules.
+    Every extraction reads the pre-validated `v` (NULL for invalid JSON
+    — json_extract_string RAISES on invalid input, so validity is
+    decided once, in its own projection)."""
+    from arlas_proc_spark.sources.debezium import (encode_debezium_sql,
+                                                   faulty_envelope_sql)
+    env = faulty_envelope_sql(encode_debezium_sql(dialect="duckdb"))
+    feed = changefeed_sql(N_FEED, dialect="duckdb")
+    op = "json_extract_string(v, '$.payload.op')"
+    img = ("CASE WHEN " + op + " = 'd' "
+           "THEN json_extract_string(v, '$.payload.before.{c}') "
+           "ELSE json_extract_string(v, '$.payload.after.{c}') END AS {c}")
+    fields = ",\n    ".join(img.format(c=c) for c in
+                            ("repo", "path", "commit", "lang", "content"))
+    return f"""
+env AS (SELECT ({env}) AS value FROM ({feed}) f),
+jv AS (SELECT value,
+         CASE WHEN value IS NOT NULL AND json_valid(value)
+              THEN value END AS v FROM env),
+dec AS (
+  SELECT
+    CASE WHEN v IS NULL OR json_extract(v, '$.payload') IS NULL
+           THEN 'malformed'
+         WHEN {op} IS NULL OR {op} NOT IN ('c', 'r', 'u', 'd')
+           THEN 'bad_op'
+         WHEN {op} = 'd' AND json_extract(v, '$.payload.before') IS NULL
+           THEN 'missing_before'
+         WHEN {op} <> 'd' AND json_extract(v, '$.payload.after') IS NULL
+           THEN 'missing_after'
+         WHEN json_extract(v, '$.payload.source.lsn') IS NULL
+           THEN 'missing_seq'
+         ELSE NULL END AS reason,
+    CAST(json_extract(v, '$.payload.source.lsn') AS BIGINT) AS seq,
+    CASE {op} WHEN 'u' THEN 'update' WHEN 'd' THEN 'delete'
+         ELSE 'insert' END AS op,
+    {fields},
+    CAST(json_extract(v, '$.payload.ts_ms') AS BIGINT) // 1000 AS ts_s
+  FROM jv)"""
+
+
+def _debezium_replay_oracle_sql() -> str:
+    return f"""
+WITH {_debezium_decoded_cte()},
+good AS (SELECT * FROM dec WHERE reason IS NULL)
+SELECT repo, path, commit, seq, ts_s, lang, content,
+       sha256(content) AS content_sha256
+FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+        ORDER BY seq DESC, commit DESC) AS rn FROM good) r
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _debezium_dlq_oracle_sql() -> str:
+    return f"""
+WITH {_debezium_decoded_cte()}
+SELECT reason, count(*) AS n FROM dec
+WHERE reason IS NOT NULL GROUP BY reason
+"""
+
+
 def _pii_oracle_sql() -> str:
     from arlas_proc_spark.operators.text import PII_PATTERNS
     em, ip, num = (p for p, _ in PII_PATTERNS)
@@ -1912,6 +2037,8 @@ def _all_oracle_sql() -> dict[str, str]:
             f"WHERE lang IS NULL OR lang <> 'python'"),
         "cdc_replicated": final,
         "cdc_patch_replay": _patch_replay_oracle_sql(),
+        "cdc_debezium_replay": _debezium_replay_oracle_sql(),
+        "debezium_dlq": _debezium_dlq_oracle_sql(),
         "cdc_change_feed": f"""
             WITH w1 AS (
               SELECT * FROM (

@@ -343,7 +343,10 @@ class CdcEngine:
         """All quarantined rows (batch_id as a partition column)."""
         if self.quarantine_dir is None:
             raise ValueError("engine was built without quarantine_dir")
-        return self.spark.read.parquet(self.quarantine_dir)
+        # mergeSchema: debezium dead-letter batches carry an extra
+        # _raw_value column the null-key batches don't
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(self.quarantine_dir))
 
     def replay(self, events: DataFrame, batch_id: str = "replay-0") -> dict:
         """Full-log batch replay (bootstrap): one big merge. For an empty

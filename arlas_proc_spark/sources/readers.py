@@ -58,4 +58,8 @@ def read_stream(spark: SparkSession, path: str, schema: StructType,
         return r.json(path)
     if fmt == "csv":
         return r.option("header", "true").csv(path)
+    if fmt == "text":
+        # raw line tail (one envelope string per row, column `value`) —
+        # the input to sources/debezium.decode_debezium
+        return r.text(path)
     raise ValueError(f"unsupported WAL segment format: {fmt!r}")

@@ -55,8 +55,15 @@ class StreamingIngest:
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
         live table schema when the first batch carrying them arrives.
-        ``wal_format`` ∈ {parquet, json, csv} — the segment encoding
-        (Debezium-style feeds land JSON lines).
+        ``wal_format`` ∈ {parquet, json, csv, debezium} — the segment
+        encoding. ``json`` expects already-typed rows in the feed schema;
+        ``debezium`` tails raw JSONL of standard Debezium envelopes
+        (payload.op c/r/u/d, before/after images, source.lsn, ts_ms) and
+        decodes them in-stream (sources/debezium.py, map-only);
+        undecodable envelopes go to ``quarantine_dir`` with a ``_reason``
+        (malformed / bad_op / missing_after / missing_before /
+        missing_seq) and the raw line, or are dropped when no
+        quarantine_dir is configured.
         ``compact_every``: fold a bucket's merge-on-read generations once
         it accumulates this many files — the operational companion of
         ``write_mode='mor'`` (cow mode writes one file per bucket per
@@ -130,6 +137,8 @@ class StreamingIngest:
         self._restore_partitions: str | None = None
 
     def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+        if self.wal_format == "debezium":
+            return self._debezium_stream(wal_dir, max_files_per_trigger)
         raw = read_stream(self.spark, wal_dir, self.event_schema,
                           fmt=self.wal_format,
                           max_files_per_trigger=max_files_per_trigger)
@@ -140,6 +149,57 @@ class StreamingIngest:
         deduped = (with_time.withWatermark("_event_time", self.watermark)
                    .dropDuplicatesWithinWatermark(["repo", "path", "commit"]))
         return deduped.drop("_event_time")
+
+    def _debezium_stream(self, wal_dir: str,
+                         max_files_per_trigger: int) -> DataFrame:
+        """Tail JSONL segments of Debezium envelopes: decode (map-only)
+        BEFORE the watermark dedup so the dedup keys on the decoded
+        (repo, path, commit). Undecodable rows keep their ``_dlq_reason``
+        marker through the stream and are split into the quarantine store
+        inside foreachBatch. Their dedup identity is md5(raw envelope) —
+        byte-identical redelivered garbage collapses, distinct garbage
+        survives. Event time for the watermark stage: decoded ``ts_s``,
+        else ``ts_ms`` regex-recovered from the RAW line (a truncated or
+        op-corrupted envelope usually still carries its timestamp bytes —
+        never processing time, which would race the watermark past every
+        in-flight good row). A record with NO recoverable timestamp gets
+        epoch 0 and is dedup-dropped once the watermark advances; run
+        ``stream_dedup=False`` if such garbage must reach the DLQ."""
+        import pyspark.sql.types as T
+
+        from arlas_proc_spark.sources.debezium import (DLQ_REASON,
+                                                       RAW_VALUE,
+                                                       decode_debezium)
+        row_schema = T.StructType(
+            [f for f in self.event_schema.fields
+             if f.name not in ("seq", "op", "ts_s")])
+        raw = read_stream(self.spark, wal_dir,
+                          T.StructType([T.StructField("value",
+                                                      T.StringType())]),
+                          fmt="text",
+                          max_files_per_trigger=max_files_per_trigger)
+        decoded = decode_debezium(raw, row_schema)
+        if not self.stream_dedup:
+            return decoded
+        rx = F.regexp_extract(F.coalesce(F.col(RAW_VALUE), F.lit("")),
+                              r'"ts_ms":\s*(\d{1,18})', 1)
+        recovered_ms = F.when(rx == "", F.lit(None)).otherwise(
+            rx.cast("long"))
+        with_time = decoded.withColumn(
+            "_event_time",
+            F.coalesce(F.timestamp_seconds(F.col("ts_s")),
+                       F.timestamp_seconds(
+                           F.floor(recovered_ms / F.lit(1000))),
+                       F.timestamp_seconds(F.lit(0))))
+        with_fp = with_time.withColumn(
+            "_dlq_fp",
+            F.when(F.col(DLQ_REASON).isNotNull(),
+                   F.md5(F.coalesce(F.col(RAW_VALUE), F.lit(""))))
+            .otherwise(F.lit("")))
+        deduped = (with_fp.withWatermark("_event_time", self.watermark)
+                   .dropDuplicatesWithinWatermark(
+                       ["repo", "path", "commit", "_dlq_fp"]))
+        return deduped.drop("_event_time", "_dlq_fp")
 
     def start(self, wal_dir: str, checkpoint_dir: str, *,
               max_files_per_trigger: int = 1, available_now: bool = True):
@@ -180,9 +240,24 @@ class StreamingIngest:
             # state-store dedup scan
             batch_df.persist()
             try:
+                events_df = batch_df
+                if self.wal_format == "debezium":
+                    # split the dead-letter rows out BEHIND the persist so
+                    # the quarantine write doesn't re-execute the micro-
+                    # batch's source + state-store plan
+                    from arlas_proc_spark.sources.debezium import (
+                        DLQ_REASON, split_debezium)
+                    events_df, bad = split_debezium(batch_df)
+                    events_df = events_df.select(
+                        *[f.name for f in self.event_schema.fields])
+                    if self.quarantine_dir is not None:
+                        (bad.withColumnRenamed(DLQ_REASON, "_reason")
+                         .write.mode("overwrite")
+                         .parquet(f"{self.quarantine_dir}"
+                                  f"/batch_id=dlq-{batch_id}"))
                 # empty final batches are detected inside apply_batch from
                 # the touched-bucket set — no separate isEmpty() job
-                m = self.engine.apply_batch(batch_df, batch_id)
+                m = self.engine.apply_batch(events_df, batch_id)
             finally:
                 batch_df.unpersist()
             if self.compact_every and not m.get("skipped") \

@@ -44,6 +44,16 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--watermark", default="1 hour")
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    ap.add_argument("--wal-format", default="parquet",
+                    choices=["parquet", "json", "csv", "debezium"],
+                    help="WAL segment encoding; 'debezium' tails raw "
+                         "JSONL of standard Debezium envelopes and "
+                         "decodes them in-stream (undecodable lines go "
+                         "to --quarantine with a _reason)")
+    ap.add_argument("--quarantine", default=None, metavar="DIR",
+                    help="route WAL-contract violators (null keys; "
+                         "undecodable Debezium envelopes) to this side "
+                         "store instead of failing/dropping")
     ap.add_argument("--continuous", action="store_true",
                     help="keep tailing (default: process backlog then stop)")
     ap.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
@@ -95,13 +105,24 @@ def main() -> None:
     spark = build_session(app_name="cdc-ingest", master=args.master)
 
     if args.generate:
-        from arlas_proc_spark.sources.changefeed import write_changefeed_batches
-        write_changefeed_batches(spark, args.wal, args.generate,
-                                 n_batches=max(args.generate // 250_000, 4))
+        n_batches = max(args.generate // 250_000, 4)
+        if args.wal_format == "debezium":
+            from arlas_proc_spark.sources.debezium import write_debezium_batches
+            write_debezium_batches(spark, args.wal, args.generate,
+                                   n_batches=n_batches, fault_mod=97)
+        elif args.wal_format == "parquet":
+            from arlas_proc_spark.sources.changefeed import write_changefeed_batches
+            write_changefeed_batches(spark, args.wal, args.generate,
+                                     n_batches=n_batches)
+        else:
+            ap.error("--generate only writes parquet or debezium WAL "
+                     "segments; use --wal-format parquet or debezium")
 
     ing = StreamingIngest(spark, args.table, n_buckets=args.buckets,
                           bloom_bits_per_key=args.bloom_bits,
                           watermark=args.watermark,
+                          wal_format=args.wal_format,
+                          quarantine_dir=args.quarantine,
                           write_mode=args.write_mode,
                           compact_every=args.compact_every,
                           changefeed=args.changefeed,
