@@ -339,6 +339,45 @@ def q_cdc_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256")
 
 
+def q_debezium_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTBOUND Debezium boundary end-to-end (the producer half whose
+    consumer half is cdc_debezium_replay): replay the feed into a SOURCE
+    lake table in two batches, render its change feed as Debezium
+    envelopes (emit_debezium — op c/u/d, before/after images, source.lsn
+    + source.txid carrying the producing commit so a delete that reuses
+    its victim's seq still orders), decode them back, compact to one
+    action per key by txid, merge into a fresh REPLICA table, and read
+    the replica. Its state must equal the converged final-state oracle —
+    i.e. a consumer holding only the emitted envelopes reconstructs the
+    source exactly."""
+    from arlas_proc_spark.lake.table import LakeTable
+    from arlas_proc_spark.sources.debezium import (compact_debezium_batch,
+                                                   decode_debezium,
+                                                   emit_debezium,
+                                                   split_debezium)
+    tmp = _scratch_dir("arlas_relay_")
+    engine = CdcEngine(spark, f"{tmp}/src", n_buckets=8,
+                       collect_metrics=False)
+    feed = changefeed_df(spark, N_FEED)
+    half = N_FEED // 2
+    engine.apply_batch(feed.where(feed.seq < half), 0)
+    engine.apply_batch(feed.where(feed.seq >= half), 1)
+    src = engine.table
+    snap = src.snapshot()
+    row_schema = T.StructType([f for f in src.schema.fields
+                               if f.name not in ("seq", "ts_s")])
+    replica = LakeTable.create(spark, f"{tmp}/dst", src.schema,
+                               snap["key_cols"], snap["seq_col"],
+                               n_buckets=4)
+    good, bad = split_debezium(decode_debezium(
+        emit_debezium(src, 0), row_schema, txid_field="txid"))
+    replica.merge_batch(compact_debezium_batch(good, snap["key_cols"]),
+                        "relay-0")
+    return replica.read().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
 def q_debezium_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter accounting for the Debezium decode: per-reason counts
     over the same faulty envelope corpus (duplicate deliveries included —
@@ -1536,6 +1575,10 @@ _EXTRA_QUERIES = [
     # dead-letter classification + replay of the decoded rows; DuckDB
     # re-parses the identical envelope corpus with its JSON functions
     "cdc_debezium_replay", "debezium_dlq",
+    # r4: outbound Debezium relay — the lake as CDC producer: change feed
+    # rendered as envelopes, decoded back, compacted by source.txid, and
+    # merged into a replica whose state must equal the converged oracle
+    "debezium_relay",
 ]
 
 
@@ -1561,6 +1604,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_clone_retention": q_cdc_clone_retention,
         "cdc_debezium_replay": q_cdc_debezium_replay,
         "debezium_dlq": q_debezium_dlq,
+        "debezium_relay": q_debezium_relay,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_patch_replay": q_cdc_patch_replay,
@@ -2039,6 +2083,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "cdc_patch_replay": _patch_replay_oracle_sql(),
         "cdc_debezium_replay": _debezium_replay_oracle_sql(),
         "debezium_dlq": _debezium_dlq_oracle_sql(),
+        "debezium_relay": final,
         "cdc_change_feed": f"""
             WITH w1 AS (
               SELECT * FROM (

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import (
     BooleanType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -61,6 +62,8 @@ from arlas_proc_spark.lake.schema_evolution import align_to_schema, evolve_schem
 
 _BUCKET = "_bucket"
 _TOMB = "_tombstone"
+_SKETCH_LG_K = 12  # HLL lgConfigK for ndv sketches (every sidecar uses the
+                   # same value so unions never need allowDifferentLgConfigK)
 _LEDGER_KEEP = 1024  # retain this many most-recent batch ids below the watermark
 _LINEAGE_KEEP = 4096  # lineage files referenced by a snapshot (older ones GC)
 
@@ -318,6 +321,7 @@ class LakeTable(TableIO):
         self.data_dir = os.path.join(path, "data")
         self.lineage_dir = os.path.join(path, "lineage")
         self.changes_dir = os.path.join(path, "changes")
+        self.stats_dir = os.path.join(path, "stats")
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -325,7 +329,8 @@ class LakeTable(TableIO):
                key_cols: list[str], seq_col: str, n_buckets: int = 16,
                changefeed: bool = False,
                stats_cols: list[str] | None = None,
-               bloom_bits_per_key: int = 0) -> "LakeTable":
+               bloom_bits_per_key: int = 0,
+               sketch_cols: list[str] | None = None) -> "LakeTable":
         """``changefeed=True`` (Delta's delta.enableChangeDataFeed): every
         ``merge_batch`` ALSO writes its change rows (insert /
         update_preimage / update_postimage / delete) as a per-commit file,
@@ -357,7 +362,17 @@ class LakeTable(TableIO):
         like the rest of Plan B, the table must live on a
         posix-reachable shared filesystem (the jobs/ CLI documents the
         same constraint); the Iceberg backend (Plan A) has no such
-        limit."""
+        limit.
+
+        ``sketch_cols``: columns whose per-FILE HLL sketches are written
+        to a ``stats/`` sidecar at commit time (Iceberg's puffin
+        ``apache-datasketches-theta-v1`` stats, re-expressed with Spark's
+        native ``hll_sketch_agg``). ``ndv()`` then answers
+        distinct-count questions by UNIONING the live files' sketches —
+        a metadata-sized job, no table scan — which a planner uses for
+        broadcast/skew decisions. Costs one column-pruned read-back of
+        each commit's new files (~the sketch columns' bytes); defaults
+        off."""
         if stats_cols is None:
             stats_cols = list(dict.fromkeys(list(key_cols) + [seq_col]))
         t = cls(spark, path)
@@ -370,6 +385,7 @@ class LakeTable(TableIO):
             "seq_col": seq_col,
             "n_buckets": n_buckets,
             "stats_cols": list(stats_cols),
+            "sketch_cols": list(sketch_cols or []),
             "bloom_bits_per_key": int(bloom_bits_per_key),
             "changefeed": bool(changefeed),
             "buckets": {},          # bucket -> [{file, schema_v}]
@@ -899,6 +915,7 @@ class LakeTable(TableIO):
                                           token=token, sort_cols=sort_cols,
                                           stats_cols=stats_cols,
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0),
+                                          sketch_cols=snap.get("sketch_cols"),
                                           max_records_per_file=target_rows_per_file)
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
@@ -1018,6 +1035,7 @@ class LakeTable(TableIO):
             key_cols=key_cols, token=token,
             stats_cols=snap.get("stats_cols"),
             bloom_bpk=snap.get("bloom_bits_per_key", 0),
+            sketch_cols=snap.get("sketch_cols"),
             max_records_per_file=target_rows_per_file)
         for b in step:
             if str(b) in snap["buckets"]:
@@ -1187,6 +1205,13 @@ class LakeTable(TableIO):
             if snap.get("stats_cols"):
                 snap["stats_cols"] = [new if c == old else c
                                       for c in snap["stats_cols"]]
+            if snap.get("sketch_cols"):
+                # sidecar rows are keyed by the WRITE-TIME name, so files
+                # sketched under the old name drop out of ndv coverage
+                # until compaction rewrites them (same convergence rule
+                # as enabling sketches on an existing table)
+                snap["sketch_cols"] = [new if c == old else c
+                                       for c in snap["sketch_cols"]]
             return {"renamed": {"from": old, "to": new},
                     "schema_v": sv, "version": snap["version"] + 1}, True
 
@@ -1271,6 +1296,9 @@ class LakeTable(TableIO):
             if snap.get("stats_cols"):
                 snap["stats_cols"] = [c for c in snap["stats_cols"]
                                       if c != name]
+            if snap.get("sketch_cols"):
+                snap["sketch_cols"] = [c for c in snap["sketch_cols"]
+                                       if c != name]
             return {"dropped": name, "schema_v": sv,
                     "version": snap["version"] + 1}, True
 
@@ -1297,6 +1325,94 @@ class LakeTable(TableIO):
                     "changed": True}, True
 
         return self._metadata_commit(_flip)
+
+    def set_sketch_cols(self, cols: list[str]) -> dict:
+        """Change which columns get per-file NDV sketches (metadata-only
+        commit; same enable-anytime rule as ``set_bloom_bits``). Takes
+        effect on FUTURE data commits — files written before enablement
+        simply have no sketch rows, so ``ndv()`` reports them as
+        uncovered; coverage converges as cow ingest rewrites buckets
+        (every write path re-sketches whatever it writes), or
+        immediately after a full re-layout — ``rebucket(n_buckets)`` —
+        which rewrites (and therefore sketches) every file. Pass ``[]``
+        to disable."""
+        cols = list(cols)
+        schema_names = [f.name for f in self.schema.fields]
+        for c in cols:
+            if c.startswith("_"):
+                raise ValueError(f"set_sketch_cols: {c!r} is reserved")
+            if c not in schema_names:
+                raise ValueError(f"set_sketch_cols: no column {c!r} "
+                                 f"(have {schema_names})")
+
+        def _flip(snap: dict) -> tuple[dict, bool]:
+            if list(snap.get("sketch_cols") or []) == cols:
+                return {"sketch_cols": cols, "changed": False}, False
+            snap["sketch_cols"] = cols
+            return {"sketch_cols": cols, "changed": True}, True
+
+        return self._metadata_commit(_flip)
+
+    def ndv(self, cols: list[str] | None = None,
+            version: int | None = None) -> dict:
+        """Approximate distinct counts from the sketch sidecars alone —
+        no table scan. Returns ``{col: {"ndv", "covered_files",
+        "live_files"}}``; when ``covered_files == live_files`` the
+        estimate covers the whole table.
+
+        How: every commit wrote one HLL sketch per (new file, sketch
+        column) into ``stats/``; this unions the sketches of the
+        snapshot's LIVE files (``hll_union_agg``). Accuracy is the
+        HLL lgK=12 bound (~1.6% RSE) regardless of how values spread
+        across files — and EXACT while total cardinality stays in the
+        sparse/coupon regime (small dimension columns). Note a full-scan
+        ``hll_sketch_agg`` is itself a union of per-partition partials,
+        so it is no more canonical than this metadata path; both are
+        estimates of the same live multiset (tolerance-pinned in
+        tests/test_lake_sketch.py against exact counts).
+        Work is O(live files × sketch cols) metadata rows;
+        at 10^6 files that is one small shuffle, never a data read —
+        Iceberg's puffin-stats read path (reference analog: the engine
+        keeps no stats at all and re-scans,
+        ``sql/WritableDataFrame.scala:83-86`` is write-only).
+
+        Semantics at the edges: tombstoned rows are excluded at sketch
+        time; copy-on-write rewrites re-sketch the whole touched bucket,
+        so a cow table's estimate tracks current content. Merge-on-read
+        generations each carry their own sketch — the union counts
+        values OVERWRITTEN by later generations too (HLL cannot
+        retract), an overcount bounded by update churn that compaction
+        resets. Files written before sketches were enabled (or under a
+        since-renamed column) show up in ``live_files - covered_files``
+        rather than silently skewing the estimate."""
+        snap = self.snapshot() if version is None else self.snapshot_at(version)
+        configured = list(snap.get("sketch_cols") or [])
+        cols = list(cols) if cols is not None else configured
+        if not cols:
+            raise ValueError("ndv: no columns requested and no "
+                             "sketch_cols configured")
+        live = sorted({e["file"] for fs in snap["buckets"].values()
+                       for e in fs})
+        out = {c: {"ndv": 0, "covered_files": 0, "live_files": len(live)}
+               for c in cols}
+        dirs = sorted(glob.glob(os.path.join(self.stats_dir, "sk-*")))
+        if not live or not dirs:
+            return out
+        sk = (self.spark.read.parquet(*dirs)
+              .where(F.col("column").isin(cols)))
+        live_df = self.spark.createDataFrame([(f,) for f in live],
+                                             "file string")
+        rows = (sk.join(F.broadcast(live_df), "file")
+                  .groupBy("column")
+                  .agg(F.hll_sketch_estimate(
+                           F.hll_union_agg("sketch", F.lit(False))
+                       ).alias("ndv"),
+                       F.countDistinct("file").alias("covered"))
+                  .collect())
+        for r in rows:
+            out[r["column"]]["ndv"] = int(r["ndv"])
+            out[r["column"]]["covered_files"] = int(r["covered"])
+        return out
 
     def read_tag(self, name: str,
                  filters: list[tuple] | None = None) -> DataFrame:
@@ -1901,7 +2017,8 @@ class LakeTable(TableIO):
                                           token=token,
                                           already_clustered=aligned,
                                           stats_cols=snap.get("stats_cols"),
-                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0),
+                                          sketch_cols=snap.get("sketch_cols"))
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -2090,7 +2207,8 @@ class LakeTable(TableIO):
 
     def read_change_log(self, from_version: int,
                         to_version: int | None = None, *,
-                        include_update_preimages: bool = False) -> DataFrame:
+                        include_update_preimages: bool = False,
+                        with_version: bool = False) -> DataFrame:
         """The change feed between two versions, served from the per-commit
         change files written at merge time (``create(changefeed=True)``)
         whenever they exist — an O(changed rows) file read with no
@@ -2103,7 +2221,19 @@ class LakeTable(TableIO):
         Semantics differ from ``read_changes`` exactly as Delta CDF
         differs from a snapshot diff: the log is per-commit, so a key
         changed twice emits both transitions (net-zero pairs included);
-        additive consumers (lake/ivm.py) fold either form identically."""
+        additive consumers (lake/ivm.py) fold either form identically.
+
+        ``with_version``: append a ``_change_version`` column — the
+        commit that produced each transition. The table's own LWW
+        columns CANNOT order transitions within a multi-commit range (a
+        delete row reuses its pre-image's seq, tying with the very
+        update it deletes — the replicator's lesson), so any consumer
+        that compacts a range to one action per key needs this column
+        (outbound relays, see sources/debezium.py emit_debezium). A
+        snapshot-diffed span (file-less steps, collapsed to net
+        transitions) is labeled with its END version — the net
+        transition is what a consumer at the start version must apply,
+        and it still orders correctly against neighboring commits."""
         cur_v = self.snapshot()["version"]
         if to_version is None:
             to_version = cur_v
@@ -2117,6 +2247,10 @@ class LakeTable(TableIO):
         out_schema = StructType(list(table_schema.fields) +
                                 [StructField("change_type", StringType(),
                                              True)])
+        if with_version:
+            out_schema = StructType(list(out_schema.fields) +
+                                    [StructField("_change_version",
+                                                 LongType(), True)])
         parts: list[DataFrame] = []
         v = from_version + 1
         while v <= to_version:
@@ -2137,6 +2271,9 @@ class LakeTable(TableIO):
                     if not include_update_preimages:
                         df = df.where(
                             F.col("change_type") != "update_preimage")
+                    if with_version:
+                        df = df.withColumn("_change_version",
+                                           F.lit(v).cast("long"))
                     parts.append(align_to_schema(df, out_schema))
                 v += 1
             else:
@@ -2146,11 +2283,13 @@ class LakeTable(TableIO):
                     if e is not None and e.get("version") == v:
                         break
                     v += 1
-                parts.append(align_to_schema(
-                    self.read_changes(
-                        start, v - 1,
-                        include_update_preimages=include_update_preimages),
-                    out_schema))
+                span = self.read_changes(
+                    start, v - 1,
+                    include_update_preimages=include_update_preimages)
+                if with_version:
+                    span = span.withColumn("_change_version",
+                                           F.lit(v - 1).cast("long"))
+                parts.append(align_to_schema(span, out_schema))
         if not parts:
             return (self.spark.createDataFrame([], out_schema)
                     .where(F.lit(False)))
@@ -2172,6 +2311,7 @@ class LakeTable(TableIO):
                             sort_cols: list[str] | None = None,
                             stats_cols: list[str] | None = None,
                             bloom_bpk: int = 0,
+                            sketch_cols: list[str] | None = None,
                             max_records_per_file: int | None = None)\
             -> dict[int, list[dict]]:
         """Write df (carrying _bucket) hive-partitioned DIRECTLY to its
@@ -2257,7 +2397,55 @@ class LakeTable(TableIO):
                 e["live"] = live
         if bloom_bpk > 0 and key_cols and entries:
             self._write_bloom_sidecars(entries, key_cols, bloom_bpk)
+        if sketch_cols and entries:
+            self._write_sketch_sidecar(out_dir, sketch_cols)
         return staged
+
+    def _write_sketch_sidecar(self, out_dir: str,
+                              sketch_cols: list[str]) -> None:
+        """One HLL sketch per (new data file, sketch column), written as a
+        single parquet sidecar under ``stats/`` (Iceberg's puffin file,
+        holding only sketch blobs the manifests never inline — a dense
+        lgK=12 sketch is ~4 KB, which would bloat every manifest entry
+        100×). One column-pruned, distributed read-back of just-written
+        files; values sketch as their string image (``hll_sketch_agg``
+        takes int/long/string/binary — casting unifies types without
+        changing distinct counts), tombstoned rows sketch as NULL (HLL
+        ignores nulls), so an all-tombstone file still gets a row and
+        counts as covered. The sidecar keys files by their
+        snapshot-relative path, so a commit-losing writer's sidecar rows
+        reference never-live files and age out in GC."""
+        df = self.spark.read.parquet(out_dir)
+        present = [c for c in sketch_cols if c in df.columns]
+        if not present:
+            return
+        # relative-to-data_dir path, matching manifest entry["file"]
+        # (substring after the final "/data/" — commit dirs are
+        # c{N}-{hex} so the table's own data dir is always that match)
+        rel = F.substring_index(F.col("_metadata.file_path"),
+                                "/data/", -1).alias("file")
+        vals = []
+        for c in present:
+            v = F.col(c).cast("string")
+            if _TOMB in df.columns:
+                v = F.when(~F.col(_TOMB), v)
+            vals.append(v.alias(c))
+        per_file = (df.select(rel, *vals)
+                      .groupBy("file")
+                      .agg(*[F.hll_sketch_agg(F.col(c),
+                                              F.lit(_SKETCH_LG_K)).alias(c)
+                             for c in present]))
+        long = (per_file.select(
+                    "file",
+                    F.explode(F.array(*[
+                        F.struct(F.lit(c).alias("column"),
+                                 F.col(c).alias("sketch"))
+                        for c in present])).alias("s"))
+                .select("file", "s.column", "s.sketch"))
+        os.makedirs(self.stats_dir, exist_ok=True)
+        target = os.path.join(self.stats_dir,
+                              f"sk-{uuid.uuid4().hex[:12]}")
+        long.coalesce(1).write.mode("error").parquet(target)
 
     def _write_bloom_sidecars(self, entries: list[tuple[dict, str]],
                               key_cols: list[str], bits_per_key: int) -> None:
@@ -2595,7 +2783,8 @@ class LakeTable(TableIO):
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=key_cols, token=token,
                                           stats_cols=snap.get("stats_cols"),
-                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0),
+                                          sketch_cols=snap.get("sketch_cols"))
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -2703,7 +2892,8 @@ class LakeTable(TableIO):
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=key_cols, token=token,
                                           stats_cols=snap.get("stats_cols"),
-                                          bloom_bpk=snap.get("bloom_bits_per_key", 0))
+                                          bloom_bpk=snap.get("bloom_bits_per_key", 0),
+                                          sketch_cols=snap.get("sketch_cols"))
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         # full replace under the plain spec cancels any in-progress
@@ -2832,6 +3022,7 @@ class LakeTable(TableIO):
                                           sort_cols=sort_cols,
                                           stats_cols=stats_cols,
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0),
+                                          sketch_cols=snap.get("sketch_cols"),
                                           max_records_per_file=target_rows_per_file)
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
@@ -2970,11 +3161,33 @@ class LakeTable(TableIO):
                 if fname not in referenced_changes and _expired(full):
                     os.remove(full)
                     dropped_changes += 1
+        # sketch-sidecar GC: a sidecar whose referenced data files are ALL
+        # unreferenced by every retained snapshot is dead metadata (its
+        # commit expired, or it was staged by a crashed/losing writer —
+        # including partially-written sidecars, which read as dead).
+        # Liveness needs only the tiny `file` column, never the blobs.
+        dropped_sketches = 0
+        if os.path.isdir(self.stats_dir):
+            import pyarrow.parquet as pq
+            for d in sorted(glob.glob(os.path.join(self.stats_dir,
+                                                   "sk-*"))):
+                refs: set | None = set()
+                try:
+                    for part in glob.glob(os.path.join(d, "*.parquet")):
+                        refs.update(pq.read_table(
+                            part, columns=["file"])["file"].to_pylist())
+                except Exception:
+                    refs = None  # unreadable partial write — age out
+                if (refs is None or not (refs & referenced)) \
+                        and _expired(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    dropped_sketches += 1
         return {"snapshots_expired": dropped_snaps,
                 "orphan_files_removed": dropped_files,
                 "orphan_manifests_removed": dropped_manifests,
                 "orphan_lineage_removed": dropped_lineage,
                 "orphan_changes_removed": dropped_changes,
+                "orphan_sketches_removed": dropped_sketches,
                 "snapshots_retained": len(keep)}
 
     # --------------------------------------------------------------- lineage

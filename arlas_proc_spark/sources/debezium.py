@@ -43,18 +43,25 @@ _VALID_OPS = ("c", "r", "u", "d")
 
 
 def envelope_schema(row_schema: T.StructType, *, seq_field: str = "lsn",
-                    wrapped: bool = True) -> T.StructType:
+                    wrapped: bool = True,
+                    txid_field: str | None = None) -> T.StructType:
     """The ``from_json`` schema for a Debezium envelope whose before/after
     images have ``row_schema``. ``wrapped=True`` is the on-the-wire shape
     with the ``payload`` wrapper (Kafka Connect JSON converter with
     schemas disabled still wraps); ``wrapped=False`` decodes a bare
     payload (``unwrap``/ExtractNewRecordState NOT applied — this module
-    replaces that transform)."""
+    replaces that transform). ``txid_field`` additionally decodes a
+    transaction id under ``source`` (Debezium's connector-specific
+    ``txId``; :func:`emit_debezium` stamps the producing commit version
+    there so consumers can order transitions within one drained
+    range)."""
+    src_fields = [T.StructField(seq_field, T.LongType(), True)]
+    if txid_field:
+        src_fields.append(T.StructField(txid_field, T.LongType(), True))
     payload = T.StructType([
         T.StructField("before", row_schema, True),
         T.StructField("after", row_schema, True),
-        T.StructField("source", T.StructType(
-            [T.StructField(seq_field, T.LongType(), True)]), True),
+        T.StructField("source", T.StructType(src_fields), True),
         T.StructField("op", T.StringType(), True),
         T.StructField("ts_ms", T.LongType(), True),
     ])
@@ -65,7 +72,8 @@ def envelope_schema(row_schema: T.StructType, *, seq_field: str = "lsn",
 
 def decode_debezium(df: DataFrame, row_schema: T.StructType, *,
                     value_col: str = "value", seq_field: str = "lsn",
-                    wrapped: bool = True) -> DataFrame:
+                    wrapped: bool = True,
+                    txid_field: str | None = None) -> DataFrame:
     """Decode a DataFrame of Debezium envelope strings into WAL rows.
 
     Output columns: ``seq`` (bigint, from ``source.<seq_field>``), ``op``
@@ -75,11 +83,17 @@ def decode_debezium(df: DataFrame, row_schema: T.StructType, *,
     envelope — kept so dead-letter rows stay replayable). All event
     columns are null on DLQ rows.
 
+    With ``txid_field``, a ``_txid`` column (bigint, nullable) rides
+    along — the producer's transaction/commit id, needed to order
+    transitions within a multi-commit drain (see
+    :func:`compact_debezium_batch`).
+
     Works identically on batch and streaming DataFrames (pure projection,
     no state)."""
     parsed = F.from_json(F.col(value_col),
                          envelope_schema(row_schema, seq_field=seq_field,
-                                         wrapped=wrapped))
+                                         wrapped=wrapped,
+                                         txid_field=txid_field))
     pay = parsed.getField("payload") if wrapped else parsed
     op = pay.getField("op")
     before, after = pay.getField("before"), pay.getField("after")
@@ -106,8 +120,11 @@ def decode_debezium(df: DataFrame, row_schema: T.StructType, *,
     cols = [good(seq).alias("seq"), good(mapped_op).alias("op")]
     cols += [good(row.getField(f.name)).alias(f.name)
              for f in row_schema.fields]
-    cols += [good(F.floor(ts_ms / F.lit(1000)).cast("long")).alias("ts_s"),
-             reason.alias(DLQ_REASON),
+    cols += [good(F.floor(ts_ms / F.lit(1000)).cast("long")).alias("ts_s")]
+    if txid_field:
+        txid = pay.getField("source").getField(txid_field)
+        cols += [good(txid).alias("_txid")]
+    cols += [reason.alias(DLQ_REASON),
              F.col(value_col).alias(RAW_VALUE)]
     return df.select(*cols)
 
@@ -122,6 +139,84 @@ def split_debezium(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
             .drop(DLQ_REASON, RAW_VALUE))
     bad = decoded.where(F.col(DLQ_REASON).isNotNull())
     return good, bad
+
+
+def emit_debezium(table, from_version: int, to_version: int | None = None,
+                  *, seq_field: str = "lsn", txid_field: str = "txid",
+                  ts_col: str = "ts_s",
+                  value_col: str = "value") -> DataFrame:
+    """The OUTBOUND half of the Debezium boundary: render a lake table's
+    change feed between two versions as Debezium envelope strings, so the
+    table acts as a CDC *producer* for consumers outside this engine
+    (Kafka sinks, other lakes, search indexes) — the closing of the relay
+    loop whose inbound half is :func:`decode_debezium`.
+
+    Envelope mapping (exactly what the decoder expects back):
+
+    - ``insert`` → op ``c`` with ``after`` only; ``update_postimage`` →
+      op ``u`` with ``after``; ``delete`` → op ``d`` with ``before`` =
+      the deleted row's pre-image (nulls omitted by ``to_json``, which
+      ``from_json`` reads back as null — Debezium's own wire shape).
+    - ``source.<seq_field>`` carries the row's sequence number;
+      ``source.<txid_field>`` carries the PRODUCING COMMIT VERSION —
+      required because a delete row reuses its pre-image's seq, so seq
+      alone cannot order a key's transitions within a drained range
+      (see ``read_change_log(with_version=True)``).
+    - ``ts_ms = ts_col * 1000`` when the table has ``ts_col``, else 0.
+      ``ts_col`` and the seq column ride envelope metadata, NOT the row
+      images — the decoder re-injects both, so a round trip restores
+      every table column exactly. (Tables without ``ts_col``: the
+      decoder manufactures ``ts_s = 0``; drop it before merging into a
+      replica that lacks the column.)
+
+    Pure projection over ``read_change_log`` — map-only after the feed
+    read, O(changed rows), batch or ``foreachBatch`` alike. Round-trip
+    replication = emit → decode → :func:`compact_debezium_batch` →
+    ``merge_batch`` (byte-parity test-pinned in
+    tests/test_debezium_relay.py)."""
+    snap = table.snapshot()
+    seq_col = snap["seq_col"]
+    ch = table.read_change_log(from_version, to_version, with_version=True)
+    table_cols = [f.name for f in table.schema.fields]
+    row_cols = [c for c in table_cols if c not in (seq_col, ts_col)]
+    image = F.struct(*[F.col(c) for c in row_cols])
+    is_del = F.col("change_type") == "delete"
+    op = (F.when(is_del, F.lit("d"))
+          .when(F.col("change_type") == "insert", F.lit("c"))
+          .otherwise(F.lit("u")))
+    ts_ms = (F.col(ts_col).cast("long") * F.lit(1000)
+             if ts_col in table_cols else F.lit(0).cast("long"))
+    payload = F.struct(
+        F.when(is_del, image).alias("before"),
+        F.when(~is_del, image).alias("after"),
+        F.struct(F.col(seq_col).cast("long").alias(seq_field),
+                 F.col("_change_version").alias(txid_field)).alias("source"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"))
+    return ch.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias(value_col))
+
+
+def compact_debezium_batch(decoded: DataFrame,
+                           key_cols: list[str]) -> DataFrame:
+    """One drained envelope range may span several producer commits
+    touching the same key; keep each key's NEWEST transition by ``_txid``
+    (from ``decode_debezium(txid_field=...)``) so the batch is mergeable
+    as one action per key. Numeric max + left-semi join-back, NOT
+    ``max(struct(...))`` — the engine-wide argmax discipline (a struct
+    aggregation buffer plans as non-codegen SortAggregate); ``(key,
+    _txid)`` is unique because one commit emits at most one non-preimage
+    transition per key, so the semi join keeps exactly one row. The same
+    compaction the lake-to-lake replicator applies to its change files
+    (streaming/replicate.py _compact_changes), at the Debezium
+    boundary."""
+    if "_txid" not in decoded.columns:
+        raise ValueError("compact_debezium_batch needs the _txid column — "
+                         "decode with decode_debezium(txid_field=...)")
+    winners = (decoded.groupBy(*key_cols)
+               .agg(F.max("_txid").alias("_txid")))
+    return (decoded.join(winners, [*key_cols, "_txid"], "left_semi")
+            .drop("_txid"))
 
 
 def encode_debezium_sql(row_cols: tuple[str, ...] = (
