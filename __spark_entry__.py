@@ -378,6 +378,45 @@ def q_debezium_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256")
 
 
+def q_catalog_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transactions through the catalog (lake/catalog.py):
+    replay the feed into a source table in two transactions, each also
+    refreshing a derived per-lang stats table, with ONE catalog CAS as
+    the commit point of each pair — then read the stats table THROUGH
+    the catalog (the pinned version, never the possibly-ahead table
+    CURRENT). The pinned state must equal the per-lang aggregate DuckDB
+    computes over the converged final state: catalog resolution,
+    multi-table flip, and the derived refresh are all under the value
+    gate."""
+    from arlas_proc_spark.lake.catalog import Catalog
+    from arlas_proc_spark.lake.table import LakeTable
+    tmp = _scratch_dir("arlas_catalog_")
+    engine = CdcEngine(spark, f"{tmp}/src", n_buckets=8,
+                       collect_metrics=False)
+    stats = LakeTable.create(
+        spark, f"{tmp}/stats",
+        T.StructType([T.StructField("lang", T.StringType(), False),
+                      T.StructField("seq", T.LongType(), True),
+                      T.StructField("n_docs", T.LongType(), True)]),
+        ["lang"], "seq", n_buckets=2)
+    cat = Catalog.create(spark, f"{tmp}/cat")
+    cat.register("src", engine.table.path)
+    cat.register("stats", stats.path)
+    feed = changefeed_df(spark, N_FEED)
+    half = N_FEED // 2
+    for i, part in enumerate((feed.where(feed.seq < half),
+                              feed.where(feed.seq >= half))):
+        engine.apply_batch(part, i)
+        refreshed = (engine.state().where(F.col("lang").isNotNull())
+                     .groupBy("lang")
+                     .agg(F.max("seq").alias("seq"),
+                          F.count(F.lit(1)).alias("n_docs"))
+                     .withColumn("op", F.lit("insert")))
+        stats.merge_batch(refreshed, f"txn-{i}-stats")
+        cat.commit(f"txn-{i}")
+    return cat.read("stats").select("lang", "seq", "n_docs")
+
+
 def q_debezium_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter accounting for the Debezium decode: per-reason counts
     over the same faulty envelope corpus (duplicate deliveries included —
@@ -1579,6 +1618,10 @@ _EXTRA_QUERIES = [
     # rendered as envelopes, decoded back, compacted by source.txid, and
     # merged into a replica whose state must equal the converged oracle
     "debezium_relay",
+    # r4: catalog multi-table transactions — source + derived stats
+    # flipped by one catalog CAS per txn; the catalog-resolved stats
+    # table must equal the per-lang aggregate over the converged oracle
+    "catalog_lang_stats",
 ]
 
 
@@ -1605,6 +1648,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_replay": q_cdc_debezium_replay,
         "debezium_dlq": q_debezium_dlq,
         "debezium_relay": q_debezium_relay,
+        "catalog_lang_stats": q_catalog_lang_stats,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_patch_replay": q_cdc_patch_replay,
@@ -2084,6 +2128,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "cdc_debezium_replay": _debezium_replay_oracle_sql(),
         "debezium_dlq": _debezium_dlq_oracle_sql(),
         "debezium_relay": final,
+        "catalog_lang_stats": (
+            f"SELECT lang, max(seq) AS seq, count(*) AS n_docs "
+            f"FROM ({final}) f WHERE lang IS NOT NULL GROUP BY lang"),
         "cdc_change_feed": f"""
             WITH w1 AS (
               SELECT * FROM (
