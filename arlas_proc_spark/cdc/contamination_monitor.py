@@ -139,6 +139,11 @@ class ContaminationMonitor:
         except ValueError:
             return False
 
+    def lake_tables(self) -> list:
+        """The LakeTables this consumer commits to — the streaming loop's
+        catalog publisher flips their pins atomically with the source."""
+        return [self.flags]
+
     # ------------------------------------------------------------- refresh
     def refresh(self) -> dict:
         """Score all source commits past the cursor and fold the flag

@@ -310,6 +310,11 @@ class DedupIndexRefresher:
         except ValueError:
             return False
 
+    def lake_tables(self) -> list[LakeTable]:
+        """The LakeTables this consumer commits to — the streaming loop's
+        catalog publisher flips their pins atomically with the source."""
+        return [self.index.table]
+
     def refresh(self) -> dict:
         """Fold all source commits past the cursor into the index.
 

@@ -125,6 +125,11 @@ class IncrementalAggView:
         """Current view state (group cols + count + measures + derived)."""
         return self._with_derived(self.table.read().drop("_src_version"))
 
+    def lake_tables(self) -> list[LakeTable]:
+        """The LakeTables this consumer commits to — the streaming loop's
+        catalog publisher flips their pins atomically with the source."""
+        return [self.table]
+
     # --------------------------------------------------------------- refresh
     def refresh(self) -> dict:
         """Fold all source commits past the cursor into the view."""

@@ -50,7 +50,8 @@ class StreamingIngest:
                  changefeed: bool = False,
                  state_partitions: int | None = None,
                  patch_cols: list[str] | None = None,
-                 migrate_per_batch: int | None = None):
+                 migrate_per_batch: int | None = None,
+                 catalog=None):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -109,7 +110,19 @@ class StreamingIngest:
         migration interleave in one single-writer stream until the
         migration finalizes itself, no separate maintenance window.
         Armed-state detection is a driver-side manifest-list read per
-        batch; a table with no migration in progress pays only that."""
+        batch; a table with no migration in progress pays only that.
+        ``catalog``: a ``lake.catalog.Catalog`` — after every committed
+        micro-batch (merge + auto-compaction + migration step + view/
+        index refreshes), ONE catalog transaction flips the pins of every
+        registered catalog entry belonging to this pipeline (the ingest
+        table plus each view's ``lake_tables()``), so catalog readers see
+        the batch's table AND its rollups/indexes appear together —
+        never the torn table-new/view-old state. Which entries belong is
+        derived by path match against the catalog's registry, so the only
+        setup is registering the tables once; entries for OTHER pipelines
+        sharing the catalog are never touched. The txn id is scoped by
+        (checkpoint, batch_id) — a replayed micro-batch's flip no-ops via
+        the catalog's own ledger, extending exactly-once to visibility."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
@@ -134,6 +147,7 @@ class StreamingIngest:
         self.views = list(views or [])
         self.state_partitions = state_partitions
         self.migrate_per_batch = migrate_per_batch
+        self.catalog = catalog
         self._restore_partitions: str | None = None
 
     def events_stream(self, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -290,6 +304,13 @@ class StreamingIngest:
             # redeliveries refresh as no-ops via the view cursor
             for v in self.views:
                 v.refresh()
+            # visibility commit point: everything this batch wrote —
+            # table, rollups, indexes — becomes catalog-visible in ONE
+            # CAS. A crash before this line leaves catalog readers on the
+            # previous consistent set; the replayed batch re-runs the
+            # (no-op) merges and lands the flip.
+            if self.catalog is not None:
+                self._publish_catalog(batch_id)
 
         if self.state_partitions and self.stream_dedup \
                 and self._restore_partitions is None:
@@ -338,6 +359,47 @@ class StreamingIngest:
                 f"streaming ingest did not drain the WAL backlog within "
                 f"{timeout_s}s; table state is partial (resume with the "
                 f"same checkpoint to continue)")
+
+    # ------------------------------------------------------------- catalog
+    def _pipeline_table_paths(self) -> set:
+        """Real paths of every LakeTable this pipeline commits to: the
+        ingest table plus each view's ``lake_tables()`` (IncrementalAggView,
+        DedupIndexRefresher, ContaminationMonitor all expose it; unknown
+        view shapes without it simply aren't published)."""
+        paths = {os.path.realpath(self.table_path)}
+        for v in self.views:
+            for t in (v.lake_tables() if hasattr(v, "lake_tables") else []):
+                paths.add(os.path.realpath(t.path))
+        return paths
+
+    def _publish_catalog(self, batch_id: int) -> dict | None:
+        """Flip this pipeline's catalog pins to the tables' CURRENT in one
+        catalog transaction. Pin targets are each table's CURRENT version
+        — this loop is the single writer for its tables, so CURRENT is
+        exactly what this batch (plus any auto-compaction / migration
+        step) committed. The catalog CAS itself may race OTHER pipelines
+        sharing the catalog; those writers touch disjoint entries, so the
+        flip is re-read and retried (``Catalog.commit`` re-reads CURRENT
+        on every call; pins never move backward)."""
+        from arlas_proc_spark.lake.table import (ConcurrentCommitError,
+                                                 LakeTable)
+        txn_id = f"ingest-{self.engine.ledger_scope[:8]}-b{batch_id}"
+        mine = self._pipeline_table_paths()
+        last_err = None
+        for _ in range(8):
+            registry = self.catalog.tables()
+            versions = {
+                name: int(LakeTable(self.spark,
+                                    ent["path"]).snapshot()["version"])
+                for name, ent in registry.items()
+                if os.path.realpath(ent["path"]) in mine}
+            if not versions:
+                return None  # nothing registered for this pipeline
+            try:
+                return self.catalog.commit(txn_id, versions=versions)
+            except ConcurrentCommitError as e:
+                last_err = e  # a concurrent flip moved CURRENT; re-read
+        raise last_err
 
     def state(self) -> DataFrame:
         return self.engine.state()

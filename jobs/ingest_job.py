@@ -86,6 +86,14 @@ def main() -> None:
                          "many old buckets after every committed "
                          "micro-batch — re-partition the live table "
                          "inside the ingest loop itself")
+    ap.add_argument("--catalog", default=None, metavar="DIR",
+                    help="publish through this catalog: after every "
+                         "committed micro-batch, one catalog transaction "
+                         "flips the pins of this pipeline's registered "
+                         "entries (the ingest table + its views/indexes) "
+                         "so catalog readers never see them torn; "
+                         "register the tables once with catalog_job.py "
+                         "--register")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --wal first (demo)")
     ap.add_argument("--master", default=None)
@@ -129,6 +137,12 @@ def main() -> None:
                           state_partitions=args.state_partitions,
                           patch_cols=patch_cols,
                           migrate_per_batch=args.migrate_per_batch)
+    if args.catalog:
+        from arlas_proc_spark.lake.catalog import Catalog
+        if not Catalog.exists(spark, args.catalog):
+            ap.error(f"--catalog {args.catalog} does not exist; create and "
+                     f"register tables with jobs/catalog_job.py first")
+        ing.catalog = Catalog(spark, args.catalog)
     if args.continuous:
         q = ing.start(args.wal, args.checkpoint,
                       max_files_per_trigger=args.max_files_per_trigger,
