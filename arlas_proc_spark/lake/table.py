@@ -879,7 +879,8 @@ class LakeTable(TableIO):
     def rebucket(self, new_n_buckets: int, *,
                  batch_id: str | None = None,
                  target_rows_per_file: int | None = None,
-                 cluster_by: list[str] | None = None) -> dict:
+                 cluster_by: list[str] | None = None,
+                 cluster_mode: str = "linear") -> dict:
         """Bucket-count evolution: rewrite the table under a new bucket
         transform in one atomic snapshot commit (Iceberg's partition-spec
         evolution, restricted to the bucket width). The day-1 bucket
@@ -888,10 +889,10 @@ class LakeTable(TableIO):
         ledger, schema history and changefeed flag carry over, so
         exactly-once ingest continues across the rewrite. Merge-on-read
         generations are LWW-resolved on the way through (the rewrite is
-        also a full compaction). ``cluster_by``: see ``compact`` —
-        rebucket-with-same-count + cluster_by is the way to re-layout an
-        ENTIRE table for range pruning (compact only rewrites victim
-        buckets)."""
+        also a full compaction). ``cluster_by`` / ``cluster_mode``: see
+        ``compact`` — rebucket-with-same-count + cluster_by is the way to
+        re-layout an ENTIRE table for range pruning (compact only
+        rewrites victim buckets)."""
         if target_rows_per_file is not None and target_rows_per_file < 1:
             raise ValueError(f"target_rows_per_file must be >= 1, got "
                              f"{target_rows_per_file}")
@@ -905,7 +906,10 @@ class LakeTable(TableIO):
         df = _resolve_lww(self.read(snapshot=snap, with_tombstones=True),
                           key_cols, snap["seq_col"])
         sort_cols, stats_cols = _clustered_layout(
-            snap, cluster_by, df.columns)
+            snap, cluster_by, df.columns, cluster_mode=cluster_mode)
+        if cluster_by and cluster_mode == "zorder":
+            from arlas_proc_spark.lake.zorder import zorder_expr
+            sort_cols = [zorder_expr(df, list(cluster_by))]
         out = df.withColumn(_BUCKET, bucket_expr(key_cols, new_n_buckets))
         version = snap["version"] + 1
         schema_v = max(int(v) for v in snap["schemas"])
@@ -2366,7 +2370,8 @@ class LakeTable(TableIO):
             # SortExec satisfies the writer's requirement and no second
             # sort is planned.
             clustered = clustered.sortWithinPartitions(
-                F.col(_BUCKET), *[F.col(c) for c in sort_cols])
+                F.col(_BUCKET), *[F.col(c) if isinstance(c, str) else c
+                                  for c in sort_cols])
         writer = clustered.write.partitionBy(_BUCKET).mode("overwrite")
         if max_records_per_file:
             # split inside the write task: each split file keeps the
@@ -2920,7 +2925,8 @@ class LakeTable(TableIO):
                 tombstone_horizon_seq: int | None = None,
                 batch_id: str | None = None,
                 target_rows_per_file: int | None = None,
-                cluster_by: list[str] | None = None) -> dict:
+                cluster_by: list[str] | None = None,
+                cluster_mode: str = "linear") -> dict:
         """Rewrite fragmented buckets (more than ``max_files_per_bucket``
         files) into one file each; optionally GC delete tombstones whose seq
         is at/below ``tombstone_horizon_seq`` (safe once no event with a
@@ -2960,7 +2966,20 @@ class LakeTable(TableIO):
         ``read(filters=...)``. Layout only: read/LWW semantics never
         depend on file order. Trade-off vs the default key sort: point
         lookups lose row-group locality inside rewritten files, range
-        scans on the cluster columns gain file-level pruning."""
+        scans on the cluster columns gain file-level pruning.
+
+        ``cluster_mode``: ``'linear'`` (default) sorts lexicographically —
+        tight ranges on the FIRST cluster column only; ``'zorder'``
+        Morton-interleaves all cluster columns (lake/zorder.py) so
+        per-file min/max stay tight on EVERY clustered column and a
+        filter on any of them prunes files (Delta OPTIMIZE ZORDER BY).
+        The z-value is a sort expression, never a stored column."""
+        if cluster_mode not in ("linear", "zorder"):
+            # fail fast even when no bucket qualifies — a typo'd mode on
+            # a quiet table would otherwise pass silently until the first
+            # fragmented maintenance run
+            raise ValueError(f"cluster_mode must be 'linear' or 'zorder', "
+                             f"got {cluster_mode!r}")
         snap = self.snapshot()
         if batch_id and _ledger_contains(snap["ledger"], str(batch_id)):
             return {"compacted_buckets": 0, "skipped": True}
@@ -3007,7 +3026,10 @@ class LakeTable(TableIO):
             df = df.where(~(F.coalesce(F.col(_TOMB), F.lit(False)) &
                             (F.col(snap["seq_col"]) <= tombstone_horizon_seq)))
         sort_cols, stats_cols = _clustered_layout(
-            snap, cluster_by, df.columns)
+            snap, cluster_by, df.columns, cluster_mode=cluster_mode)
+        if cluster_by and cluster_mode == "zorder":
+            from arlas_proc_spark.lake.zorder import zorder_expr
+            sort_cols = [zorder_expr(df, list(cluster_by))]
         # routed: a transitional bucket's rows route back to the SAME
         # transitional id (their old bucket is behind the frontier), an
         # unmigrated bucket's rows to itself — a plain-spec expression
@@ -3238,13 +3260,21 @@ def _provably_empty(spark: SparkSession, schema: StructType) -> DataFrame:
 
 
 def _clustered_layout(snap: dict, cluster_by: list[str] | None,
-                      available: list[str]) -> tuple[list[str], list[str]]:
+                      available: list[str], *,
+                      cluster_mode: str = "linear",
+                      ) -> tuple[list[str], list[str]]:
     """(sort_cols, stats_cols) for a maintenance rewrite: default is the
     key sort with the table's configured stats; ``cluster_by`` replaces
     the sort order and extends the recorded stats with the cluster
     columns so ``read(filters=...)`` can prune the rewritten files on
     them. Fails fast on unknown columns — a typo'd cluster column would
-    otherwise surface as an opaque write-stage AnalysisException."""
+    otherwise surface as an opaque write-stage AnalysisException.
+    ``cluster_mode='zorder'`` is validated here; the caller swaps the
+    returned sort for the Morton expression (the STATS stay the raw
+    cluster columns either way — pruning reads real-column min/max)."""
+    if cluster_mode not in ("linear", "zorder"):
+        raise ValueError(f"cluster_mode must be 'linear' or 'zorder', "
+                         f"got {cluster_mode!r}")
     if not cluster_by:
         return list(snap["key_cols"]), snap.get("stats_cols")
     missing = [c for c in cluster_by if c not in available]

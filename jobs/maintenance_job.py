@@ -60,6 +60,13 @@ def main() -> None:
                          "of the key (ZORDER-style layout for range "
                          "pruning); applies to --compact-over and "
                          "--rebucket rewrites")
+    ap.add_argument("--cluster-mode", default="linear",
+                    choices=["linear", "zorder"],
+                    help="with --cluster-by: 'linear' sorts "
+                         "lexicographically (tight ranges on the first "
+                         "column only), 'zorder' Morton-interleaves all "
+                         "cluster columns so filters on ANY of them "
+                         "prune files")
     ap.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
                     help="tombstone every live row matching this SQL "
                          "predicate (retention / GDPR erasure), e.g. "
@@ -123,7 +130,8 @@ def main() -> None:
         kw = dict(tombstone_horizon_seq=args.tombstone_horizon,
                   target_rows_per_file=args.target_file_rows,
                   cluster_by=([c.strip() for c in args.cluster_by.split(",")]
-                              if args.cluster_by else None))
+                              if args.cluster_by else None),
+                  cluster_mode=args.cluster_mode)
         if args.compact_over is not None:
             kw["max_files_per_bucket"] = args.compact_over
         report["compact"] = t.compact(**kw)
@@ -131,7 +139,8 @@ def main() -> None:
         report["rebucket"] = t.rebucket(
             args.rebucket, target_rows_per_file=args.target_file_rows,
             cluster_by=([c.strip() for c in args.cluster_by.split(",")]
-                        if args.cluster_by else None))
+                        if args.cluster_by else None),
+            cluster_mode=args.cluster_mode)
     if args.rename_column is not None:
         old, sep, new = args.rename_column.partition("=")
         if not sep or not old or not new:
