@@ -2369,9 +2369,26 @@ class LakeTable(TableIO):
             # came out unsorted). With _BUCKET as the sort prefix our
             # SortExec satisfies the writer's requirement and no second
             # sort is planned.
+            # Column-expression sort keys (the z-order case) materialize
+            # as temp columns first: SortExec re-evaluates ordering
+            # expressions per COMPARISON (n log n evals), a projected
+            # column is computed once per row. The drop after the sort
+            # keeps the files clean; the remaining (_BUCKET, ...) prefix
+            # ordering still satisfies the partitionBy writer, so no
+            # second sort is planned.
+            sort_keys, drop_after = [], []
+            for i, c in enumerate(sort_cols):
+                if isinstance(c, str):
+                    sort_keys.append(F.col(c))
+                else:
+                    name = f"_sortkey_{i}"
+                    clustered = clustered.withColumn(name, c)
+                    sort_keys.append(F.col(name))
+                    drop_after.append(name)
             clustered = clustered.sortWithinPartitions(
-                F.col(_BUCKET), *[F.col(c) if isinstance(c, str) else c
-                                  for c in sort_cols])
+                F.col(_BUCKET), *sort_keys)
+            if drop_after:
+                clustered = clustered.drop(*drop_after)
         writer = clustered.write.partitionBy(_BUCKET).mode("overwrite")
         if max_records_per_file:
             # split inside the write task: each split file keeps the

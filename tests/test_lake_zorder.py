@@ -32,19 +32,26 @@ def _grid_batch(spark, n=16):
     ).select("repo", "path", "commit", "seq", "content", "op")
 
 
-def _py_zvalue(xs, cols_values, bits, k):
-    """Reference Morton interleave over reference equi-depth bins."""
-    out = []
-    bins_per_col = []
+def _py_zvalue(cols_values, bits, k):
+    """Reference MSB-aligned Morton interleave over reference equi-depth
+    bins: column i uses its natural width w_i = ceil(log2(bins_used)),
+    round r takes each column's bit w_i-1-r, positions fill top-down."""
+    parts = []
     for i in range(k):
         splits = _equidepth_splits([v[i] for v in cols_values], 1 << bits)
-        bins_per_col.append(splits)
+        if splits:
+            parts.append((i, splits, len(splits).bit_length()))
+    total = sum(w for _, _, w in parts)
+    out = []
     for v in cols_values:
-        z = 0
-        for i in range(k):
-            b = sum(1 for s in bins_per_col[i] if s <= v[i])
-            for j in range(bits):
-                z |= ((b >> j) & 1) << (j * k + i)
+        z, pos = 0, total
+        for r in range(max((w for _, _, w in parts), default=0)):
+            for i, splits, w in parts:
+                if r < w:
+                    pos -= 1
+                    b = (0 if v[i] is None
+                         else sum(1 for s in splits if s <= v[i]))
+                    z |= ((b >> (w - 1 - r)) & 1) << pos
         out.append(z)
     return out
 
@@ -61,13 +68,60 @@ def test_zorder_expr_matches_python_reference(spark):
                                  sample_rows=1000).alias("z"))
            .orderBy("x", "y").collect()]
     ordered = sorted(rows)
-    want = _py_zvalue(None, ordered, bits=4, k=2)
+    want = _py_zvalue(ordered, bits=4, k=2)
     assert got == want
     # interleave actually mixes both dimensions: z is NOT monotone in x
     zs_by_x = [r.z for r in
                df.select("x", zorder_expr(df, ["x", "y"], bits=4)
                          .alias("z")).orderBy("x", "y").collect()]
     assert zs_by_x != sorted(zs_by_x)
+
+
+def test_zorder_expr_msb_aligned_width_mismatch(spark):
+    """A 3-value column (w=2) against a 200-value column (w=8, bits=8):
+    the narrow column's top bit must land in the TOP interleave round —
+    z splits FIRST by the wide column's top bit, then the narrow one.
+    Parity with the Python reference pins the exact bit layout."""
+    rows = [(x, ["a", "mm", "zz"][x % 3]) for x in range(200)]
+    df = spark.createDataFrame(rows, "x long, cat string")
+    got = [r.z for r in
+           df.select("x", "cat",
+                     zorder_expr(df, ["x", "cat"], bits=8,
+                                 sample_rows=1000).alias("z"))
+           .orderBy("x", "cat").collect()]
+    want = _py_zvalue(sorted(rows), bits=8, k=2)
+    assert got == want
+    # the narrow column still owns a HIGH bit: rows with cat='zz' (top
+    # bin) and tiny x must sort above rows with cat='a' and mid-range x
+    by_val = {tuple(v): z for v, z in zip(sorted(rows), want)}
+    assert by_val[(2, "zz")] > by_val[(90, "a")]
+
+
+def test_zorder_prunes_low_cardinality_with_wide_column(spark, tmp_path):
+    """Regression for the fixed-position interleave: with cluster cols
+    (4-value category, wide numeric), a category-only equality filter
+    must prune files. Under the old j*k+i layout the category's 2 real
+    bits sat below the numeric column's bit 2, so every file spanned all
+    categories and NOTHING pruned."""
+    n = 1024
+    rows = [(i, "insert", "r", f"f{i}.py",
+             ["go", "java", "py", "rs"][i % 4], f"{i:04d}")
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, "
+              "commit string, content string"
+    ).select("repo", "path", "commit", "seq", "content", "op")
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=1)
+    t.append_batch(df, 0)
+    t.compact(max_files_per_bucket=1, target_rows_per_file=64,
+              cluster_by=["commit", "seq"], cluster_mode="zorder")
+    hit = t.read(filters=[("commit", "=", "py")])
+    assert hit.count() == n // 4
+    total = sum(len(fs) for fs in t.snapshot()["buckets"].values())
+    assert total == n // 64
+    # one of four categories → at most ~half the files contain it
+    assert len(hit.inputFiles()) <= total // 2
 
 
 def test_zorder_prunes_on_second_column_linear_does_not(spark, tmp_path):
