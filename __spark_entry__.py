@@ -232,6 +232,31 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "seq", "ts_s", "lang", "content", "content_sha256")
 
 
+def q_cdc_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector engine path (write_mode='dv'): replay the feed in
+    three INTERLEAVED batches (seq % 3 — later batches carry stale
+    losers too) through positional-delete merges — only changed rows are
+    written, superseded rows are masked by (file, position) — with one
+    mid-replay ``compact(dv_dead_ratio=...)`` folding the masks back to
+    clean files. The read-back final state must equal the same converged
+    oracle as the cow and mor replays (Delta deletion vectors / Iceberg
+    v2 positional deletes; same S5/J3 MERGE contract,
+    sql/WritableDataFrame.scala:83-86)."""
+    tmp = _scratch_dir("arlas_dv_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False, write_mode="dv")
+    feed = changefeed_df(spark, N_FEED)
+    for i in range(3):
+        engine.apply_batch(feed.where(feed.seq % 3 == i), i)
+        if i == 1:
+            # fold every masked bucket mid-stream: later dv merges then
+            # re-mask the rewritten files — both mask lifecycles on the line
+            engine.table.compact(dv_dead_ratio=0.0001)
+    return engine.state().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
 def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-rebucket path under the graded contract: replay the
     feed in three cow batches while a bucket-count migration (8 → 5,
@@ -1628,6 +1653,9 @@ _EXTRA_QUERIES = [
     # r4: incremental bucket-count migration interleaved with cow merges
     # — final state must be bucketing-invariant vs the converged oracle
     "cdc_rebucket_replay",
+    # r4: deletion-vector merges (positional-delete masks + mid-replay
+    # mask fold) — final state must equal the same converged oracle
+    "cdc_dv_replay",
     # r4: shallow clone + retention delete_where on the clone, vs the
     # converged oracle minus the predicate's victims
     "cdc_clone_retention",
@@ -1668,6 +1696,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_dv_replay": q_cdc_dv_replay,
         "cdc_rebucket_replay": q_cdc_rebucket_replay,
         "cdc_clone_retention": q_cdc_clone_retention,
         "zorder_scan": q_zorder_scan,
@@ -2144,6 +2173,7 @@ def _all_oracle_sql() -> dict[str, str]:
             f"content_sha256 FROM ({final}) f WHERE repo = 'repo_0000' "
             f"AND path = 'src/f_00000.py'"),
         "cdc_mor_replay": final,
+        "cdc_dv_replay": final,
         "cdc_rebucket_replay": final,
         "cdc_clone_retention": (
             f"SELECT repo, path, commit, seq, ts_s, lang, content, "

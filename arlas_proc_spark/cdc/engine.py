@@ -92,7 +92,13 @@ class CdcEngine:
         is O(batch) no matter how big the table gets; run
         ``table.compact()`` periodically to fold generations. At
         10^10-event scale with frequent micro-batches, 'mor' is the shape
-        whose ingest does not degrade as the table grows.
+        whose ingest does not degrade as the table grows. 'dv' is the
+        third point on the curve (Delta deletion vectors / Iceberg v2
+        positional deletes, LakeTable.merge_batch(dv=True)): writes are
+        O(changed rows) like 'mor' — superseded rows are masked by
+        (file, position) instead of rewritten — while reads stay
+        LWW-free like 'cow' (one broadcast anti-join against the mask);
+        ``table.compact(dv_dead_ratio=...)`` folds masks periodically.
 
         ``quarantine_dir``: when set, events violating the WAL contract
         (null key columns) are ROUTED to a side quarantine store —
@@ -123,8 +129,8 @@ class CdcEngine:
         self.broadcast_key_limit = broadcast_key_limit
         self.ledger_scope = ledger_scope
         self.commit_retries = 2  # re-merge attempts on ConcurrentCommitError
-        if write_mode not in ("cow", "mor"):
-            raise ValueError(f"write_mode must be 'cow' or 'mor', "
+        if write_mode not in ("cow", "mor", "dv"):
+            raise ValueError(f"write_mode must be 'cow', 'mor' or 'dv', "
                              f"got {write_mode!r}")
         self.write_mode = write_mode
         if patch_cols and write_mode == "mor":
@@ -157,6 +163,19 @@ class CdcEngine:
             raise ValueError(_mor_cf_err)
         preexisting_lake = False
         if table_io is not None:
+            if write_mode == "dv":
+                import inspect
+                params = inspect.signature(
+                    table_io.merge_batch).parameters
+                if "dv" not in params and not any(
+                        p.kind == p.VAR_KEYWORD
+                        for p in params.values()):
+                    raise ValueError(
+                        "write_mode='dv' requires a TableIO backend with "
+                        "deletion-vector support (the bundled LakeTable); "
+                        "Iceberg v2 runtimes apply positional deletes "
+                        "inside their own MERGE INTO — use write_mode="
+                        "'cow' there")
             self.table = table_io
         elif LakeTable.exists(spark, table_path):
             self.table = LakeTable(spark, table_path)
@@ -312,7 +331,12 @@ class CdcEngine:
                         batch_compacted=not self.patch_cols,
                         patch_cols=self.patch_cols,
                         ledger_scope=self.ledger_scope,
-                        extra_metrics=extra_metrics)
+                        extra_metrics=extra_metrics,
+                        # only passed in dv mode: TableIO backends without
+                        # deletion-vector support keep their narrower
+                        # merge_batch signature (construction validated it)
+                        **({"dv": True} if self.write_mode == "dv"
+                           else {}))
                 except ConcurrentCommitError as e:
                     last_err = e
             raise last_err

@@ -62,6 +62,10 @@ from arlas_proc_spark.lake.schema_evolution import align_to_schema, evolve_schem
 
 _BUCKET = "_bucket"
 _TOMB = "_tombstone"
+# deletion-vector position columns (internal; exposed by
+# read(with_positions=True) so the dv merge can address existing rows)
+_DV_FILE = "_dv_file"
+_DV_POS = "_dv_pos"
 _SKETCH_LG_K = 12  # HLL lgConfigK for ndv sketches (every sidecar uses the
                    # same value so unions never need allowDifferentLgConfigK)
 _LEDGER_KEEP = 1024  # retain this many most-recent batch ids below the watermark
@@ -454,6 +458,25 @@ class LakeTable(TableIO):
                 base = (src_roots[e["root"]] if "root" in e
                         else src.data_dir)
                 e["root"] = _root_id(base)
+                if e.get("dv"):
+                    # dv parts carry PER-PART roots (the clone's own
+                    # later dv merges will append clone-local parts to
+                    # source-rooted entries) — re-point each at the root
+                    # that actually stores it
+                    ref = dict(e["dv"])
+                    parts = []
+                    for part in ref.get("files", []):
+                        if isinstance(part, str):
+                            rel, pbase = part, src.data_dir
+                        else:
+                            r = part.get("root")
+                            rel = part["file"]
+                            pbase = (src_roots[str(r)] if r is not None
+                                     else src.data_dir)
+                        parts.append({"file": rel,
+                                      "root": _root_id(pbase)})
+                    ref["files"] = parts
+                    e["dv"] = ref
                 out.append(e)
             buckets[str(b)] = out
         if pin_source_tag:
@@ -618,7 +641,8 @@ class LakeTable(TableIO):
     def read(self, buckets: list[int] | None = None,
              snapshot: dict | None = None,
              with_tombstones: bool = False,
-             filters: list[tuple] | None = None) -> DataFrame:
+             filters: list[tuple] | None = None,
+             with_positions: bool = False) -> DataFrame:
         """Current table state (optionally restricted to buckets) as the
         live schema. Files written under older schemas are read with their
         own schema and projected up (Iceberg read-time projection).
@@ -643,7 +667,16 @@ class LakeTable(TableIO):
         Merge-on-read buckets prune on KEY-column filters only: a key's
         generations share key values, so key-range pruning can never hide
         a generation from LWW resolution — but a value/seq filter could,
-        so those apply only after the resolve."""
+        so those apply only after the resolve.
+
+        Rows masked by a DELETION VECTOR (``merge_batch(dv=True)``) are
+        filtered out by a broadcast anti-join on (file, position) before
+        any tombstone/LWW/filter logic — a dv-dead row is physically
+        absent from the logical table, at every snapshot that references
+        that dv state. ``with_positions``: append ``_dv_file`` (the
+        manifest-relative file name) and ``_dv_pos`` (the row's
+        ``_metadata.row_index``) to every row — the address a dv merge
+        needs to supersede it."""
         # callers may hand a raw json.load'ed snapshot — wrap it so a
         # sharded manifest_list materializes as the lazy buckets mapping
         # (idempotent: an already-wrapped snap passes through untouched)
@@ -673,6 +706,15 @@ class LakeTable(TableIO):
         tomb_schema = StructType(list(table_schema.fields) +
                                  [StructField(_TOMB, BooleanType(), True)])
         out_schema = tomb_schema if with_tombstones else table_schema
+        if with_positions:
+            clash = [c for c in (_DV_FILE, _DV_POS)
+                     if c in {f.name for f in table_schema.fields}]
+            if clash:
+                raise ValueError(f"table schema contains reserved "
+                                 f"position column(s) {clash}")
+            out_schema = StructType(list(out_schema.fields) + [
+                StructField(_DV_FILE, StringType(), True),
+                StructField(_DV_POS, LongType(), True)])
         mor = {str(b) for b in snap.get("mor_buckets", [])}
         roots = snap.get("external_roots", {})
         cow_entries: list[dict] = []
@@ -702,6 +744,21 @@ class LakeTable(TableIO):
                     (mor_entries if b in mor else cow_entries).append(e)
         if not cow_entries and not mor_entries:
             return _provably_empty(self.spark, out_schema)
+        dv_entries = [e for e in cow_entries + mor_entries if e.get("dv")]
+        need_pos = with_positions or bool(dv_entries)
+        pos_map = None
+        if need_pos:
+            # (normalized absolute path → manifest identity), built from
+            # the SAME _entry_path the scan uses, so the match is exact —
+            # never inferred by path surgery over unknown roots. O(selected
+            # files) rows, broadcast.
+            pos_map = self.spark.createDataFrame(
+                [(os.path.abspath(_entry_path(self.data_dir, roots, e)),
+                  e["file"]) for e in cow_entries + mor_entries],
+                f"_abs string, {_DV_FILE} string")
+        pos_schema = StructType(list(tomb_schema.fields) + [
+            StructField(_DV_FILE, StringType(), True),
+            StructField(_DV_POS, LongType(), True)])
 
         def _scan(entries: list[dict]) -> DataFrame:
             # group files by the schema version they were written under so
@@ -716,21 +773,77 @@ class LakeTable(TableIO):
                 scan_schema = StructType(list(file_schema.fields) +
                                          [StructField(_TOMB, BooleanType(), True)])
                 df = self.spark.read.schema(scan_schema).parquet(*paths)
+                if need_pos:
+                    # _metadata.file_path is a URI; normalize to a plain
+                    # absolute posix path and resolve to the manifest
+                    # identity via the exact broadcast map. An unmatched
+                    # path raises rather than silently escaping the dv
+                    # mask. row_index is the row's physical position —
+                    # stable across scans regardless of filters.
+                    df = (df.withColumn("_abs", F.regexp_replace(
+                              F.col("_metadata.file_path"),
+                              "^file:/+", "/"))
+                          .withColumn(_DV_POS,
+                                      F.col("_metadata.row_index"))
+                          .join(F.broadcast(pos_map), "_abs", "left")
+                          .withColumn(_DV_FILE, F.coalesce(
+                              F.col(_DV_FILE),
+                              F.raise_error(F.concat(
+                                  F.lit("scanned file missing from the "
+                                        "position map: "),
+                                  F.col("_abs")))))
+                          .drop("_abs"))
                 df = _apply_renames(df, int(sv),
                                     snap.get("rename_log", []),
                                     snap.get("drop_log", []))
-                parts.append(align_to_schema(df, tomb_schema))
+                parts.append(align_to_schema(
+                    df, pos_schema if need_pos else tomb_schema))
             return reduce(lambda a, b: a.unionByName(b), parts)
+
+        if dv_entries:
+            # deletion-vector mask: dv parts are per-commit parquet of
+            # (file, pos[, tomb]); per-file position sets are MONOTONE
+            # supersets across commits (each touching commit's parts are
+            # appended to the entry's list), so the union over every
+            # referenced part is exactly the current mask — stale rows
+            # for files no longer carrying a dv ref are filtered by the
+            # semi-join. Broadcast anti-join: the table side never
+            # shuffles (the reader holds the mask in memory, the Delta/
+            # Iceberg DV reader shape).
+            seen: set = set()
+            dv_paths: list[str] = []
+            for e in dv_entries:
+                for part in e["dv"].get("files", []):
+                    p = _dv_part_path(self.data_dir, roots, part)
+                    if p not in seen:
+                        seen.add(p)
+                        dv_paths.append(p)
+            dv_files = self.spark.createDataFrame(
+                [(e["file"],) for e in dv_entries], f"{_DV_FILE} string")
+            dvd = (self.spark.read.parquet(*dv_paths)
+                   .select(F.col("file").alias(_DV_FILE),
+                           F.col("pos").alias(_DV_POS))
+                   .join(F.broadcast(dv_files), _DV_FILE, "left_semi"))
+
+            def _mask(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(dvd), [_DV_FILE, _DV_POS],
+                               "left_anti")
+        else:
+            def _mask(df: DataFrame) -> DataFrame:
+                return df
 
         parts = []
         if cow_entries:
-            parts.append(_scan(cow_entries))
+            parts.append(_mask(_scan(cow_entries)))
         if mor_entries:
-            parts.append(_resolve_lww(_scan(mor_entries), snap["key_cols"],
-                                      snap["seq_col"]))
+            # mask BEFORE LWW: a dv-dead generation must never win
+            parts.append(_resolve_lww(_mask(_scan(mor_entries)),
+                                      snap["key_cols"], snap["seq_col"]))
         df = reduce(lambda a, b: a.unionByName(b), parts)
         if not with_tombstones:
             df = df.where(~F.coalesce(F.col(_TOMB), F.lit(False))).drop(_TOMB)
+        if need_pos and not with_positions:
+            df = df.drop(_DV_FILE, _DV_POS)
         if filters:
             df = df.where(_filters_to_column(filters))
         return df
@@ -1626,8 +1739,25 @@ class LakeTable(TableIO):
             patch_cols: list[str] | None = None,
             delete_condition=None,
             set_properties: dict | None = None,
-            wap_id: str | None = None) -> dict:
+            wap_id: str | None = None,
+            dv: bool = False) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
+
+        ``dv=True``: DELETION-VECTOR merge (Delta deletion vectors /
+        Iceberg v2 positional deletes). Identical logical semantics to
+        the copy-on-write default, different physical shape: only the
+        CHANGED rows (batch winners, including delete tombstones) are
+        written to new files, and each superseded existing row is masked
+        by its (file, position) address in a per-commit deletion-vector
+        parquet — untouched rows in touched buckets are NOT rewritten.
+        Write amplification drops from O(touched-bucket rows) to
+        O(changed rows); reads stay LWW-free (unlike merge-on-read) at
+        the cost of one broadcast anti-join against the mask, and
+        ``compact()`` folds masks back to clean files. Refused on
+        merge-on-read buckets (compact them first). In dv mode
+        ``keys_considered`` counts only CHANGED keys (unchanged rows
+        never flow through the plan — that is the point), and the
+        metrics add ``rows_dv_masked``.
 
         ``wap_id``: write-audit-publish (Iceberg's WAP pattern). The
         merge runs fully — files written, change feed emitted, ledger
@@ -1798,6 +1928,14 @@ class LakeTable(TableIO):
             touched = list(touched_buckets)
         else:
             touched = [r[0] for r in resolved.select(_BUCKET).distinct().collect()]
+        if dv:
+            bad = sorted(set(int(b) for b in touched) &
+                         {int(b) for b in snap.get("mor_buckets", [])})
+            if bad:
+                raise ValueError(
+                    f"dv=True cannot merge into merge-on-read bucket(s) "
+                    f"{bad}: generations there resolve by read-time LWW, "
+                    f"not positions; compact() them first")
 
         # 4. compact the batch to one row per key (LWW by seq desc, commit
         #    desc) unless the caller already did — the join below requires
@@ -1845,7 +1983,8 @@ class LakeTable(TableIO):
         #    later-arriving stale inserts) FULL OUTER JOIN batch on the key.
         #    Prefix-rename both sides so same-named payload columns never
         #    collide; pick the winner with scalar exprs (codegen end-to-end).
-        cur = self.read(touched, snapshot=snap, with_tombstones=True)
+        cur = self.read(touched, snapshot=snap, with_tombstones=True,
+                        with_positions=dv)
         have = set(resolved.columns)
 
         def _in_col(f):
@@ -1867,7 +2006,9 @@ class LakeTable(TableIO):
             .alias("_n__had_del"))
         existing = cur.select(
             *[F.col(f.name).alias(f"_e_{f.name}") for f in table_schema.fields],
-            F.coalesce(F.col(_TOMB), F.lit(False)).alias(f"_e_{_TOMB}"))
+            F.coalesce(F.col(_TOMB), F.lit(False)).alias(f"_e_{_TOMB}"),
+            *([F.col(_DV_FILE).alias(f"_e_{_DV_FILE}"),
+               F.col(_DV_POS).alias(f"_e_{_DV_POS}")] if dv else []))
         join_cond = reduce(
             lambda a, b: a & b,
             [F.col(f"_e_{k}") == F.col(f"_n_{k}") for k in key_cols])
@@ -1979,10 +2120,29 @@ class LakeTable(TableIO):
                 F.struct(*[F.col(f"_e_{f.name}").alias(f.name)
                            for f in table_schema.fields]).alias("_pre"),
                 cdf_type.alias("_cdf")]
+        dead_cols = []
+        if dv:
+            # the superseded existing row's physical address — only a
+            # matched row the batch out-ranks dies; loser batch rows and
+            # untouched existing rows mask nothing
+            dead_cols = [
+                F.when(use_new & has_e,
+                       F.col(f"_e_{_DV_FILE}")).alias("_dead_f"),
+                F.when(use_new & has_e,
+                       F.col(f"_e_{_DV_POS}")).alias("_dead_p"),
+                F.when(use_new & has_e,
+                       F.col(f"_e_{_TOMB}")).alias("_dead_t")]
         merged = j.select(*picked, is_delete.alias(_TOMB),
                           use_new.alias("_is_new"),
-                          (use_new & del_now).alias("_is_del"), *cdf_cols)
-        if cdf_on:
+                          (use_new & del_now).alias("_is_del"),
+                          *dead_cols, *cdf_cols)
+        if dv:
+            # dv writes ONLY the changed rows; several actions consume
+            # this small (O(batch)) frame — data-file write, dv write,
+            # per-file dead counts, change feed — so persist it
+            merged = merged.where(F.col("_is_new")) \
+                           .persist(StorageLevel.MEMORY_AND_DISK)
+        elif cdf_on:
             # two actions consume the join (state write, change write);
             # cache it so the second reads O(touched buckets) from local
             # storage instead of re-running the merge
@@ -2030,6 +2190,43 @@ class LakeTable(TableIO):
                 "rows_deleted": int(got["rows_deleted"] or 0),
                 "keys_considered": int(got["keys_considered"] or 0),
             })
+        dv_parts: list[str] = []
+        dead_by_file: dict[str, tuple[int, int]] = {}
+        if dv:
+            # the mask delta: every superseded row's (file, pos), written
+            # as ONE per-commit parquet set; each touched file's entry
+            # will reference these parts IN ADDITION to its earlier ones
+            # (per-file sets are monotone until compaction rewrites the
+            # file), so no old dv part is ever read or rewritten here.
+            dead = (merged.where(F.col("_dead_f").isNotNull())
+                    .select(F.col("_dead_f").alias("file"),
+                            F.col("_dead_p").alias("pos"),
+                            F.coalesce(F.col("_dead_t"),
+                                       F.lit(False)).alias("tomb")))
+            per_file = (dead.groupBy("file")
+                        .agg(F.count(F.lit(1)).alias("dead"),
+                             F.sum(F.when(~F.col("tomb"), 1).otherwise(0))
+                             .alias("dead_live")).collect())
+            if per_file:
+                dv_rel = f"c{version}-{token}/dv"
+                # few large parts, not one per shuffle partition: every
+                # read of a masked file opens every referenced part, so
+                # part count is read-path fan-out. ~4M positions/part
+                # (~50 MB) — sized from the ALREADY-collected dead total,
+                # no extra action.
+                nparts = max(1, -(-sum(int(r["dead"]) for r in per_file)
+                                  // 4_000_000))
+                dead.select("file", "pos").coalesce(nparts).write.parquet(
+                    os.path.join(self.data_dir, dv_rel))
+                dv_parts = sorted(
+                    os.path.join(dv_rel, os.path.basename(p))
+                    for p in glob.glob(os.path.join(
+                        self.data_dir, dv_rel, "part-*.parquet")))
+                dead_by_file = {r["file"]: (int(r["dead"]),
+                                            int(r["dead_live"]))
+                                for r in per_file}
+            metrics["rows_dv_masked"] = sum(
+                d for d, _ in dead_by_file.values())
         if cdf_on:
             try:
                 fields = table_schema.fields
@@ -2068,16 +2265,48 @@ class LakeTable(TableIO):
             # a feed-less commit must not inherit the PREVIOUS version's
             # change-file entry through the mutated snapshot dict
             snap.pop("changes", None)
-        for b in touched:
-            snap["buckets"][str(b)] = staged.get(int(b), [])
-        # the cow rewrite collapsed each touched bucket to one generation —
-        # it must drop out of mor_buckets or reads would keep paying (and
-        # a duplicate-free invariant-holding bucket would be harmless but
-        # a later overwrite/append interleave could silently LWW-collapse)
-        touched_set = {str(b) for b in touched}
-        snap["mor_buckets"] = sorted(
-            (b for b in {str(x) for x in snap.get("mor_buckets", [])}
-             if b not in touched_set), key=int)
+            if dv:
+                merged.unpersist()
+        if dv:
+            # keep the touched buckets' existing entries (patched with
+            # the new dv parts + adjusted live counts — COPIES, the lazy
+            # manifest listing may share the loaded objects) and APPEND
+            # the changed-row files; a file whose every physical row is
+            # now masked drops out of the manifest entirely (its bytes
+            # become GC-able once retention passes)
+            for b in touched:
+                bstr = str(b)
+                old = snap["buckets"][bstr] if bstr in snap["buckets"] \
+                    else []
+                new_list = []
+                for e in old:
+                    if e["file"] in dead_by_file:
+                        d, dl = dead_by_file[e["file"]]
+                        e = dict(e)
+                        ref = dict(e.get("dv") or {})
+                        ref["files"] = list(ref.get("files") or []) \
+                            + dv_parts
+                        ref["dead"] = int(ref.get("dead", 0)) + d
+                        e["dv"] = ref
+                        if "live" in e:
+                            e["live"] = int(e["live"]) - dl
+                        if "rows" in e and ref["dead"] >= int(e["rows"]):
+                            continue  # fully dead file: unreference it
+                    new_list.append(e)
+                new_list.extend(staged.get(int(b), []))
+                snap["buckets"][bstr] = new_list
+        else:
+            for b in touched:
+                snap["buckets"][str(b)] = staged.get(int(b), [])
+            # the cow rewrite collapsed each touched bucket to one
+            # generation — it must drop out of mor_buckets or reads would
+            # keep paying (and a duplicate-free invariant-holding bucket
+            # would be harmless but a later overwrite/append interleave
+            # could silently LWW-collapse)
+            touched_set = {str(b) for b in touched}
+            snap["mor_buckets"] = sorted(
+                (b for b in {str(x) for x in snap.get("mor_buckets", [])}
+                 if b not in touched_set), key=int)
         snap["version"] = version
         if set_properties:
             props = dict(snap.get("properties", {}))
@@ -2943,7 +3172,8 @@ class LakeTable(TableIO):
                 batch_id: str | None = None,
                 target_rows_per_file: int | None = None,
                 cluster_by: list[str] | None = None,
-                cluster_mode: str = "linear") -> dict:
+                cluster_mode: str = "linear",
+                dv_dead_ratio: float | None = None) -> dict:
         """Rewrite fragmented buckets (more than ``max_files_per_bucket``
         files) into one file each; optionally GC delete tombstones whose seq
         is at/below ``tombstone_horizon_seq`` (safe once no event with a
@@ -2990,7 +3220,14 @@ class LakeTable(TableIO):
         Morton-interleaves all cluster columns (lake/zorder.py) so
         per-file min/max stay tight on EVERY clustered column and a
         filter on any of them prunes files (Delta OPTIMIZE ZORDER BY).
-        The z-value is a sort expression, never a stored column."""
+        The z-value is a sort expression, never a stored column.
+
+        ``dv_dead_ratio``: ALSO rewrite any bucket whose deletion-vector
+        dead-row fraction (sum of per-entry dv ``dead`` over physical
+        rows) reaches this ratio — dv merges grow masks instead of file
+        counts, so count-based selection alone would never reclaim their
+        space. The rewrite reads through the mask and drops the dv refs
+        (Delta's PURGE / Iceberg rewrite_position_delete_files)."""
         if cluster_mode not in ("linear", "zorder"):
             # fail fast even when no bucket qualifies — a typo'd mode on
             # a quiet table would otherwise pass silently until the first
@@ -3020,10 +3257,17 @@ class LakeTable(TableIO):
             needed = max(1, -(-sum(rows) // target_rows_per_file))
             return len(fs) > max(max_files_per_bucket, needed)
 
+        def _dv_victim(fs: list[dict]) -> bool:
+            if dv_dead_ratio is None:
+                return False
+            dead = sum(int((e.get("dv") or {}).get("dead", 0)) for e in fs)
+            rows = sum(int(e.get("rows") or 0) for e in fs)
+            return rows > 0 and dead / rows >= dv_dead_ratio
+
         buckets = snap["buckets"]
         victims = []
         for b in buckets:
-            if target_rows_per_file is None \
+            if target_rows_per_file is None and dv_dead_ratio is None \
                     and isinstance(buckets, _LazyBuckets):
                 # file COUNT decides; the manifest-list summary answers
                 # it without loading any bucket manifest — victim
@@ -3034,7 +3278,7 @@ class LakeTable(TableIO):
                     if s["files"] > max_files_per_bucket:
                         victims.append(int(b))
                     continue
-            if _victim(buckets[b]):
+            if _victim(buckets[b]) or _dv_victim(buckets[b]):
                 victims.append(int(b))
         if not victims:
             return {"compacted_buckets": 0}
@@ -3131,6 +3375,15 @@ class LakeTable(TableIO):
                 referenced.update(e["file"] for e in files)
                 referenced.update(e["bloom"]["file"] for e in files
                                   if "bloom" in e)
+                for e in files:
+                    # deletion-vector parts are data-dir files too;
+                    # external-rooted parts (clones) live outside this
+                    # table's walk and need no protection here
+                    for part in (e.get("dv") or {}).get("files", []):
+                        if isinstance(part, str):
+                            referenced.add(part)
+                        elif part.get("root") is None:
+                            referenced.add(part["file"])
             referenced_lineage.update(snap.get("lineage_files", []))
             referenced_changes.update((snap.get("changes") or
                                        {}).get("files", []))
@@ -3375,6 +3628,21 @@ def _entry_path(data_dir: str, roots: dict | None, e: dict,
     if r is not None:
         return os.path.join((roots or {})[str(r)], rel)
     return os.path.join(data_dir, rel)
+
+
+def _dv_part_path(data_dir: str, roots: dict | None, part) -> str:
+    """Absolute path of one deletion-vector part. Parts written by the
+    table itself are plain RELATIVE strings; ``shallow_clone`` rewrites
+    them to ``{"file": rel, "root": id}`` dicts because a cloned entry's
+    dv parts can span storages (source-written parts live in the source
+    root, the clone's own later dv merges add parts in clone storage) —
+    unlike bloom sidecars, which always live beside their data file and
+    so inherit the ENTRY's root."""
+    if isinstance(part, str):
+        return os.path.join(data_dir, part)
+    r = part.get("root")
+    base = (roots or {})[str(r)] if r is not None else data_dir
+    return os.path.join(base, part["file"])
 
 
 def _evolution_events(rename_log: list[dict],

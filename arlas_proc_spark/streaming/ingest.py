@@ -67,8 +67,10 @@ class StreamingIngest:
         quarantine_dir is configured.
         ``compact_every``: fold a bucket's merge-on-read generations once
         it accumulates this many files — the operational companion of
-        ``write_mode='mor'`` (cow mode writes one file per bucket per
-        merge, so it never fragments and this knob is a no-op there). The
+        ``write_mode='mor'`` and ``'dv'`` (both append ~one file per
+        touched bucket per batch; the rewrite also folds dv masks). Cow
+        mode writes one file per bucket per merge, so it never fragments
+        and this knob is a no-op there. The
         trigger is derived from the SNAPSHOT, not an in-memory counter,
         so periodic availableNow drains (each constructing a fresh
         StreamingIngest) still compact on schedule. Compaction commits

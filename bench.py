@@ -99,6 +99,52 @@ def main() -> None:
         extras["cdc_mor_incremental_events_per_sec"] = round(
             n_events / 10 / best_mor, 1)
 
+        # --- deletion-vector incremental: append only the CHANGED rows,
+        #     mask superseded (file, position) addresses — write cost
+        #     O(changed rows) like mor, read stays LWW-free like cow at
+        #     the price of one broadcast anti-join against the mask ---
+        dvt = CdcEngine(spark, f"{tmp}/dv", n_buckets=cpus,
+                        collect_metrics=False, write_mode="dv")
+        dvt.replay(feed)  # untimed base (cow-shaped initial replay)
+        best_dv, t_read = float("inf"), None
+        for r in range(reps):
+            inc_dv = changefeed_df(spark, n_events // 10,
+                                   parallelism=cpus, **GEN)
+            inc_dv = inc_dv.withColumn("seq",
+                                       inc_dv.seq + n_events * (2 + r))
+            t0 = time.time()
+            dvt.apply_batch(inc_dv, f"inc-dv-{r}")
+            best_dv = min(best_dv, time.time() - t0)
+            t0 = time.time()
+            _materialize(dvt.state())
+            t_read = (time.time() - t0 if t_read is None
+                      else min(t_read, time.time() - t0))
+        timings["cdc_dv_incremental"] = round(best_dv, 3)
+        extras["cdc_dv_incremental_events_per_sec"] = round(
+            n_events / 10 / best_dv, 1)
+        extras["cdc_dv_masked_read_s"] = round(t_read, 3)
+
+        # --- dv's design point: a SPARSE batch (~1% of the key space,
+        #     but its keys hash into every bucket) over the same base —
+        #     cow must rewrite every touched bucket's full contents,
+        #     dv writes only the changed rows + a position mask. Same
+        #     base via zero-copy shallow clones, same batch. ---
+        from arlas_proc_spark.lake.table import LakeTable
+        sparse = changefeed_df(spark, n_events // 100, parallelism=cpus,
+                               n_repos=4, files_per_repo=1000)
+        sparse = sparse.withColumn("seq", sparse.seq + n_events * 8)
+        t_sparse = {}
+        for mode in ("cow", "dv"):
+            LakeTable.shallow_clone(spark, f"{tmp}/dv",
+                                    f"{tmp}/sparse_{mode}")
+            eng = CdcEngine(spark, f"{tmp}/sparse_{mode}",
+                            collect_metrics=False, write_mode=mode)
+            t0 = time.time()
+            eng.apply_batch(sparse, "sparse-1")
+            t_sparse[mode] = time.time() - t0
+        extras["cdc_sparse_cow_merge_s"] = round(t_sparse["cow"], 3)
+        extras["cdc_sparse_dv_merge_s"] = round(t_sparse["dv"], 3)
+
         # --- sparse-update incremental (patch_cols): the same 10% batch
         #     with payload columns nulled on a cadence, through the
         #     event-level fold (no winners-broadcast compaction; every
