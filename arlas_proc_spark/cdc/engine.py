@@ -334,9 +334,16 @@ class CdcEngine:
                         extra_metrics=extra_metrics,
                         # only passed in dv mode: TableIO backends without
                         # deletion-vector support keep their narrower
-                        # merge_batch signature (construction validated it)
-                        **({"dv": True} if self.write_mode == "dv"
-                           else {}))
+                        # merge_batch signature (construction validated it).
+                        # The key-set size is already counted, so the
+                        # broadcast decision reuses the same guard as the
+                        # winners-broadcast compaction.
+                        **({"dv": True,
+                            "dv_prune": (
+                                "broadcast"
+                                if n_keys <= self.broadcast_key_limit
+                                else "auto")}
+                           if self.write_mode == "dv" else {}))
                 except ConcurrentCommitError as e:
                     last_err = e
             raise last_err

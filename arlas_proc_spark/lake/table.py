@@ -1740,7 +1740,8 @@ class LakeTable(TableIO):
             delete_condition=None,
             set_properties: dict | None = None,
             wap_id: str | None = None,
-            dv: bool = False) -> dict:
+            dv: bool = False,
+            dv_prune: str | None = "auto") -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         ``dv=True``: DELETION-VECTOR merge (Delta deletion vectors /
@@ -1757,7 +1758,10 @@ class LakeTable(TableIO):
         merge-on-read buckets (compact them first). In dv mode
         ``keys_considered`` counts only CHANGED keys (unchanged rows
         never flow through the plan — that is the point), and the
-        metrics add ``rows_dv_masked``.
+        metrics add ``rows_dv_masked``. ``dv_prune``: how to prune the
+        table side to the batch's key set before the join ('broadcast'
+        = explicit broadcast semi-join, callers guard key-set size;
+        'auto' = unhinted semi-join, AQE decides; None = no pruning).
 
         ``wap_id``: write-audit-publish (Iceberg's WAP pattern). The
         merge runs fully — files written, change feed emitted, ledger
@@ -1985,6 +1989,22 @@ class LakeTable(TableIO):
         #    collide; pick the winner with scalar exprs (codegen end-to-end).
         cur = self.read(touched, snapshot=snap, with_tombstones=True,
                         with_positions=dv)
+        if dv and dv_prune:
+            # a dv merge only ever ACTS on existing rows whose key appears
+            # in the batch (winners mask/supersede them; every other row
+            # stays byte-identical on disk) — so prune the table side to
+            # the batch's key set BEFORE it is shuffled into the join.
+            # This is what makes sparse batches O(changed rows) end-to-end
+            # instead of O(touched-bucket rows): the scan still reads the
+            # buckets, but untouched rows die at the semi-join instead of
+            # being shuffled, hashed wide, and carried through the merge.
+            # 'broadcast' pins the key set map-side (callers guard size —
+            # CdcEngine uses broadcast_key_limit); 'auto' leaves the hint
+            # to AQE for giant batches.
+            keys = resolved.select(*key_cols)
+            if dv_prune == "broadcast":
+                keys = F.broadcast(keys)
+            cur = cur.join(keys, key_cols, "left_semi")
         have = set(resolved.columns)
 
         def _in_col(f):
