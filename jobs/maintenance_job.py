@@ -67,6 +67,14 @@ def main() -> None:
                          "column only), 'zorder' Morton-interleaves all "
                          "cluster columns so filters on ANY of them "
                          "prune files")
+    ap.add_argument("--dv-dead-ratio", type=float, default=None,
+                    metavar="RATIO",
+                    help="also compact any bucket whose deletion-vector "
+                         "dead-row fraction reaches RATIO — dv merges "
+                         "grow masks instead of file counts, so the "
+                         "file-count criterion alone never reclaims "
+                         "their space (Delta PURGE / Iceberg "
+                         "rewrite_position_delete_files)")
     ap.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
                     help="tombstone every live row matching this SQL "
                          "predicate (retention / GDPR erasure), e.g. "
@@ -123,12 +131,14 @@ def main() -> None:
         # can fold the tombstones it just wrote
         report["delete_where"] = t.delete_where(
             args.delete_where, args.delete_batch_id, commit_retries=2)
-    if args.compact_over is not None or args.target_file_rows is not None:
+    if (args.compact_over is not None or args.target_file_rows is not None
+            or args.dv_dead_ratio is not None):
         # --target-file-rows alone still compacts (its help text promises
         # oversize buckets become victims); an omitted --compact-over
         # defers to compact()'s own default rather than restating it here
         kw = dict(tombstone_horizon_seq=args.tombstone_horizon,
                   target_rows_per_file=args.target_file_rows,
+                  dv_dead_ratio=args.dv_dead_ratio,
                   cluster_by=([c.strip() for c in args.cluster_by.split(",")]
                               if args.cluster_by else None),
                   cluster_mode=args.cluster_mode)
