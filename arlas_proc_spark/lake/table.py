@@ -2974,6 +2974,79 @@ class LakeTable(TableIO):
                     " rows long, bytes long, schema_v int").where(F.lit(False))
         return self.spark.read.parquet(*files)
 
+    def files_df(self) -> DataFrame:
+        """Live manifest entries as a DataFrame (Iceberg's ``table.files``
+        inspection table): one row per referenced data file — bucket,
+        footer row/live/byte counts, schema version written under,
+        merge-on-read membership, bloom/deletion-vector sidecar summary,
+        external root (shallow clones). Pure metadata: no data file is
+        opened; O(files) driver rows from the (lazily loaded) bucket
+        manifests. The ops companion to ``lineage_df`` (which is
+        per-COMMIT history, parquet-backed) — this is the CURRENT
+        snapshot's physical layout, e.g. ``files_df().groupBy("bucket")
+        .agg(...)`` for fragmentation / skew / dv-debt dashboards."""
+        snap = self.snapshot()
+        mor = {str(b) for b in snap.get("mor_buckets", [])}
+        rows = []
+        for b in snap["buckets"]:
+            for e in snap["buckets"][b]:
+                dv = e.get("dv") or {}
+                rows.append((int(b), e["file"], int(e.get("rows") or 0),
+                             int(e["live"]) if "live" in e else None,
+                             int(e.get("bytes") or 0),
+                             int(e.get("schema_v") or 0), b in mor,
+                             "bloom" in e, int(dv.get("dead", 0)),
+                             len(dv.get("files") or []),
+                             str(e["root"]) if "root" in e else None))
+        return self.spark.createDataFrame(
+            rows, schema="bucket int, file string, rows long, "
+                         "live_rows long, bytes long, schema_v int, "
+                         "merge_on_read boolean, has_bloom boolean, "
+                         "dv_dead long, dv_parts int, external_root string")
+
+    def snapshots_df(self) -> DataFrame:
+        """Retained snapshot versions as a DataFrame (Iceberg's
+        ``table.snapshots`` / ``history``): version, physical totals,
+        schema version, mor-bucket count, tags pinning it, and whether
+        it is CURRENT. Versions still on disk but past retention show
+        exactly like retained ones — ``expire_snapshots`` is what
+        removes them. O(versions) small JSON reads, no data IO."""
+        cur = self.snapshot()["version"]
+        tags_by_v: dict[int, list[str]] = {}
+        for name, v in (self.tags() or {}).items():
+            tags_by_v.setdefault(int(v), []).append(name)
+        rows = []
+        for p in sorted(glob.glob(os.path.join(self.meta_dir, "v*.json"))):
+            try:
+                v = int(os.path.basename(p)[1:-5])
+            except ValueError:
+                continue
+            snap = self.snapshot_at(v)
+            n_files = n_rows = n_bytes = 0
+            buckets = snap.get("buckets", {})
+            for b in buckets:
+                # sharded-manifest tables answer from the manifest LIST
+                # alone (no per-bucket manifest load)
+                s = (buckets.summary(b)
+                     if isinstance(buckets, _LazyBuckets) else None)
+                if s is not None:
+                    n_files += s["files"]
+                    n_rows += s["rows"]
+                    n_bytes += s["bytes"]
+                    continue
+                for e in buckets[b]:
+                    n_files += 1
+                    n_rows += int(e.get("rows") or 0)
+                    n_bytes += int(e.get("bytes") or 0)
+            rows.append((v, v == cur, n_files, n_rows, n_bytes,
+                         int(snap.get("schema_v") or 0),
+                         len(snap.get("mor_buckets", [])),
+                         sorted(tags_by_v.get(v, []))))
+        return self.spark.createDataFrame(
+            rows, schema="version long, is_current boolean, files long, "
+                         "rows long, bytes long, schema_v int, "
+                         "mor_buckets int, tags array<string>")
+
     # ---------------------------------------------------------------- append
     def append_batch(self, batch: DataFrame, batch_id: int | str, *,
                      op_col: str = "op", delete_value: str = "delete",
