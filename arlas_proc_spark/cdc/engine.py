@@ -199,6 +199,14 @@ class CdcEngine:
                 self.table.snapshot().get("bloom_bits_per_key", 0)) \
                 != int(bloom_bits_per_key):
             self.table.set_bloom_bits(bloom_bits_per_key)
+        # delegate CAS retries to backends that take commit_retries (the
+        # bundled LakeTable): inside merge_batch a disjoint-bucket loss
+        # resolves by the metadata-only commit rebase; only non-disjoint
+        # conflicts repay the full re-merge. VAR_KEYWORD does NOT count —
+        # a **kwargs sink gives no evidence the backend implements retry.
+        import inspect
+        self._delegate_retries = "commit_retries" in inspect.signature(
+            self.table.merge_batch).parameters
 
     def apply_batch(self, events: DataFrame, batch_id: int | str, *,
                     assume_all_buckets: bool = False) -> dict:
@@ -319,31 +327,41 @@ class CdcEngine:
             # and merges against the competitor's state — convergent
             # because the MERGE is keyed LWW. Touched buckets stay valid
             # (they depend only on keys and the fixed bucket count).
+            # Backends exposing ``commit_retries`` (the bundled LakeTable)
+            # get the retries DELEGATED so a disjoint-bucket loss resolves
+            # by the metadata-only commit rebase instead of re-running the
+            # merge pipeline; narrower TableIO backends keep the outer
+            # re-merge loop.
+            merge_kwargs = dict(
+                collect_metrics=self.collect_metrics,
+                assume_all_buckets=assume_all_buckets,
+                touched_buckets=touched,
+                batch_compacted=not self.patch_cols,
+                patch_cols=self.patch_cols,
+                ledger_scope=self.ledger_scope,
+                extra_metrics=extra_metrics,
+                # only passed in dv mode: TableIO backends without
+                # deletion-vector support keep their narrower
+                # merge_batch signature (construction validated it).
+                # The key-set size is already counted, so the
+                # broadcast decision reuses the same guard as the
+                # winners-broadcast compaction.
+                **({"dv": True,
+                    "dv_prune": (
+                        "broadcast"
+                        if n_keys <= self.broadcast_key_limit
+                        else "auto")}
+                   if self.write_mode == "dv" else {}))
+            if self._delegate_retries:
+                return self.table.merge_batch(
+                    prepared, batch_id,
+                    commit_retries=self.commit_retries, **merge_kwargs)
             from arlas_proc_spark.lake.table import ConcurrentCommitError
             last_err: Exception | None = None
             for _ in range(self.commit_retries + 1):
                 try:
                     return self.table.merge_batch(
-                        prepared, batch_id,
-                        collect_metrics=self.collect_metrics,
-                        assume_all_buckets=assume_all_buckets,
-                        touched_buckets=touched,
-                        batch_compacted=not self.patch_cols,
-                        patch_cols=self.patch_cols,
-                        ledger_scope=self.ledger_scope,
-                        extra_metrics=extra_metrics,
-                        # only passed in dv mode: TableIO backends without
-                        # deletion-vector support keep their narrower
-                        # merge_batch signature (construction validated it).
-                        # The key-set size is already counted, so the
-                        # broadcast decision reuses the same guard as the
-                        # winners-broadcast compaction.
-                        **({"dv": True,
-                            "dv_prune": (
-                                "broadcast"
-                                if n_keys <= self.broadcast_key_limit
-                                else "auto")}
-                           if self.write_mode == "dv" else {}))
+                        prepared, batch_id, **merge_kwargs)
                 except ConcurrentCommitError as e:
                     last_err = e
             raise last_err

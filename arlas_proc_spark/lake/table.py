@@ -1660,17 +1660,151 @@ class LakeTable(TableIO):
         its staged files are GC-able orphans). Default 0 keeps the
         fail-fast contract for callers that coordinate externally.
         WAP staging collisions (same ``wap_id`` already staged) are
-        NEVER retried — an id conflict cannot resolve by retrying."""
+        NEVER retried — an id conflict cannot resolve by retrying.
+
+        Each retry FIRST attempts a metadata-only commit rebase
+        (:meth:`_try_rebase`): when every commit that landed since this
+        merge's base snapshot touched a provably DISJOINT set of buckets
+        (and nothing global — schema, bucket spec, rename/drop logs —
+        moved), the loser's already-staged files are still exactly
+        right, so it re-commits by attaching its per-bucket manifests to
+        the winner's snapshot: zero recompute, zero data IO. Only when
+        the conflict is not provably disjoint does the retry fall back
+        to the full re-merge. Each rebase attempt (like each re-merge)
+        consumes one retry."""
         attempt = 0
         while True:
+            ctx: dict = {}
             try:
-                return self._merge_batch_attempt(batch, batch_id, **kwargs)
+                return self._merge_batch_attempt(batch, batch_id,
+                                                 _rebase_ctx=ctx, **kwargs)
             except ConcurrentCommitError:
                 if kwargs.get("wap_id") is not None:
                     raise
                 attempt += 1
                 if attempt > commit_retries:
                     raise
+                while ctx.get("armed"):
+                    try:
+                        got = self._try_rebase(ctx)
+                    except ConcurrentCommitError:
+                        attempt += 1
+                        if attempt > commit_retries:
+                            raise
+                        continue
+                    if got is not None:
+                        return got
+                    break  # not provably disjoint -> full re-merge
+
+    # snapshot keys a commit rebase may legitimately rewrite on top of
+    # the winner's snapshot; every OTHER key (schema, schemas, key_cols,
+    # n_buckets, stats/sketch/bloom config, changefeed flag, rebucket
+    # frontier, rename/drop logs, and anything added later) must be
+    # IDENTICAL between the loser's base and the current snapshot or the
+    # rebase refuses — unknown-key-means-refuse keeps future snapshot
+    # fields safe by default.
+    _REBASEABLE_KEYS = frozenset({
+        "version", "buckets", "ledger", "lineage_files", "properties",
+        "changes", "mor_buckets", "tags"})
+
+    @staticmethod
+    def _bucket_token(snap: dict, b: str):
+        """A comparable identity for one bucket's committed state. For
+        sharded snapshots this is the manifest-LIST reference — the
+        manifest name is content-addressed (sha256 of the entries), so
+        equal refs mean byte-equal file lists with zero manifest reads.
+        Legacy inline snapshots compare the entry lists directly."""
+        bk = snap["buckets"]
+        if isinstance(bk, _LazyBuckets):
+            return bk._listing.get(b)
+        return bk.get(b) if hasattr(bk, "get") else None
+
+    def _try_rebase(self, ctx: dict) -> dict | None:
+        """Metadata-only commit rebase after a lost snapshot CAS — the
+        Delta/Iceberg optimistic-concurrency fast path (Delta's
+        WriteSerializable conflict check; Iceberg's validation +
+        manifest reattachment on retry). When every commit that landed
+        since this merge's base snapshot touched a DISJOINT set of
+        buckets and no global table state moved, the loser's staged
+        data files, content-addressed manifests and change files are
+        still exactly right: re-commit by attaching its per-bucket
+        manifests to the WINNER's snapshot. Zero recompute, zero data
+        IO, O(touched buckets) metadata — at 100 TB this is the
+        difference between N concurrent writers converging in N commits
+        versus N full merge re-runs.
+
+        Reference analog: the keyed sink serializes writers externally
+        (``sql/WritableDataFrame.scala:83-86`` assumes one writer per
+        index); this gives the same convergence WITHOUT coordination
+        for the common disjoint-partition case.
+
+        Returns the commit metrics on success, ``None`` when the
+        competing commits are not provably disjoint (caller falls back
+        to a full re-merge), and raises ``ConcurrentCommitError`` if
+        yet another writer wins the re-commit CAS (ctx stays valid —
+        the caller may try again)."""
+        import copy
+        bid, scope = ctx["bid"], ctx["ledger_scope"]
+        cur = self.snapshot()
+        if _ledger_contains(cur["ledger"], bid, scope):
+            # the competing commit WAS this very batch (another worker
+            # of the same stream won): exactly-once says no-op, exactly
+            # as a fresh attempt would
+            return {"batch_id": bid, "skipped": True,
+                    **cur["ledger"]["metrics"].get(
+                        _ledger_key(scope, bid), {})}
+        base = self.snapshot_at(ctx["base_version"])
+        for k in (set(base) | set(cur)) - self._REBASEABLE_KEYS \
+                - {"buckets"}:
+            if base.get(k) != cur.get(k):
+                return None
+        for b in ctx["touched"]:
+            if self._bucket_token(base, str(b)) != \
+                    self._bucket_token(cur, str(b)):
+                return None
+        new_version = int(cur["version"]) + 1
+        reb = {k: v for k, v in cur.items() if k != "buckets"}
+        reb["buckets"] = cur["buckets"]
+        snap_b = ctx["snap"]["buckets"]
+        for b in ctx["touched"]:
+            reb["buckets"][str(b)] = snap_b[str(b)]
+        if not ctx["dv"]:
+            # the cow rewrite collapsed each touched bucket to one
+            # generation — same mor_buckets drop the attempt applies,
+            # rebased onto the winner's membership set
+            ts = {str(b) for b in ctx["touched"]}
+            reb["mor_buckets"] = sorted(
+                (x for x in {str(m) for m in cur.get("mor_buckets", [])}
+                 if x not in ts), key=int)
+        if ctx["set_properties"]:
+            props = dict(cur.get("properties", {}))
+            props.update(ctx["set_properties"])
+            reb["properties"] = props
+        entry = ctx["snap"].get("changes")
+        if entry is not None:
+            # change FILES need no rewrite: read_change_log reads them
+            # under a pinned schema and stamps _change_version from the
+            # snapshot entry, so re-pointing the entry at the rebased
+            # version relabels every transition correctly
+            entry = dict(entry)
+            entry["version"] = new_version
+            reb["changes"] = entry
+        else:
+            reb.pop("changes", None)
+        led = copy.deepcopy(cur["ledger"])
+        metrics = dict(ctx["metrics"])
+        metrics["rebased_commit"] = True
+        metrics["rebased_over_versions"] = \
+            int(cur["version"]) - int(ctx["base_version"])
+        _ledger_add(led, bid, metrics, scope)
+        reb["ledger"] = led
+        reb["lineage_files"] = list(cur.get("lineage_files", []))
+        self._record_lineage(
+            reb, self._write_lineage(new_version, bid, ctx["staged"],
+                                     token=ctx["token"]))
+        reb["version"] = new_version
+        self._commit_snapshot(reb, expected_version=int(cur["version"]))
+        return metrics
 
     def delete_where(self, condition, batch_id: int | str, *,
                      filters: list[tuple] | None = None,
@@ -1741,7 +1875,8 @@ class LakeTable(TableIO):
             set_properties: dict | None = None,
             wap_id: str | None = None,
             dv: bool = False,
-            dv_prune: str | None = "auto") -> dict:
+            dv_prune: str | None = "auto",
+            _rebase_ctx: dict | None = None) -> dict:
         """Exactly-once keyed MERGE (upsert + delete) of a change batch.
 
         ``dv=True``: DELETION-VECTOR merge (Delta deletion vectors /
@@ -2340,7 +2475,26 @@ class LakeTable(TableIO):
             self._stage_wap(wap_id, snap, parent=version - 1)
             metrics["staged_wap"] = wap_id
         else:
-            self._commit_snapshot(snap, expected_version=version - 1)
+            try:
+                self._commit_snapshot(snap, expected_version=version - 1)
+            except ConcurrentCommitError:
+                # everything below the CAS is still valid work: staged
+                # data files, per-bucket manifests, change files. Hand
+                # merge_batch what a metadata-only rebase needs — UNLESS
+                # this commit depends on table state beyond its touched
+                # buckets (schema evolution pins a new global schema;
+                # delete_condition evaluated victims against the stale
+                # snapshot; an active rebucket frontier routes keys), in
+                # which case only a full re-merge is sound.
+                if (_rebase_ctx is not None and not changed
+                        and not migrating and delete_condition is None):
+                    _rebase_ctx.update(
+                        armed=True, snap=snap, base_version=version - 1,
+                        touched=[int(b) for b in touched], staged=staged,
+                        token=token, bid=bid, ledger_scope=ledger_scope,
+                        metrics=metrics, set_properties=set_properties,
+                        dv=dv)
+                raise
         return metrics
 
     # --------------------------------------------------- write-audit-publish

@@ -186,16 +186,20 @@ def test_concurrent_commit_retried(spark, tmp_path, monkeypatch):
 
     engine = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
     feed = changefeed_df(spark, 300)
-    real = LakeTable.merge_batch
+    # fail at the CAS itself (where a real competing writer surfaces) so
+    # the test exercises whichever retry machinery the engine delegates
+    # to — since the retries moved inside merge_batch, a mock at the
+    # merge_batch surface would bypass them entirely
+    real = LakeTable._commit_snapshot
     calls = {"n": 0}
 
-    def flaky(self, *a, **kw):
+    def flaky(self, snap, expected_version):
         calls["n"] += 1
         if calls["n"] == 1:
             raise ConcurrentCommitError("simulated competing writer")
-        return real(self, *a, **kw)
+        return real(self, snap, expected_version)
 
-    monkeypatch.setattr(LakeTable, "merge_batch", flaky)
+    monkeypatch.setattr(LakeTable, "_commit_snapshot", flaky)
     engine.apply_batch(feed, 0)
     assert calls["n"] == 2
     assert _engine_state(engine) == _oracle(300)
