@@ -13,6 +13,8 @@ writeToElasticsearch`` (``/root/reference/README.md:193-404``,
 
 from __future__ import annotations
 
+import inspect
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -164,7 +166,6 @@ class CdcEngine:
         preexisting_lake = False
         if table_io is not None:
             if write_mode == "dv":
-                import inspect
                 params = inspect.signature(
                     table_io.merge_batch).parameters
                 if "dv" not in params and not any(
@@ -204,7 +205,6 @@ class CdcEngine:
         # resolves by the metadata-only commit rebase; only non-disjoint
         # conflicts repay the full re-merge. VAR_KEYWORD does NOT count —
         # a **kwargs sink gives no evidence the backend implements retry.
-        import inspect
         self._delegate_retries = "commit_retries" in inspect.signature(
             self.table.merge_batch).parameters
 

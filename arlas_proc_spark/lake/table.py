@@ -200,8 +200,11 @@ class _LazyBuckets(MutableMapping):
         s = {"files": int(ref.get("files", 0)),
              "rows": int(ref.get("rows", 0)),
              "bytes": int(ref.get("bytes", 0))}
-        if "live" in ref:
-            s["live"] = int(ref["live"])
+        for opt in ("live", "dead", "max_file_rows"):
+            # stats newer than the list entry are OMITTED, never guessed
+            # — an absent key means "load the manifest to know"
+            if opt in ref:
+                s[opt] = int(ref[opt])
         return s
 
 
@@ -542,7 +545,18 @@ class LakeTable(TableIO):
         convergent). Empty buckets store no manifest at all."""
         summary = {"files": len(entries),
                    "rows": sum(int(e.get("rows") or 0) for e in entries),
-                   "bytes": sum(int(e.get("bytes") or 0) for e in entries)}
+                   "bytes": sum(int(e.get("bytes") or 0) for e in entries),
+                   # dv dead-row total + largest single file ride the
+                   # manifest LIST so compact()'s dv_dead_ratio /
+                   # target_rows_per_file victim selection stays
+                   # O(buckets) metadata — without them every scheduled
+                   # maintenance run would load EVERY bucket's manifest
+                   # just to discover nothing qualifies
+                   "dead": sum(int((e.get("dv") or {}).get("dead", 0))
+                               for e in entries),
+                   "max_file_rows": max(
+                       (int(e.get("rows") or 0) for e in entries),
+                       default=0)}
         if all("live" in e for e in entries):
             # live (non-tombstone) row total rides the manifest LIST, so
             # count_rows() on a cow table is one small JSON read; omitted
@@ -1753,7 +1767,14 @@ class LakeTable(TableIO):
             return {"batch_id": bid, "skipped": True,
                     **cur["ledger"]["metrics"].get(
                         _ledger_key(scope, bid), {})}
-        base = self.snapshot_at(ctx["base_version"])
+        try:
+            base = self.snapshot_at(ctx["base_version"])
+        except ValueError:
+            # a concurrent expire_snapshots reclaimed the base manifest —
+            # disjointness is unprovable without it, but the full
+            # re-merge reads only CURRENT, so fall back instead of
+            # failing the whole merge with retries left
+            return None
         for k in (set(base) | set(cur)) - self._REBASEABLE_KEYS \
                 - {"buckets"}:
             if base.get(k) != cur.get(k):
@@ -3193,7 +3214,7 @@ class LakeTable(TableIO):
                     n_rows += int(e.get("rows") or 0)
                     n_bytes += int(e.get("bytes") or 0)
             rows.append((v, v == cur, n_files, n_rows, n_bytes,
-                         int(snap.get("schema_v") or 0),
+                         max(int(x) for x in snap.get("schemas", {"0": 0})),
                          len(snap.get("mor_buckets", [])),
                          sorted(tags_by_v.get(v, []))))
         return self.spark.createDataFrame(
@@ -3511,20 +3532,42 @@ class LakeTable(TableIO):
             rows = sum(int(e.get("rows") or 0) for e in fs)
             return rows > 0 and dead / rows >= dv_dead_ratio
 
+        def _victim_from_summary(s: dict) -> bool | None:
+            """Decide victimhood from the manifest-LIST summary alone;
+            None when the list predates a stat this selection needs
+            (caller loads the entries — omission means "look", never
+            "assume clean")."""
+            if target_rows_per_file is not None \
+                    and "max_file_rows" not in s:
+                return None
+            if dv_dead_ratio is not None and "dead" not in s:
+                return None
+            if target_rows_per_file is None:
+                v = s["files"] > max_files_per_bucket
+            else:
+                needed = max(1, -(-s["rows"] // target_rows_per_file))
+                v = (s["max_file_rows"] > target_rows_per_file
+                     or s["files"] > max(max_files_per_bucket, needed))
+            if not v and dv_dead_ratio is not None:
+                v = s["rows"] > 0 and s["dead"] / s["rows"] >= dv_dead_ratio
+            return v
+
         buckets = snap["buckets"]
         victims = []
         for b in buckets:
-            if target_rows_per_file is None and dv_dead_ratio is None \
-                    and isinstance(buckets, _LazyBuckets):
-                # file COUNT decides; the manifest-list summary answers
-                # it without loading any bucket manifest — victim
-                # selection stays O(buckets) metadata, entries load only
-                # for the buckets actually rewritten
+            if isinstance(buckets, _LazyBuckets):
+                # every selection mode answers from the manifest-list
+                # summary when its stats are present — victim selection
+                # stays O(buckets) metadata, entries load only for the
+                # buckets actually rewritten (or whose list entry
+                # predates the needed stat)
                 s = buckets.summary(b)
                 if s is not None:
-                    if s["files"] > max_files_per_bucket:
-                        victims.append(int(b))
-                    continue
+                    v = _victim_from_summary(s)
+                    if v is not None:
+                        if v:
+                            victims.append(int(b))
+                        continue
             if _victim(buckets[b]) or _dv_victim(buckets[b]):
                 victims.append(int(b))
         if not victims:

@@ -58,23 +58,54 @@ equivalent for the bundled backend.
 
 from __future__ import annotations
 
+import bisect
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _equidepth_splits(values: list, n_bins: int) -> list:
     """Split points at equal ranks of the sorted sample — at most
-    ``n_bins - 1``, strictly increasing (duplicates collapse, so a
-    column dominated by one value wastes no bins on it)."""
+    ``n_bins - 1``, strictly increasing. A value wide enough to swallow
+    several rank positions collapses them into ONE split (it cannot be
+    subdivided anyway); since the bin rank is ``#{s <= x}``, the heavy
+    value is only ISOLATED if its sampled successor is also a split, so
+    each collapsed value spends one unit of the freed budget on that
+    successor first. The rest of the budget is re-spent at equal ranks
+    over the RESIDUAL rows (rows of already-chosen split values
+    removed), so a 90%-heavy value ends up alone in its bin while the
+    tail still gets equi-depth discrimination instead of landing
+    undivided in one giant bin."""
     vals = sorted(v for v in values if v is not None)
     if not vals:
         return []
     out: list = []
+    heavy: list = []
     for i in range(1, n_bins):
         s = vals[min(len(vals) - 1, (i * len(vals)) // n_bins)]
         if not out or s > out[-1]:
             out.append(s)
-    return out
+        elif not heavy or heavy[-1] != s:
+            heavy.append(s)
+    budget = n_bins - 1
+    chosen = set(out)
+    distinct = sorted(set(vals))
+    for s in heavy:
+        if len(chosen) >= budget:
+            break
+        j = bisect.bisect_right(distinct, s)
+        if j < len(distinct):
+            chosen.add(distinct[j])
+    spare = budget - len(chosen)
+    if spare > 0:
+        rest = [v for v in vals if v not in chosen]
+        for i in range(1, spare + 1):
+            if not rest:
+                break
+            chosen.add(rest[min(len(rest) - 1,
+                                (i * len(rest)) // (spare + 1))])
+    return sorted(chosen)
 
 
 def _rank_expr(x: Column, splits: list, base: int) -> Column:
@@ -106,11 +137,26 @@ def zorder_expr(df: DataFrame, cols: list[str], *, bits: int = 8,
                          f"{sorted(df.columns)}")
     bits = max(1, int(bits))
     n_bins = 1 << bits
-    # deterministic bounded sample: smallest sample_rows rows by hash of
-    # the cluster tuple (TakeOrdered — no full sort, no collect of the
-    # data, stable across partitionings and repeated runs)
-    sample = (df.select(*[F.col(c) for c in cols])
-              .orderBy(F.xxhash64(*[F.col(c) for c in cols]))
+    # deterministic bounded sample: smallest sample_rows rows by hash
+    # (TakeOrdered — no full sort, no collect of the data, stable across
+    # partitionings and repeated runs). The hash covers EVERY hashable
+    # column, not just the cluster tuple: rows sharing a cluster value
+    # must draw independently or the sample is equi-DISTINCT, not
+    # equi-depth — a value covering 90% of rows would contribute all-or-
+    # nothing depending on one hash, and the split points would land
+    # bins 90× apart in row count (exactly the skew equi-depth exists to
+    # beat). Lake rows carry a unique key tuple, so the full-row hash is
+    # a true per-row draw; only byte-identical full rows still collapse,
+    # and those co-locate under any layout.
+    hash_cols = [f.name for f in df.schema.fields
+                 if not isinstance(f.dataType, T.MapType)]
+    h = "_zh"
+    while h in df.columns:
+        h += "_"
+    sample = (df.select(
+                  *[F.col(c) for c in cols],
+                  F.xxhash64(*[F.col(c) for c in hash_cols]).alias(h))
+              .orderBy(h)
               .limit(int(sample_rows))
               .collect())
     parts = []  # [bin_expr, natural_width, used_width]

@@ -209,10 +209,25 @@ def compact_debezium_batch(decoded: DataFrame,
     transition per key, so the semi join keeps exactly one row. The same
     compaction the lake-to-lake replicator applies to its change files
     (streaming/replicate.py _compact_changes), at the Debezium
-    boundary."""
+    boundary.
+
+    A null ``_txid`` raises AT EXECUTION (row-wise raise_error, no extra
+    pass): a connector that omits source.txId gives this compaction no
+    order for the key's transitions, and the max+semi-join would
+    otherwise silently DROP every all-null key's row (null never
+    equi-joins) — the replica would diverge without a trace. Feeds
+    without a usable transaction id must compact upstream or pass a
+    populated ``txid_field`` to decode_debezium."""
     if "_txid" not in decoded.columns:
         raise ValueError("compact_debezium_batch needs the _txid column — "
                          "decode with decode_debezium(txid_field=...)")
+    decoded = decoded.where(
+        F.when(F.col("_txid").isNotNull(), F.lit(True))
+         .otherwise(F.raise_error(F.lit(
+             "compact_debezium_batch: null _txid — the envelope's "
+             "transaction id field is missing/unset for some rows, so "
+             "transitions cannot be ordered; fix txid_field= on "
+             "decode_debezium or compact upstream"))))
     winners = (decoded.groupBy(*key_cols)
                .agg(F.max("_txid").alias("_txid")))
     return (decoded.join(winners, [*key_cols, "_txid"], "left_semi")

@@ -131,3 +131,19 @@ def test_compact_requires_txid(spark):
         raise AssertionError("accepted frame without _txid")
     except ValueError:
         pass
+
+
+def test_compact_null_txid_raises_instead_of_dropping(spark):
+    """A foreign feed whose connector omits source.txId decodes rows
+    with a null _txid — not a DLQ condition, but unorderable. The
+    compaction must FAIL loudly at execution: max(_txid) over an
+    all-null key is null, and the equi semi-join would otherwise drop
+    the key's transition entirely (silent replica divergence)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("r", "a.py", 1), ("r", "b.py", None)],
+        "repo string, path string, _txid long")
+    out = compact_debezium_batch(df, KEYS)
+    with pytest.raises(Exception, match="null _txid"):
+        out.collect()

@@ -87,3 +87,21 @@ def test_inspection_is_metadata_only(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(DataFrameReader, "parquet", _boom)
     assert t.files_df().count() > 0
     assert t.snapshots_df().count() > 0
+
+
+def test_snapshots_df_schema_v_tracks_evolution(spark, tmp_path):
+    """schema_v must come from the snapshot's schema HISTORY (max of
+    ``schemas``) — there is no top-level schema_v key, and a reader that
+    guessed 0 forever would hide every evolution from the ops view."""
+    t = _mk(spark, str(tmp_path / "t"))
+    ev = spark.createDataFrame(
+        [(1, 5, "x", "wide", "insert")],
+        "k long, seq long, v string, w string, op string")
+    t.merge_batch(ev, "b2")
+    s = {r.version: r.schema_v for r in t.snapshots_df().collect()}
+    cur = t.snapshot()["version"]
+    assert s[0] == 0               # create snapshot: initial schema only
+    # the widening merge bumped the history by exactly one over the
+    # previous snapshot (v1 itself is already 1: _mk's string-schema
+    # batch widens nullability, which counts as evolution)
+    assert s[cur] == s[cur - 1] + 1 >= 2

@@ -327,3 +327,29 @@ def test_rebase_gc_keeps_rebased_files(spark, tmp_path, monkeypatch):
     log = {(r.repo, r.path, r.change_type)
            for r in a.read_change_log(0).collect()}
     assert log == {(kb[0], kb[1], "insert"), (ka[0], ka[1], "insert")}
+
+
+def test_rebase_expired_base_falls_back_to_remerge(spark, tmp_path,
+                                                   monkeypatch):
+    """A concurrent expire_snapshots can reclaim the loser's BASE
+    snapshot between its CAS loss and its rebase attempt. Disjointness
+    is then unprovable — but the full re-merge reads only CURRENT, so
+    the merge must fall back and converge instead of dying on the
+    missing manifest with retries left."""
+    (ka, kb, _) = _keys_in_distinct_buckets()
+    path = str(tmp_path / "t")
+    a = LakeTable.create(spark, path, SCHEMA, ["repo", "path"], "seq",
+                         n_buckets=N_BUCKETS)
+    b = LakeTable(spark, path)
+    rival = _batch(spark, [_ev(1, "insert", *kb, "cB", "vB")])
+    mine = _batch(spark, [_ev(2, "insert", *ka, "cA", "vA")])
+
+    def rival_lands_then_expires():
+        b.merge_batch(rival, "rival")
+        b.expire_snapshots(keep_last=1)  # reclaims the loser's base v0
+
+    _race(monkeypatch, a, rival_lands_then_expires)
+    m = a.merge_batch(mine, "mine", commit_retries=1)
+    assert "rebased_commit" not in m  # full re-merge, not a rebase
+    state = {(r.repo, r.path): r.content for r in a.read().collect()}
+    assert state == {ka: "vA", kb: "vB"}
