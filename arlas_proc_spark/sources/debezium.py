@@ -175,9 +175,22 @@ def emit_debezium(table, from_version: int, to_version: int | None = None,
     ``merge_batch`` (byte-parity test-pinned in
     tests/test_debezium_relay.py)."""
     snap = table.snapshot()
-    seq_col = snap["seq_col"]
     ch = table.read_change_log(from_version, to_version, with_version=True)
-    table_cols = [f.name for f in table.schema.fields]
+    return debezium_envelopes(
+        ch, table_cols=[f.name for f in table.schema.fields],
+        seq_col=snap["seq_col"], seq_field=seq_field,
+        txid_field=txid_field, ts_col=ts_col, value_col=value_col)
+
+
+def debezium_envelopes(ch: DataFrame, *, table_cols: list[str],
+                       seq_col: str, seq_field: str = "lsn",
+                       txid_field: str = "txid", ts_col: str = "ts_s",
+                       value_col: str = "value") -> DataFrame:
+    """The envelope projection :func:`emit_debezium` applies to a version
+    range, factored over ANY change frame (table columns + ``change_type``
+    + ``_change_version``, update pre-images already excluded) so a
+    STREAMING relay can render each drained micro-batch without a feed
+    re-read (streaming/consume.py DebeziumStreamRelay). Map-only."""
     row_cols = [c for c in table_cols if c not in (seq_col, ts_col)]
     image = F.struct(*[F.col(c) for c in row_cols])
     is_del = F.col("change_type") == "delete"
