@@ -613,6 +613,11 @@ class LakeTable(TableIO):
         to zero writes. A failed commit's fresh manifests are orphans —
         ``expire_snapshots`` GCs unreferenced ``m-*.json``."""
         snap = self._serialized(snap)
+        # wall-clock commit stamp for TIMESTAMP-AS-OF time travel
+        # (version_as_of); raw clock value — a skewed/stepped clock is
+        # clamped monotone at READ time, not rewritten here, so the
+        # stamp stays an honest record of what the committing host saw
+        snap["committed_at"] = round(time.time(), 6)
         name = f"v{snap['version']:010d}.json"
         target = os.path.join(self.meta_dir, name)
         try:
@@ -1215,6 +1220,49 @@ class LakeTable(TableIO):
         ``filters`` — just against the historical manifest."""
         return self.read(snapshot=self.snapshot_at(version), filters=filters)
 
+    def version_as_of(self, ts) -> int:
+        """The last version committed at or before ``ts`` (epoch seconds,
+        ``datetime``, or ISO-8601 string; naive datetimes/strings are
+        UTC) — Delta/Iceberg ``TIMESTAMP AS OF`` resolution over the
+        retained snapshots. Commit stamps are taken from each committing
+        host's clock, so a stepped clock could record a LATER version
+        with an EARLIER stamp; resolution clamps stamps monotone by
+        version (a version is never "as of" a moment before its
+        predecessor — Delta's rule, applied at read instead of rewriting
+        history at commit). O(retained versions) driver-side JSON reads,
+        no data IO. Raises when ``ts`` predates every retained stamped
+        commit — an expired prefix is GONE, not silently rounded up."""
+        t = _to_epoch(ts)
+        best = None
+        eff = None
+        for p in sorted(glob.glob(os.path.join(self.meta_dir, "v*.json"))):
+            try:
+                v = int(os.path.basename(p)[1:-5])
+            except ValueError:
+                continue
+            with open(p) as f:
+                ca = json.load(f).get("committed_at")
+            if ca is None:
+                continue  # pre-feature commit: not addressable by time
+            eff = float(ca) if eff is None else max(eff, float(ca))
+            if eff <= t:
+                best = v
+            else:
+                break  # effective stamps are monotone in version
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts!r} "
+                f"(earlier versions were expired, or the table predates "
+                f"commit stamps)")
+        return best
+
+    def read_as_of(self, ts,
+                   filters: list[tuple] | None = None) -> DataFrame:
+        """Time travel by wall clock (``TIMESTAMP AS OF``): the table as
+        the last commit at or before ``ts`` left it. See
+        ``version_as_of`` for stamp semantics."""
+        return self.read_version(self.version_as_of(ts), filters=filters)
+
     # --------------------------------------------------- metadata commits
     def _metadata_commit(self, mutate) -> dict:
         """Retried metadata-only commit (tags, config flags). Each of 4
@@ -1719,7 +1767,10 @@ class LakeTable(TableIO):
     # fields safe by default.
     _REBASEABLE_KEYS = frozenset({
         "version", "buckets", "ledger", "lineage_files", "properties",
-        "changes", "mor_buckets", "tags"})
+        "changes", "mor_buckets", "tags",
+        # every commit's wall-clock stamp differs by construction; it
+        # carries no state a rebase could conflict with
+        "committed_at"})
 
     @staticmethod
     def _bucket_token(snap: dict, b: str):
@@ -3213,14 +3264,17 @@ class LakeTable(TableIO):
                     n_files += 1
                     n_rows += int(e.get("rows") or 0)
                     n_bytes += int(e.get("bytes") or 0)
+            ca = snap.get("committed_at")
             rows.append((v, v == cur, n_files, n_rows, n_bytes,
                          max(int(x) for x in snap.get("schemas", {"0": 0})),
                          len(snap.get("mor_buckets", [])),
-                         sorted(tags_by_v.get(v, []))))
+                         sorted(tags_by_v.get(v, [])),
+                         float(ca) if ca is not None else None))
         return self.spark.createDataFrame(
             rows, schema="version long, is_current boolean, files long, "
                          "rows long, bytes long, schema_v int, "
-                         "mor_buckets int, tags array<string>")
+                         "mor_buckets int, tags array<string>, "
+                         "committed_at double")
 
     # ---------------------------------------------------------------- append
     def append_batch(self, batch: DataFrame, batch_id: int | str, *,
@@ -3781,6 +3835,26 @@ class LakeTable(TableIO):
     def committed_batch_ids(self) -> set[str]:
         led = self.snapshot()["ledger"]
         return set(led["recent"])
+
+
+def _to_epoch(ts) -> float:
+    """Epoch seconds from the TIMESTAMP-AS-OF argument forms: a number
+    passes through; datetimes and ISO-8601 strings convert, with NAIVE
+    values read as UTC (the engine-wide session timezone) — Python's own
+    ``datetime.timestamp()`` would silently use the host's local zone,
+    making the same call resolve different versions on different
+    machines."""
+    from datetime import datetime, timezone
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if isinstance(ts, datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        return ts.timestamp()
+    raise TypeError(f"timestamp must be epoch seconds, datetime, or "
+                    f"ISO-8601 string, got {type(ts).__name__}")
 
 
 def _scope_state(led: dict, scope: str) -> dict:

@@ -62,8 +62,10 @@ def test_snapshot_json_holds_list_not_entries(spark, tmp_path):
     t = _wide_table(spark, tmp_path)
     raw = _raw_listing(t)
     # the snapshot JSON carries only per-bucket references + summaries
+    # (fixed-size scalars — the per-FILE entries live in the manifest)
     for ref in raw.values():
-        assert set(ref) == {"manifest", "files", "rows", "bytes", "live"}
+        assert set(ref) == {"manifest", "files", "rows", "bytes", "live",
+                            "dead", "max_file_rows"}
         if ref["files"]:
             assert ref["manifest"] in _manifests(t)
         else:
