@@ -1263,6 +1263,66 @@ class LakeTable(TableIO):
         ``version_as_of`` for stamp semantics."""
         return self.read_version(self.version_as_of(ts), filters=filters)
 
+    def restore(self, version: int | None = None, *,
+                timestamp=None) -> dict:
+        """Delta ``RESTORE TABLE``: ONE metadata-only commit making the
+        table's current state exactly a retained snapshot's — the bad
+        deploy's batches are undone without rewriting a byte of data.
+        History is preserved: the restore is a NEW version, the undone
+        versions stay readable (and expirable) behind it, and a
+        re-restore "forward" to any of them is the same operation.
+        Zero data IO at any table size: the old snapshot's per-bucket
+        manifests are content-addressed and still on disk (``snapshot_at``
+        refuses if expired), so the commit carries their references
+        forward verbatim.
+
+        The restored snapshot includes the LEDGER as of that version —
+        deliberately: keeping the current ledger would make every undone
+        batch id a silent no-op on redelivery, losing it forever.
+        Restoring the ledger means undone batches re-apply when a
+        producer re-sends them (a Structured Streaming checkpoint does
+        NOT re-send by itself — resume with a fresh checkpoint to
+        re-ingest the undone range). Tags are kept from the CURRENT
+        snapshot (they are refs to versions, not state — and they keep
+        protecting the undone versions from GC).
+
+        On a changefeed table the restore stamps ``log_gap_version``
+        (the state jump has no change file): ``read_change_log`` serves
+        it by snapshot diff, while raw-file tailers
+        (ChangeLogReplicator / ChangeFeedConsumer) refuse and must
+        re-seed — silently skipping an undo would diverge every
+        replica."""
+        if (version is None) == (timestamp is None):
+            raise ValueError(
+                "restore: pass exactly one of version= / timestamp=")
+        if version is None:
+            version = self.version_as_of(timestamp)
+        version = int(version)
+        last_err: Exception | None = None
+        for _ in range(4):
+            cur = self.snapshot()
+            if version == int(cur["version"]):
+                return {"restored_to": version,
+                        "version": version, "noop": True}
+            old = self.snapshot_at(version)
+            new = dict(old)
+            new["version"] = int(cur["version"]) + 1
+            if cur.get("tags"):
+                new["tags"] = cur["tags"]
+            else:
+                new.pop("tags", None)
+            new.pop("changes", None)
+            if new.get("changefeed"):
+                new["log_gap_version"] = new["version"]
+            try:
+                self._commit_snapshot(
+                    new, expected_version=int(cur["version"]))
+                return {"restored_to": version,
+                        "version": int(new["version"])}
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
+
     # --------------------------------------------------- metadata commits
     def _metadata_commit(self, mutate) -> dict:
         """Retried metadata-only commit (tags, config flags). Each of 4

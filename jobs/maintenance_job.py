@@ -115,6 +115,15 @@ def main() -> None:
                     help="pin a snapshot under a name (GC-protected "
                          "until dropped); bare NAME pins CURRENT")
     ap.add_argument("--drop-tag", default=None, metavar="NAME")
+    ap.add_argument("--restore-to-version", default=None, type=int,
+                    help="RESTORE the table to a retained snapshot "
+                         "version (one metadata-only commit; history "
+                         "preserved, undone batch ids re-appliable)")
+    ap.add_argument("--restore-to-timestamp", default=None,
+                    metavar="ISO_OR_EPOCH",
+                    help="RESTORE to the last commit at or before this "
+                         "moment (ISO-8601 or epoch seconds; naive "
+                         "times are UTC)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     if (args.delete_where is None) != (args.delete_batch_id is None):
@@ -126,6 +135,18 @@ def main() -> None:
     t = LakeTable(spark, args.table)
     report: dict = {"table": args.table,
                     "version_before": t.snapshot()["version"]}
+    if args.restore_to_version is not None \
+            or args.restore_to_timestamp is not None:
+        # restore runs FIRST: every other action in the same pass then
+        # operates on the restored state, not the one being undone
+        ts = args.restore_to_timestamp
+        if ts is not None:
+            try:
+                ts = float(ts)
+            except ValueError:
+                pass  # ISO-8601 string: restore() parses it
+        report["restore"] = t.restore(args.restore_to_version,
+                                      timestamp=ts)
     if args.delete_where is not None:
         # retention runs BEFORE compaction so the same maintenance pass
         # can fold the tombstones it just wrote
