@@ -257,6 +257,34 @@ def q_cdc_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256")
 
 
+def q_cdc_restore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under replay (lake/table.py restore): apply two of three
+    interleaved feed batches, let a fat-finger batch delete a slice of
+    the table, RESTORE to the pre-incident version (one metadata-only
+    commit; the undone batch id leaves the ledger WITH the state),
+    redeliver an already-applied batch (must no-op — exactly-once
+    survives the restore), then apply the final feed batch. The
+    read-back state must equal the same converged oracle as every other
+    replay — the incident and its undo leave no trace."""
+    tmp = _scratch_dir("arlas_restore_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False)
+    feed = changefeed_df(spark, N_FEED)
+    engine.apply_batch(feed.where(feed.seq % 3 == 0), 0)
+    engine.apply_batch(feed.where(feed.seq % 3 == 1), 1)
+    table = engine.table
+    v_good = table.snapshot()["version"]
+    fat = (table.read().where(F.col("path").rlike("_000[0-4]"))
+           .withColumn("op", F.lit("delete")))
+    table.merge_batch(fat, "fat-finger")
+    table.restore(v_good)
+    engine.apply_batch(feed.where(feed.seq % 3 == 1), 1)  # ledger no-op
+    engine.apply_batch(feed.where(feed.seq % 3 == 2), 2)
+    return engine.state().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
 def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-rebucket path under the graded contract: replay the
     feed in three cow batches while a bucket-count migration (8 → 5,
@@ -1656,6 +1684,10 @@ _EXTRA_QUERIES = [
     # r4: deletion-vector merges (positional-delete masks + mid-replay
     # mask fold) — final state must equal the same converged oracle
     "cdc_dv_replay",
+    # r4: RESTORE under replay — fat-finger delete batch, metadata-only
+    # undo, redelivered batch no-ops, ingest continues; final state must
+    # equal the same converged oracle (incident leaves no trace)
+    "cdc_restore_replay",
     # r4: shallow clone + retention delete_where on the clone, vs the
     # converged oracle minus the predicate's victims
     "cdc_clone_retention",
@@ -1697,6 +1729,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_replay": q_cdc_lake_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_dv_replay": q_cdc_dv_replay,
+        "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_rebucket_replay": q_cdc_rebucket_replay,
         "cdc_clone_retention": q_cdc_clone_retention,
         "zorder_scan": q_zorder_scan,
@@ -2174,6 +2207,7 @@ def _all_oracle_sql() -> dict[str, str]:
             f"AND path = 'src/f_00000.py'"),
         "cdc_mor_replay": final,
         "cdc_dv_replay": final,
+        "cdc_restore_replay": final,
         "cdc_rebucket_replay": final,
         "cdc_clone_retention": (
             f"SELECT repo, path, commit, seq, ts_s, lang, content, "
