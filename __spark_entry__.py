@@ -1294,6 +1294,10 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(F.array_sort(F.collect_list(kept)),
                         lambda s: s["chunk_text"]), " ").alias("text_clean"))
+    # checkpoint the cleaned corpus once: it feeds minhash AND the
+    # election join-back, and without the cut each consumer re-runs the
+    # whole chunk→boilerplate→clean sub-DAG (measured 5-7× total)
+    cleaned = cleaned.localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(cleaned, "doc_id", "text_clean",
                               k=4, bands=2)
     cc = connected_components(pairs, "id_a", "id_b")

@@ -138,7 +138,16 @@ def lsh_band_pairs(stacked: DataFrame) -> DataFrame:
     """Self-join the band rows of :func:`banded_minhash` into candidate
     pairs (id_a < id_b, n_bands_shared). ONE copy of the pair contract —
     shared by the one-shot ``minhash_lsh_pairs`` and the incremental
-    ``cdc.dedup_index.DedupIndex.pairs`` so the two can never drift."""
+    ``cdc.dedup_index.DedupIndex.pairs`` so the two can never drift.
+
+    The band frame is checkpointed before the self-join: both join
+    sides otherwise re-run the ENTIRE upstream lineage (shingle → k
+    minhashes → bands — and whatever produced the text), doubling it
+    per caller; composed pipelines (canonical_docs: chunk → boilerplate
+    strip → clean → minhash) were measured paying the sub-DAG 5-7×
+    through this join before the cut. Band rows are k/bands hashes per
+    doc — far smaller than the work that made them."""
+    stacked = stacked.localCheckpoint(eager=False)
     a, b2 = stacked.alias("a"), stacked.alias("b")
     return (a.join(b2, (F.col("a._band") == F.col("b._band")) &
                    (F.col("a._sig") == F.col("b._sig")) &
