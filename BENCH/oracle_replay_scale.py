@@ -27,6 +27,15 @@ import sys
 import tempfile
 import time
 
+# connect BEFORE the pyspark import loads the heavy native stack: a
+# DuckDB instance created afterwards can fail worker-thread spawn on
+# this sandbox's glibc (static-TLS surplus exhausted by the DSOs) —
+# see tests/conftest.py for the full story.
+import duckdb
+
+_DUCK = duckdb.connect()
+_DUCK.execute("select sum(range) from range(1000000)").fetchall()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from arlas_proc_spark.config import build_session  # noqa: E402
@@ -42,9 +51,8 @@ def main() -> None:
     out: dict = {"n_events": n}
 
     # ---- DuckDB side: generator SQL → LWW final state → checksum
-    import duckdb
     from arlas_proc_spark.sources.changefeed import final_state_sql
-    con = duckdb.connect()
+    con = _DUCK.cursor()
     con.execute(f"PRAGMA threads={cpus}")
     t0 = time.time()
     row_expr = "concat(" + _ROW.format(T="VARCHAR") + ")"

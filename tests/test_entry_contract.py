@@ -10,6 +10,8 @@ import sys
 import duckdb
 import pytest
 
+import conftest
+
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 
@@ -22,9 +24,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 @pytest.fixture(scope="module")
 def ddb():
-    con = duckdb.connect()
+    con = conftest.duck_cursor()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
 
 
@@ -103,7 +106,7 @@ def test_simhash_oracle_handles_tokenless_docs(spark, ddb):
     all_docs = docs.unionByName(extra)
     got = simhash_near_dups(all_docs, "doc_id", "text",
                             prefix_bits=8).toPandas()
-    con = duckdb.connect()
+    con = conftest.duck_cursor()
     con.register("documents", all_docs.toPandas())
     want = con.execute(ORACLES["simhash_neardups"]).fetchdf()
     key = lambda df: sorted(  # noqa: E731
@@ -126,7 +129,7 @@ def test_chunk_oracle_handles_tokenless_docs(spark, ddb):
         "doc_id long, text string")
     all_docs = docs.unionByName(extra)
     got = chunk_documents(all_docs, chunk_tokens=40, overlap=10).toPandas()
-    con = duckdb.connect()
+    con = conftest.duck_cursor()
     con.register("documents", all_docs.toPandas())
     want = con.execute(ORACLES["doc_chunks"]).fetchdf()
     key = lambda df: sorted(map(tuple, df[  # noqa: E731

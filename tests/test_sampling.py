@@ -92,8 +92,9 @@ def test_normalize_text_unicode_and_controls(spark):
     assert got[2] == "ab  c".replace("  ", " ") == "ab c"
     assert got[3] == "x y"
     assert got[4] is None and got[5] == "plain text"
-    con = duckdb.connect()
-    con.execute("create table d (doc_id bigint, text varchar)")
+    import conftest
+    con = conftest.duck_cursor()
+    con.execute("create temp table d (doc_id bigint, text varchar)")
     con.executemany("insert into d values (?, ?)", rows)
     want = dict(con.execute(r"""
         SELECT doc_id, trim(regexp_replace(regexp_replace(
