@@ -285,6 +285,35 @@ def q_cdc_restore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256")
 
 
+def q_cdc_branch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch ingest + atomic fast-forward under the graded contract
+    (lake/table.py create_branch / merge_batch(branch=) / fast_forward —
+    Iceberg audit branches, the multi-commit form of WAP): batch 0 lands
+    on main; batches 1 and 2 land on a named branch while main stays
+    frozen; fast_forward publishes the whole chain as ONE commit (the
+    chain's ledger arrives with it, so a redelivered branch batch
+    no-ops on main); a final batch lands on main after the publish. The
+    read-back state must equal the same converged oracle as every other
+    replay — the detour through the branch leaves no trace."""
+    tmp = _scratch_dir("arlas_branch_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                      collect_metrics=False)
+    feed = changefeed_df(spark, N_FEED)
+    engine.apply_batch(feed.where(feed.seq % 4 == 0), 0)
+    t = engine.table
+    t.create_branch("audit")
+    branch_eng = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                           collect_metrics=False, branch="audit")
+    branch_eng.apply_batch(feed.where(feed.seq % 4 == 1), 1)
+    branch_eng.apply_batch(feed.where(feed.seq % 4 == 2), 2)
+    t.fast_forward("audit")
+    engine.apply_batch(feed.where(feed.seq % 4 == 1), 1)  # ledger no-op
+    engine.apply_batch(feed.where(feed.seq % 4 == 3), 3)
+    return engine.state().select(
+        "repo", "path", "commit", "seq", "ts_s", "lang", "content",
+        "content_sha256")
+
+
 def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-rebucket path under the graded contract: replay the
     feed in three cow batches while a bucket-count migration (8 → 5,
@@ -1692,6 +1721,11 @@ _EXTRA_QUERIES = [
     # undo, redelivered batch no-ops, ingest continues; final state must
     # equal the same converged oracle (incident leaves no trace)
     "cdc_restore_replay",
+    # r4: branch ingest (Iceberg audit branch / multi-commit WAP) — two
+    # batches staged on a branch while main is frozen, fast_forward
+    # publishes the chain atomically, redelivered branch batch no-ops;
+    # final state must equal the same converged oracle
+    "cdc_branch_replay",
     # r4: shallow clone + retention delete_where on the clone, vs the
     # converged oracle minus the predicate's victims
     "cdc_clone_retention",
@@ -1734,6 +1768,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_dv_replay": q_cdc_dv_replay,
         "cdc_restore_replay": q_cdc_restore_replay,
+        "cdc_branch_replay": q_cdc_branch_replay,
         "cdc_rebucket_replay": q_cdc_rebucket_replay,
         "cdc_clone_retention": q_cdc_clone_retention,
         "zorder_scan": q_zorder_scan,
@@ -2212,6 +2247,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "cdc_mor_replay": final,
         "cdc_dv_replay": final,
         "cdc_restore_replay": final,
+        "cdc_branch_replay": final,
         "cdc_rebucket_replay": final,
         "cdc_clone_retention": (
             f"SELECT repo, path, commit, seq, ts_s, lang, content, "

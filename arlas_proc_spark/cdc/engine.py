@@ -73,7 +73,8 @@ class CdcEngine:
                  table_io=None,
                  changefeed: bool = False,
                  bloom_bits_per_key: int = 0,
-                 patch_cols: list[str] | None = None):
+                 patch_cols: list[str] | None = None,
+                 branch: str | None = None):
         """``broadcast_key_limit``: batches touching more distinct keys
         than this fall back from the broadcast join-back to the wide-argmax
         compaction — the winner set must fit in every executor for a
@@ -144,6 +145,16 @@ class CdcEngine:
         if self.patch_cols and "content" in self.patch_cols \
                 and "content_sha256" not in self.patch_cols:
             self.patch_cols.append("content_sha256")
+        # branch ingest (audit branch / multi-commit WAP): every merge
+        # and empty-batch ledger entry lands on the named branch chain;
+        # main's CURRENT never moves until fast_forward. mor appends
+        # bypass the branch machinery (append_batch commits to main), so
+        # the combination is refused rather than silently split-brained.
+        if branch is not None and write_mode == "mor":
+            raise ValueError(
+                "branch ingest requires write_mode='cow' or 'dv': "
+                "merge-on-read appends commit to main, not the branch")
+        self.branch = branch
         # TableIO seam (SURVEY §7.1 Plan A): inject any TableIO —
         # e.g. lake.iceberg.IcebergTableIO over a real Iceberg runtime —
         # instead of the bundled snapshot backend
@@ -303,7 +314,8 @@ class CdcEngine:
             if n_keys == 0:
                 return self.table.commit_empty_batch(
                     batch_id, scope=self.ledger_scope,
-                    extra_metrics=extra_metrics)
+                    extra_metrics=extra_metrics,
+                    **({"branch": self.branch} if self.branch else {}))
             if self.patch_cols:
                 # sparse feed: losing events may donate column values, so
                 # no pre-merge compaction — prepare every event (sha256 of
@@ -340,6 +352,7 @@ class CdcEngine:
                 patch_cols=self.patch_cols,
                 ledger_scope=self.ledger_scope,
                 extra_metrics=extra_metrics,
+                **({"branch": self.branch} if self.branch else {}),
                 # only passed in dv mode: TableIO backends without
                 # deletion-vector support keep their narrower
                 # merge_batch signature (construction validated it).

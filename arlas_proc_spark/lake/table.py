@@ -1967,13 +1967,16 @@ class LakeTable(TableIO):
         Rows whose key is already tombstoned are untouched (the read is
         of live rows). Returns the merge metrics (``rows_deleted`` =
         victims). All merge kwargs (wap_id, ledger_scope,
-        set_properties, …) pass through."""
-        snap = self.snapshot()
+        set_properties, …) pass through — with ``branch=`` the victims
+        are read from (and the tombstones committed onto) the BRANCH
+        head, not main."""
+        br = kwargs.get("branch")
+        snap = self._branch_head(br) if br else self.snapshot()
         key_cols, seq_col = snap["key_cols"], snap["seq_col"]
         cond = F.expr(condition) if isinstance(condition, str) else condition
         has_commit = any(f["name"] == "commit"
                          for f in snap["schema"]["fields"])
-        victims = self.read(filters=filters).where(cond)
+        victims = self.read(snapshot=snap, filters=filters).where(cond)
         if has_commit:
             victims = victims.withColumn(
                 "commit", F.concat(F.coalesce(F.col("commit"), F.lit("")),
@@ -2006,6 +2009,7 @@ class LakeTable(TableIO):
             delete_condition=None,
             set_properties: dict | None = None,
             wap_id: str | None = None,
+            branch: str | None = None,
             dv: bool = False,
             dv_prune: str | None = "auto",
             _rebase_ctx: dict | None = None) -> dict:
@@ -2107,10 +2111,22 @@ class LakeTable(TableIO):
         ``batch_compacted=True`` skips the in-merge compaction when the
         caller already guarantees one row per key (CdcEngine.apply_batch).
 
+        ``branch``: commit onto a named branch (see the branches section)
+        instead of main — the merge computes against the BRANCH head
+        (state, ledger, schema), stages its snapshot on the chain, and
+        CURRENT never moves; ``fast_forward`` later publishes the whole
+        chain atomically. Mutually exclusive with ``wap_id`` (a branch IS
+        multi-commit WAP).
+
         Copy-on-write touches only the hash-buckets present in the batch.
         Idempotent per ``batch_id`` (replays/retries converge).
         """
-        snap = self.snapshot()
+        if branch is not None and wap_id is not None:
+            raise ValueError(
+                "branch and wap_id are mutually exclusive — a branch is "
+                "the multi-commit form of write-audit-publish")
+        snap = self._branch_head(branch) if branch is not None \
+            else self.snapshot()
         led = snap["ledger"]
         bid = str(batch_id)
         if _ledger_contains(led, bid, ledger_scope):
@@ -2544,7 +2560,8 @@ class LakeTable(TableIO):
                               F.lit(version).cast("long")
                               .alias("_change_version")))
                 snap["changes"] = self._write_change_files(
-                    ch, version, schema_v, token)
+                    ch, version, schema_v, token,
+                    staged=wap_id is not None or branch is not None)
                 metrics["changes_rows"] = snap["changes"]["rows"]
             finally:
                 merged.unpersist()
@@ -2606,6 +2623,9 @@ class LakeTable(TableIO):
         if wap_id is not None:
             self._stage_wap(wap_id, snap, parent=version - 1)
             metrics["staged_wap"] = wap_id
+        elif branch is not None:
+            self._branch_append(branch, snap, base_version=version - 1)
+            metrics["branch"] = branch
         else:
             try:
                 self._commit_snapshot(snap, expected_version=version - 1)
@@ -2703,8 +2723,16 @@ class LakeTable(TableIO):
                 f"staged wap {wap_id!r} has parent v{parent} but the "
                 f"table is at v{cur}: a commit landed since staging; "
                 f"abandon_wap and re-merge the batch")
-        self._commit_snapshot(self._wrap_snap(raw),
-                              expected_version=parent)
+        moved: list = []
+        if (raw.get("changes") or {}).get("staged"):
+            raw["changes"], moved = self._publish_staged_changes(
+                raw["changes"])
+        try:
+            self._commit_snapshot(self._wrap_snap(raw),
+                                  expected_version=parent)
+        except ConcurrentCommitError:
+            self._unpublish_staged_changes(moved)
+            raise
         os.remove(os.path.join(self.meta_dir, self._wap_name(wap_id)))
         return {"published_version": raw["version"], "wap_id": wap_id}
 
@@ -2719,14 +2747,250 @@ class LakeTable(TableIO):
             raise ValueError(f"no staged snapshot for wap id {wap_id!r}")
         os.remove(p)
 
+    # --------------------------------------------------------------- branches
+    # A branch is the MULTI-COMMIT form of write-audit-publish (Iceberg
+    # branch refs; Iceberg's own WAP is "write to an audit branch, then
+    # fast-forward main"): a named chain of staged snapshots forked from a
+    # committed version. merge_batch(branch=...) commits stack on the
+    # chain without moving CURRENT; read_branch() audits any time;
+    # fast_forward() publishes the whole chain as ONE atomic commit
+    # (squash semantics — main's history gains one version) with the same
+    # parent CAS as publish_wap; drop_branch() abandons it (files become
+    # GC-able orphans). Storage: meta/branch-<name>-<k>.json — entry 0 is
+    # the fork marker {"parent": P}, entries 1..k are serialized
+    # snapshots. Appending entry k via O_EXCL hard-link IS the branch's
+    # commit CAS: two writers that both computed from head k-1 race for
+    # the same file name and exactly one wins (the loser re-merges from
+    # the new head — merge_batch(commit_retries=...) does this
+    # automatically, and its batch id never reached the chain's ledger,
+    # so the retry is exactly-once).
+
+    @staticmethod
+    def _branch_file(name: str, idx: int) -> str:
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(
+                f"branch name {name!r} must be non-empty [A-Za-z0-9._-]")
+        return f"branch-{name}-{idx}.json"
+
+    def _branch_chain_names(self, name: str) -> list[str]:
+        """Ordered chain files of one branch ([] when absent): index 0 is
+        the fork marker, 1..k the branch's committed snapshots."""
+        self._branch_file(name, 0)  # validate the name
+        pre, suf = f"branch-{name}-", ".json"
+        found: dict[int, str] = {}
+        for f in os.listdir(self.meta_dir):
+            if f.startswith(pre) and f.endswith(suf):
+                tail = f[len(pre):-len(suf)]
+                if tail.isdigit():
+                    found[int(tail)] = f
+        if not found:
+            return []
+        idxs = sorted(found)
+        if idxs != list(range(len(idxs))):
+            raise RuntimeError(
+                f"branch {name!r} chain has holes ({idxs}): a concurrent "
+                f"drop_branch is mid-flight, or meta/ was hand-edited")
+        return [found[i] for i in idxs]
+
+    def _load_branch_docs(self, name: str) -> list[dict]:
+        chain = self._branch_chain_names(name)
+        if not chain:
+            raise ValueError(f"no branch named {name!r}")
+        docs = []
+        for f in chain:
+            with open(os.path.join(self.meta_dir, f)) as fh:
+                docs.append(json.load(fh))
+        return docs
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """Fork a named branch at ``version`` (default: CURRENT). The fork
+        base's snapshot is GC-pinned while the branch exists. Branch
+        writes go through ``merge_batch(..., branch=name)`` (and
+        ``delete_where``); ``append_batch``/``overwrite``/maintenance
+        operate on main only. Single logical writer per branch is the
+        intended usage, but concurrent appends are safe — the chain-file
+        O_EXCL link makes one writer lose with
+        ``ConcurrentCommitError`` and retry from the new head."""
+        cur = self.snapshot()["version"]
+        v = cur if version is None else int(version)
+        if v != cur:
+            self.snapshot_at(v)  # must be a retained, committed version
+        doc = {"branch": name, "parent": int(v),
+               "created_at": round(time.time(), 6)}
+        target = os.path.join(self.meta_dir, self._branch_file(name, 0))
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return {"branch": name, "parent": int(v)}
+
+    def branches(self) -> dict[str, dict]:
+        """Existing branches: name -> {parent, commits, head_version}."""
+        names = []
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("branch-") and f.endswith(".json") \
+                    and ".tmp-" not in f:
+                stem, sep, idx = f[len("branch-"):-len(".json")] \
+                    .rpartition("-")
+                if sep and idx.isdigit() and int(idx) == 0 and stem:
+                    names.append(stem)
+        out = {}
+        for n in sorted(names):
+            docs = self._load_branch_docs(n)
+            out[n] = {"parent": int(docs[0]["parent"]),
+                      "commits": len(docs) - 1,
+                      "head_version": int(docs[-1]["version"])
+                      if len(docs) > 1 else int(docs[0]["parent"])}
+        return out
+
+    def _branch_head(self, name: str) -> dict:
+        """The branch head as a wrapped in-memory snapshot — the base a
+        branch merge computes against (chain head, or the fork base for
+        a commit-less branch)."""
+        docs = self._load_branch_docs(name)
+        if len(docs) == 1:
+            return self.snapshot_at(int(docs[0]["parent"]))
+        raw = {k: v for k, v in docs[-1].items() if k != "branch"}
+        return self._wrap_snap(raw)
+
+    def _branch_append(self, name: str, snap: dict, base_version: int) -> None:
+        """Commit one snapshot onto a branch chain. Appending chain file
+        k with an O_EXCL hard-link IS the CAS (see section comment)."""
+        docs = self._load_branch_docs(name)
+        head_v = int(docs[-1]["version"]) if len(docs) > 1 \
+            else int(docs[0]["parent"])
+        if head_v != base_version:
+            raise ConcurrentCommitError(
+                f"branch {name!r} head is v{head_v}, expected "
+                f"v{base_version}: another writer committed; re-read and "
+                f"retry")
+        raw = self._serialized(snap)
+        raw["branch"] = name
+        raw["committed_at"] = round(time.time(), 6)
+        target = os.path.join(self.meta_dir,
+                              self._branch_file(name, len(docs)))
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(raw, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"branch {name!r}: a concurrent writer appended chain "
+                f"entry {len(docs)}; re-read and retry") from None
+        finally:
+            os.unlink(tmp)
+
+    def read_branch(self, name: str, **kwargs) -> DataFrame:
+        """The branch head's table state — same read path as the
+        committed table (LWW, tombstones, dv masks, file skipping)."""
+        return self.read(snapshot=self._branch_head(name), **kwargs)
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch. Its staged data/change/lineage files become
+        unreferenced orphans (GC'd by ``expire_snapshots`` after the
+        grace); content-addressed manifests shared with committed
+        snapshots survive until nothing references them."""
+        chain = self._branch_chain_names(name)
+        if not chain:
+            raise ValueError(f"no branch named {name!r}")
+        for f in reversed(chain):  # head-first: no mid-drop front holes
+            try:
+                os.remove(os.path.join(self.meta_dir, f))
+            except FileNotFoundError:
+                pass
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch onto main as ONE atomic commit (squash): the
+        branch head snapshot — which already embodies every chain
+        commit's files, ledger entries, schema evolution and properties
+        — is renumbered to ``parent + 1`` and committed with the same
+        parent CAS as ``publish_wap``. Main must still be at the fork
+        base; a commit that landed in between invalidates the chain's
+        file lists, so this refuses with ``ConcurrentCommitError`` and
+        the caller re-merges the branch's batches onto main (their ids
+        never reached MAIN's ledger, so the re-merge is exactly-once).
+
+        Change feed across the squash: a SINGLE-commit branch publishes
+        its change files directly (the embedded ``_change_version``
+        stamp equals the published version, so consumers see a normal
+        commit). A MULTI-commit squash cannot — the chain's per-commit
+        stamps are branch-local numbers that future main commits will
+        reuse, which would break the per-key stamp uniqueness that
+        net-compacting consumers (replicator, Debezium relay) rely on —
+        so it stamps ``log_gap_version``, the documented degradation:
+        ``read_change_log`` snapshot-diffs the step (NET transitions,
+        labeled with the published version), raw change-file tailers
+        re-seed."""
+        docs = self._load_branch_docs(name)
+        parent = int(docs[0]["parent"])
+        if len(docs) == 1:
+            self.drop_branch(name)
+            return {"branch": name, "published_version": None, "commits": 0}
+        cur = self.snapshot()["version"]
+        if cur != parent:
+            raise ConcurrentCommitError(
+                f"branch {name!r} forked at v{parent} but the table is at "
+                f"v{cur}: a commit landed on main since; re-merge the "
+                f"branch's batches or drop the branch")
+        new = {k: v for k, v in docs[-1].items()
+               if k not in ("branch", "committed_at")}
+        newv = parent + 1
+        new["version"] = newv
+        moved: list = []
+        if new.get("changefeed"):
+            entries = [d.get("changes") for d in docs[1:]]
+            if len(entries) == 1 and entries[0] is not None:
+                e = dict(entries[0])
+                e["version"] = newv
+                if e.get("staged"):
+                    e, moved = self._publish_staged_changes(e)
+                new["changes"] = e
+            else:
+                # see docstring: branch-local _change_version stamps
+                # would collide with future main commits' stamps
+                new.pop("changes", None)
+                new["log_gap_version"] = newv
+        try:
+            self._commit_snapshot(self._wrap_snap(dict(new)),
+                                  expected_version=parent)
+        except ConcurrentCommitError:
+            self._unpublish_staged_changes(moved)
+            raise
+        self.drop_branch(name)
+        return {"branch": name, "published_version": newv,
+                "commits": len(docs) - 1}
+
     def _write_change_files(self, ch: DataFrame, version: int,
-                            schema_v: int, token: str) -> dict:
+                            schema_v: int, token: str, *,
+                            staged: bool = False) -> dict:
         """Materialize one commit's change rows (table columns +
         change_type) under changes/; names carry the commit-attempt token
         (losing writers leave orphans, GC-able) and are recorded in the
         committing snapshot only, so each snapshot references exactly its
-        own version's feed."""
+        own version's feed.
+
+        ``staged=True`` (WAP stages and branch commits): files land under
+        ``changes/.staged/<token>/`` instead — the dot prefix hides them
+        from every Spark directory listing, so a raw change-feed tailer
+        (ChangeLogReplicator, relay jobs) can never ingest UNPUBLISHED
+        data; publish/fast-forward moves them into ``changes/`` right
+        before the snapshot CAS (``_publish_staged_changes``) and the
+        tailer discovers them like any new commit's files. The entry
+        records the staging token under ``"staged"`` until then."""
         os.makedirs(self.changes_dir, exist_ok=True)
+        dest = os.path.join(self.changes_dir, ".staged", token) \
+            if staged else self.changes_dir
+        os.makedirs(dest, exist_ok=True)
         stage = os.path.join(self.path, f".chstage-{uuid.uuid4().hex}")
         ch.write.mode("overwrite").parquet(stage)
         import pyarrow.parquet as pq
@@ -2737,12 +3001,42 @@ class LakeTable(TableIO):
             if meta.num_rows == 0:
                 continue
             name = f"c{version}-{i}-{token}.parquet"
-            os.replace(part, os.path.join(self.changes_dir, name))
+            os.replace(part, os.path.join(dest, name))
             files.append(name)
             rows += meta.num_rows
         shutil.rmtree(stage, ignore_errors=True)
-        return {"version": version, "files": files, "schema_v": schema_v,
-                "rows": int(rows)}
+        out = {"version": version, "files": files, "schema_v": schema_v,
+               "rows": int(rows)}
+        if staged:
+            out["staged"] = token
+        return out
+
+    def _publish_staged_changes(self, entry: dict) -> tuple[dict, list]:
+        """Move a staged commit's change files into ``changes/`` (done
+        right BEFORE the publish CAS; on CAS failure the caller moves
+        them back via the returned list). Idempotent against a crash
+        between a previous move and its CAS: a file already in
+        ``changes/`` counts as moved."""
+        sdir = os.path.join(self.changes_dir, ".staged", entry["staged"])
+        moved = []
+        for fn in entry["files"]:
+            src = os.path.join(sdir, fn)
+            dst = os.path.join(self.changes_dir, fn)
+            if os.path.exists(src):
+                os.replace(src, dst)
+                moved.append((src, dst))
+            elif not os.path.exists(dst):
+                raise RuntimeError(
+                    f"staged change file {fn} missing from {sdir}")
+        return {k: v for k, v in entry.items() if k != "staged"}, moved
+
+    @staticmethod
+    def _unpublish_staged_changes(moved: list) -> None:
+        for src, dst in moved:
+            try:
+                os.replace(dst, src)
+            except FileNotFoundError:
+                pass
 
     def read_change_log(self, from_version: int,
                         to_version: int | None = None, *,
@@ -3453,7 +3747,8 @@ class LakeTable(TableIO):
 
     def commit_empty_batch(self, batch_id: int | str,
                            scope: str = "default",
-                           extra_metrics: dict | None = None) -> dict:
+                           extra_metrics: dict | None = None,
+                           branch: str | None = None) -> dict:
         """Ledger a batch that carried no rows. Without this, an empty
         micro-batch (every availableNow drain ends with one) would leave a
         permanent gap in the ledger's contiguous-prefix watermark: the
@@ -3463,11 +3758,15 @@ class LakeTable(TableIO):
         snapshot commit (no data files touched) keeps the ledger O(1).
 
         Data-free, so a concurrent-writer conflict is trivially retryable
-        in place: re-read the (now advanced) snapshot and re-commit."""
+        in place: re-read the (now advanced) snapshot and re-commit.
+        ``branch``: ledger onto the branch chain instead of main (a
+        branch-ingesting stream's empty drains must land WITH its data
+        batches or the publish would carry a gapped ledger)."""
         bid = str(batch_id)
         last_err: Exception | None = None
         for _ in range(4):
-            snap = self.snapshot()
+            snap = self._branch_head(branch) if branch is not None \
+                else self.snapshot()
             if _ledger_contains(snap["ledger"], bid, scope):
                 return {"batch_id": bid, "skipped": True}
             snap["version"] += 1
@@ -3479,7 +3778,12 @@ class LakeTable(TableIO):
                        **(extra_metrics or {})}
             _ledger_add(snap["ledger"], bid, metrics, scope)
             try:
-                self._commit_snapshot(snap, expected_version=snap["version"] - 1)
+                if branch is not None:
+                    self._branch_append(branch, snap,
+                                        base_version=snap["version"] - 1)
+                else:
+                    self._commit_snapshot(
+                        snap, expected_version=snap["version"] - 1)
                 return metrics
             except ConcurrentCommitError as e:
                 last_err = e
@@ -3764,11 +4068,25 @@ class LakeTable(TableIO):
         # published or abandoned — an audit may outlast any grace window
         waps = {f for f in os.listdir(self.meta_dir)
                 if f.startswith("wap-") and f.endswith(".json")}
+        # branch chains pin their staged snapshots' files the same way;
+        # fork markers (no "version") additionally pin the fork-base
+        # snapshot — a commit-less branch resolves its head through it
+        branch_snaps: set[str] = set()
+        for fname in os.listdir(self.meta_dir):
+            if fname.startswith("branch-") and fname.endswith(".json") \
+                    and ".tmp-" not in fname:
+                with open(os.path.join(self.meta_dir, fname)) as f:
+                    doc = json.load(f)
+                if "version" in doc:
+                    branch_snaps.add(fname)
+                else:
+                    keep.add(f"v{int(doc['parent']):010d}.json")
         referenced: set[str] = set()
         referenced_lineage: set[str] = set()
         referenced_changes: set[str] = set()
+        referenced_staged: set[str] = set()
         referenced_manifests: set[str] = set()
-        for name in keep | waps:
+        for name in keep | waps | branch_snaps:
             with open(os.path.join(self.meta_dir, name)) as f:
                 snap = self._wrap_snap(json.load(f))
             referenced_manifests.update(
@@ -3789,8 +4107,10 @@ class LakeTable(TableIO):
                         elif part.get("root") is None:
                             referenced.add(part["file"])
             referenced_lineage.update(snap.get("lineage_files", []))
-            referenced_changes.update((snap.get("changes") or
-                                       {}).get("files", []))
+            ch_entry = snap.get("changes") or {}
+            referenced_changes.update(ch_entry.get("files", []))
+            if ch_entry.get("staged"):
+                referenced_staged.add(ch_entry["staged"])
         dropped_snaps = 0
         for name in names:
             if name not in keep:
@@ -3810,10 +4130,10 @@ class LakeTable(TableIO):
                     and _expired(full):
                 os.remove(full)
                 dropped_manifests += 1
-            elif fname.startswith("wap-") and ".json.tmp-" in fname \
-                    and _expired(full):
-                # crash mid-_stage_wap: the fully-written-then-linked
-                # protocol leaves only this orphan tmp behind
+            elif (fname.startswith("wap-") or fname.startswith("branch-")) \
+                    and ".json.tmp-" in fname and _expired(full):
+                # crash mid-_stage_wap / mid-_branch_append: the fully-
+                # written-then-linked protocol leaves only this orphan tmp
                 os.remove(full)
                 dropped_manifests += 1
         dropped_files = 0
@@ -3854,8 +4174,21 @@ class LakeTable(TableIO):
         if os.path.isdir(self.changes_dir):
             for fname in os.listdir(self.changes_dir):
                 full = os.path.join(self.changes_dir, fname)
+                if fname == ".staged":
+                    continue  # staged WAP/branch feeds, swept below
                 if fname not in referenced_changes and _expired(full):
                     os.remove(full)
+                    dropped_changes += 1
+        # staged change-file dirs (changes/.staged/<token>/ — WAP stages
+        # and branch commits, hidden from raw tailers until publish):
+        # a token referenced by no staged/branch snapshot belongs to an
+        # abandoned wap / dropped branch / published stage — sweep it
+        staged_root = os.path.join(self.changes_dir, ".staged")
+        if os.path.isdir(staged_root):
+            for tok in os.listdir(staged_root):
+                full = os.path.join(staged_root, tok)
+                if tok not in referenced_staged and _expired(full):
+                    shutil.rmtree(full, ignore_errors=True)
                     dropped_changes += 1
         # sketch-sidecar GC: a sidecar whose referenced data files are ALL
         # unreferenced by every retained snapshot is dead metadata (its

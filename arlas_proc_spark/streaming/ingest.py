@@ -51,7 +51,7 @@ class StreamingIngest:
                  state_partitions: int | None = None,
                  patch_cols: list[str] | None = None,
                  migrate_per_batch: int | None = None,
-                 catalog=None):
+                 catalog=None, branch: str | None = None):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -134,17 +134,29 @@ class StreamingIngest:
         self.changefeed = changefeed
         self.bloom_bits_per_key = bloom_bits_per_key
         self.patch_cols = list(patch_cols) if patch_cols else None
+        self.branch = branch
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
                                 collect_metrics=collect_metrics,
                                 write_mode=write_mode,
                                 quarantine_dir=quarantine_dir,
                                 changefeed=changefeed,
                                 bloom_bits_per_key=bloom_bits_per_key,
-                                patch_cols=patch_cols)
+                                patch_cols=patch_cols, branch=branch)
         self.watermark = watermark
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
         self.wal_format = wal_format
+        if branch is not None and (compact_every or views or catalog
+                                   or migrate_per_batch):
+            # all four operate on MAIN's committed state — running them
+            # against a stream whose merges land on an unpublished branch
+            # would split-brain the pipeline (compact/migrate would churn
+            # main, views/catalog would publish state main does not have)
+            raise ValueError(
+                "branch ingest cannot be combined with compact_every, "
+                "views, catalog or migrate_per_batch — they act on main, "
+                "which a branch ingest never advances; fast_forward the "
+                "branch first")
         self.compact_every = compact_every
         self.views = list(views or [])
         self.state_partitions = state_partitions
@@ -238,7 +250,7 @@ class StreamingIngest:
                 quarantine_dir=self.quarantine_dir,
                 changefeed=self.changefeed,
                 bloom_bits_per_key=self.bloom_bits_per_key,
-                patch_cols=self.patch_cols)
+                patch_cols=self.patch_cols, branch=self.branch)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             # state_partitions: batch 0's stateful planning (which pinned

@@ -94,6 +94,12 @@ def main() -> None:
                          "so catalog readers never see them torn; "
                          "register the tables once with catalog_job.py "
                          "--register")
+    ap.add_argument("--branch", default=None, metavar="NAME",
+                    help="commit every micro-batch onto this branch "
+                         "(create it first with maintenance_job "
+                         "--create-branch): main never moves until "
+                         "maintenance_job --fast-forward publishes the "
+                         "whole ingest atomically")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --wal first (demo)")
     ap.add_argument("--master", default=None)
@@ -136,7 +142,8 @@ def main() -> None:
                           changefeed=args.changefeed,
                           state_partitions=args.state_partitions,
                           patch_cols=patch_cols,
-                          migrate_per_batch=args.migrate_per_batch)
+                          migrate_per_batch=args.migrate_per_batch,
+                          branch=args.branch)
     if args.catalog:
         from arlas_proc_spark.lake.catalog import Catalog
         if not Catalog.exists(spark, args.catalog):

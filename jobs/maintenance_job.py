@@ -124,6 +124,24 @@ def main() -> None:
                     help="RESTORE to the last commit at or before this "
                          "moment (ISO-8601 or epoch seconds; naive "
                          "times are UTC)")
+    ap.add_argument("--create-branch", default=None,
+                    metavar="NAME[=VERSION]",
+                    help="fork a named branch (Iceberg branch ref — "
+                         "multi-commit write-audit-publish); bare NAME "
+                         "forks at CURRENT. Writers commit with "
+                         "merge_batch(branch=NAME) / ingest "
+                         "--branch=NAME; CURRENT never moves until "
+                         "--fast-forward")
+    ap.add_argument("--fast-forward", default=None, metavar="NAME",
+                    help="publish a branch onto main as ONE atomic "
+                         "commit (squash); refuses if main moved past "
+                         "the fork base")
+    ap.add_argument("--drop-branch", default=None, metavar="NAME",
+                    help="abandon a branch (its staged files become "
+                         "GC-able orphans)")
+    ap.add_argument("--list-branches", action="store_true",
+                    help="report existing branches (parent, commits, "
+                         "head version)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     if (args.delete_where is None) != (args.delete_batch_id is None):
@@ -188,6 +206,17 @@ def main() -> None:
         report["migrate_buckets"] = t.migrate_buckets(
             args.migrate_buckets,
             target_rows_per_file=args.target_file_rows)
+    if args.create_branch is not None:
+        name, _, v = args.create_branch.partition("=")
+        report["create_branch"] = t.create_branch(
+            name, int(v) if v else None)
+    if args.fast_forward is not None:
+        report["fast_forward"] = t.fast_forward(args.fast_forward)
+    if args.drop_branch is not None:
+        t.drop_branch(args.drop_branch)
+        report["drop_branch"] = args.drop_branch
+    if args.list_branches:
+        report["branches"] = t.branches()
     if args.set_tag is not None:
         name, _, v = args.set_tag.partition("=")
         report["set_tag"] = t.set_tag(name, int(v) if v else None)
