@@ -314,6 +314,28 @@ def q_cdc_branch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256")
 
 
+def q_cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage under replay (lake/table.py create(row_lineage=True) —
+    Iceberg v3 _row_id / _last_updated_version): replay the feed in
+    three interleaved batches (versions 1..3) into a lineage-enabled
+    table and return the final state with each row's
+    _last_updated_version — which must equal, per key, the LAST batch
+    whose events actually moved the stored winner (an idempotent or
+    losing delivery moves nothing). The DuckDB oracle recomputes the
+    per-prefix LWW winner (seq, commit) for every key and derives the
+    same stamp; _row_id itself is layout-assigned (file ranges) and is
+    pinned by tests/test_lake_lineage.py instead."""
+    tmp = _scratch_dir("arlas_rowlin_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False, row_lineage=True)
+    feed = changefeed_df(spark, N_FEED)
+    for i in range(3):
+        engine.apply_batch(feed.where(feed.seq % 3 == i), i)
+    return (engine.table.read(with_row_ids=True)
+            .select("repo", "path", "seq", "content_sha256",
+                    F.col("_last_updated_version").alias("last_changed_v")))
+
+
 def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-rebucket path under the graded contract: replay the
     feed in three cow batches while a bucket-count migration (8 → 5,
@@ -1726,6 +1748,9 @@ _EXTRA_QUERIES = [
     # publishes the chain atomically, redelivered branch batch no-ops;
     # final state must equal the same converged oracle
     "cdc_branch_replay",
+    # r4: row lineage (Iceberg v3) — _last_updated_version per key under
+    # interleaved replay, vs a per-prefix LWW recomputation in DuckDB
+    "cdc_row_lineage",
     # r4: shallow clone + retention delete_where on the clone, vs the
     # converged oracle minus the predicate's victims
     "cdc_clone_retention",
@@ -1769,6 +1794,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dv_replay": q_cdc_dv_replay,
         "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_branch_replay": q_cdc_branch_replay,
+        "cdc_row_lineage": q_cdc_row_lineage,
         "cdc_rebucket_replay": q_cdc_rebucket_replay,
         "cdc_clone_retention": q_cdc_clone_retention,
         "zorder_scan": q_zorder_scan,
@@ -2248,6 +2274,27 @@ def _all_oracle_sql() -> dict[str, str]:
         "cdc_dv_replay": final,
         "cdc_restore_replay": final,
         "cdc_branch_replay": final,
+        "cdc_row_lineage": f"""
+WITH f AS ({feed}),
+e AS (SELECT *, (seq % 3) + 1 AS bv FROM f),
+x AS (SELECT u.upto, e.* FROM (VALUES (1), (2), (3)) u(upto)
+      JOIN e ON e.bv <= u.upto),
+w AS (SELECT upto, repo, path, max(ROW(seq, commit)) AS r
+      FROM x GROUP BY upto, repo, path),
+p AS (SELECT repo, path,
+             max(CASE WHEN upto = 1 THEN r END) AS r1,
+             max(CASE WHEN upto = 2 THEN r END) AS r2,
+             max(CASE WHEN upto = 3 THEN r END) AS r3
+      FROM w GROUP BY repo, path),
+luv AS (SELECT repo, path,
+               CASE WHEN r2 IS NULL OR r3 <> r2 THEN 3
+                    WHEN r1 IS NULL OR r2 <> r1 THEN 2
+                    ELSE 1 END AS last_changed_v
+        FROM p)
+SELECT fs.repo, fs.path, fs.seq, fs.content_sha256,
+       CAST(l.last_changed_v AS BIGINT) AS last_changed_v
+FROM ({final}) fs JOIN luv l USING (repo, path)
+""",
         "cdc_rebucket_replay": final,
         "cdc_clone_retention": (
             f"SELECT repo, path, commit, seq, ts_s, lang, content, "

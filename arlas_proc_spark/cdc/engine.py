@@ -74,7 +74,8 @@ class CdcEngine:
                  changefeed: bool = False,
                  bloom_bits_per_key: int = 0,
                  patch_cols: list[str] | None = None,
-                 branch: str | None = None):
+                 branch: str | None = None,
+                 row_lineage: bool = False):
         """``broadcast_key_limit``: batches touching more distinct keys
         than this fall back from the broadcast join-back to the wide-argmax
         compaction — the winner set must fit in every executor for a
@@ -155,6 +156,14 @@ class CdcEngine:
                 "branch ingest requires write_mode='cow' or 'dv': "
                 "merge-on-read appends commit to main, not the branch")
         self.branch = branch
+        # Iceberg v3 row lineage (LakeTable.create(row_lineage=True)):
+        # stable _row_id per key-row + _last_updated_version, maintained
+        # by the merge join. Incompatible with mor appends by the same
+        # argument as patch_cols (read-time LWW cannot inherit ids).
+        if row_lineage and write_mode == "mor":
+            raise ValueError(
+                "row_lineage requires write_mode='cow' or 'dv': "
+                "merge-on-read generations cannot inherit _row_id")
         # TableIO seam (SURVEY §7.1 Plan A): inject any TableIO —
         # e.g. lake.iceberg.IcebergTableIO over a real Iceberg runtime —
         # instead of the bundled snapshot backend
@@ -196,7 +205,8 @@ class CdcEngine:
             self.table = LakeTable.create(
                 spark, table_path, TABLE_SCHEMA, KEY_COLS, SEQ_COL,
                 n_buckets=n_buckets, changefeed=changefeed,
-                bloom_bits_per_key=bloom_bits_per_key)
+                bloom_bits_per_key=bloom_bits_per_key,
+                row_lineage=row_lineage)
         if write_mode == "mor" and bool(
                 self.table.snapshot().get("changefeed")):
             raise ValueError(_mor_cf_err)

@@ -66,6 +66,10 @@ _TOMB = "_tombstone"
 # read(with_positions=True) so the dv merge can address existing rows)
 _DV_FILE = "_dv_file"
 _DV_POS = "_dv_pos"
+# row-lineage columns (Iceberg v3): exposed by read(with_row_ids=True),
+# physically materialized into files on every rewrite
+_ROW_ID = "_row_id"
+_LUV = "_last_updated_version"
 _SKETCH_LG_K = 12  # HLL lgConfigK for ndv sketches (every sidecar uses the
                    # same value so unions never need allowDifferentLgConfigK)
 _LEDGER_KEEP = 1024  # retain this many most-recent batch ids below the watermark
@@ -337,7 +341,8 @@ class LakeTable(TableIO):
                changefeed: bool = False,
                stats_cols: list[str] | None = None,
                bloom_bits_per_key: int = 0,
-               sketch_cols: list[str] | None = None) -> "LakeTable":
+               sketch_cols: list[str] | None = None,
+               row_lineage: bool = False) -> "LakeTable":
         """``changefeed=True`` (Delta's delta.enableChangeDataFeed): every
         ``merge_batch`` ALSO writes its change rows (insert /
         update_preimage / update_postimage / delete) as a per-commit file,
@@ -379,7 +384,30 @@ class LakeTable(TableIO):
         a metadata-sized job, no table scan — which a planner uses for
         broadcast/skew decisions. Costs one column-pruned read-back of
         each commit's new files (~the sketch columns' bytes); defaults
-        off."""
+        off.
+
+        ``row_lineage=True`` (Iceberg v3 row lineage): every row carries
+        a STABLE ``_row_id`` for its whole life — assigned at first
+        insert, preserved across updates, deletes (the tombstone keeps
+        it), revivals, copy-on-write rewrites, deletion-vector merges
+        and compaction — plus ``_last_updated_version``, the commit that
+        last CHANGED the row. Read them with
+        ``read(with_row_ids=True)``. Mechanics are exactly Iceberg's:
+        ids are allocated as per-FILE ranges from a monotone
+        ``next_row_id`` counter in the snapshot (each new data file's
+        manifest entry records ``first_row_id``; a row's id is its
+        materialized ``_row_id`` column if the file carries one, else
+        ``first_row_id + row position``), so assignment costs zero
+        shuffles and no global ordering; rewrites materialize the
+        column, and ranges may be sparse (a rewritten row's slot in its
+        new file's range goes unused — Iceberg's documented behavior).
+        ``_last_updated_version`` is always materialized at write.
+        Downstream, stable row ids are what let a consumer track a row
+        across key-preserving updates without diffing payloads.
+        Unsupported combinations fail loudly: merge-on-read appends
+        (``append_batch``) — a read-time LWW winner from a newer
+        generation cannot know its predecessor's id without the merge
+        join this mode exists to avoid."""
         if stats_cols is None:
             stats_cols = list(dict.fromkeys(list(key_cols) + [seq_col]))
         t = cls(spark, path)
@@ -395,6 +423,8 @@ class LakeTable(TableIO):
             "sketch_cols": list(sketch_cols or []),
             "bloom_bits_per_key": int(bloom_bits_per_key),
             "changefeed": bool(changefeed),
+            **({"row_lineage": True, "next_row_id": 0}
+               if row_lineage else {}),
             "buckets": {},          # bucket -> [{file, schema_v}]
             # scopes: per-stream exactly-once watermarks (Delta txnAppId)
             "ledger": {"scopes": {}, "recent": [], "metrics": {}},
@@ -661,7 +691,8 @@ class LakeTable(TableIO):
              snapshot: dict | None = None,
              with_tombstones: bool = False,
              filters: list[tuple] | None = None,
-             with_positions: bool = False) -> DataFrame:
+             with_positions: bool = False,
+             with_row_ids: bool = False) -> DataFrame:
         """Current table state (optionally restricted to buckets) as the
         live schema. Files written under older schemas are read with their
         own schema and projected up (Iceberg read-time projection).
@@ -734,6 +765,14 @@ class LakeTable(TableIO):
             out_schema = StructType(list(out_schema.fields) + [
                 StructField(_DV_FILE, StringType(), True),
                 StructField(_DV_POS, LongType(), True)])
+        if with_row_ids:
+            if not snap.get("row_lineage"):
+                raise ValueError(
+                    "with_row_ids requires a table created with "
+                    "row_lineage=True")
+            out_schema = StructType(list(out_schema.fields) + [
+                StructField(_ROW_ID, LongType(), True),
+                StructField(_LUV, LongType(), True)])
         mor = {str(b) for b in snap.get("mor_buckets", [])}
         roots = snap.get("external_roots", {})
         cow_entries: list[dict] = []
@@ -764,20 +803,26 @@ class LakeTable(TableIO):
         if not cow_entries and not mor_entries:
             return _provably_empty(self.spark, out_schema)
         dv_entries = [e for e in cow_entries + mor_entries if e.get("dv")]
-        need_pos = with_positions or bool(dv_entries)
+        need_pos = with_positions or bool(dv_entries) or with_row_ids
         pos_map = None
         if need_pos:
             # (normalized absolute path → manifest identity), built from
             # the SAME _entry_path the scan uses, so the match is exact —
             # never inferred by path surgery over unknown roots. O(selected
-            # files) rows, broadcast.
+            # files) rows, broadcast. with_row_ids adds the per-file
+            # first_row_id so lazy ids resolve in the same join.
             pos_map = self.spark.createDataFrame(
                 [(os.path.abspath(_entry_path(self.data_dir, roots, e)),
-                  e["file"]) for e in cow_entries + mor_entries],
-                f"_abs string, {_DV_FILE} string")
+                  e["file"],
+                  *((int(e["first_row_id"]),) if with_row_ids else ()))
+                 for e in cow_entries + mor_entries],
+                f"_abs string, {_DV_FILE} string"
+                + (", _frid long" if with_row_ids else ""))
         pos_schema = StructType(list(tomb_schema.fields) + [
             StructField(_DV_FILE, StringType(), True),
-            StructField(_DV_POS, LongType(), True)])
+            StructField(_DV_POS, LongType(), True)] + ([
+            StructField(_ROW_ID, LongType(), True),
+            StructField(_LUV, LongType(), True)] if with_row_ids else []))
 
         def _scan(entries: list[dict]) -> DataFrame:
             # group files by the schema version they were written under so
@@ -789,8 +834,15 @@ class LakeTable(TableIO):
             parts = []
             for sv, paths in by_sv.items():
                 file_schema = StructType.fromJson(snap["schemas"][sv])
-                scan_schema = StructType(list(file_schema.fields) +
-                                         [StructField(_TOMB, BooleanType(), True)])
+                scan_schema = StructType(
+                    list(file_schema.fields)
+                    + [StructField(_TOMB, BooleanType(), True)]
+                    # rewritten files carry materialized lineage columns;
+                    # first-write files read them as null and fall back
+                    # to first_row_id + position below
+                    + ([StructField(_ROW_ID, LongType(), True),
+                        StructField(_LUV, LongType(), True)]
+                       if with_row_ids else []))
                 df = self.spark.read.schema(scan_schema).parquet(*paths)
                 if need_pos:
                     # _metadata.file_path is a URI; normalize to a plain
@@ -812,6 +864,11 @@ class LakeTable(TableIO):
                                         "position map: "),
                                   F.col("_abs")))))
                           .drop("_abs"))
+                    if with_row_ids:
+                        df = (df.withColumn(_ROW_ID, F.coalesce(
+                                  F.col(_ROW_ID),
+                                  F.col("_frid") + F.col(_DV_POS)))
+                              .drop("_frid"))
                 df = _apply_renames(df, int(sv),
                                     snap.get("rename_log", []),
                                     snap.get("drop_log", []))
@@ -1035,7 +1092,9 @@ class LakeTable(TableIO):
         if _ledger_contains(snap["ledger"], bid):
             return {"batch_id": bid, "skipped": True}
         key_cols = snap["key_cols"]
-        df = _resolve_lww(self.read(snapshot=snap, with_tombstones=True),
+        lineage = bool(snap.get("row_lineage"))
+        df = _resolve_lww(self.read(snapshot=snap, with_tombstones=True,
+                                    with_row_ids=lineage),
                           key_cols, snap["seq_col"])
         sort_cols, stats_cols = _clustered_layout(
             snap, cluster_by, df.columns, cluster_mode=cluster_mode)
@@ -1053,6 +1112,7 @@ class LakeTable(TableIO):
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0),
                                           sketch_cols=snap.get("sketch_cols"),
                                           max_records_per_file=target_rows_per_file)
+        self._assign_row_ranges(snap, staged)
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         snap["n_buckets"] = new_n_buckets
@@ -1157,7 +1217,8 @@ class LakeTable(TableIO):
                     "skipped": True}
         t0 = time.time()
         key_cols = snap["key_cols"]
-        df = self.read(step, snapshot=snap, with_tombstones=True)
+        df = self.read(step, snapshot=snap, with_tombstones=True,
+                       with_row_ids=bool(snap.get("row_lineage")))
         out = df.withColumn(_BUCKET,
                             bucket_expr(key_cols, to_n) + F.lit(int(n)))
         version = snap["version"] + 1
@@ -1173,6 +1234,7 @@ class LakeTable(TableIO):
             bloom_bpk=snap.get("bloom_bits_per_key", 0),
             sketch_cols=snap.get("sketch_cols"),
             max_records_per_file=target_rows_per_file)
+        self._assign_row_ranges(snap, staged)
         for b in step:
             if str(b) in snap["buckets"]:
                 del snap["buckets"][str(b)]
@@ -2270,8 +2332,15 @@ class LakeTable(TableIO):
         #    later-arriving stale inserts) FULL OUTER JOIN batch on the key.
         #    Prefix-rename both sides so same-named payload columns never
         #    collide; pick the winner with scalar exprs (codegen end-to-end).
+        lineage = bool(snap.get("row_lineage"))
+        if lineage:
+            bad = [c for c in (_ROW_ID, _LUV) if c in batch.columns]
+            if bad:
+                raise ValueError(
+                    f"batch carries reserved row-lineage column(s) {bad}: "
+                    f"ids are table-assigned, never fed in")
         cur = self.read(touched, snapshot=snap, with_tombstones=True,
-                        with_positions=dv)
+                        with_positions=dv, with_row_ids=lineage)
         if dv and dv_prune:
             # a dv merge only ever ACTS on existing rows whose key appears
             # in the batch (winners mask/supersede them; every other row
@@ -2311,7 +2380,9 @@ class LakeTable(TableIO):
             *[F.col(f.name).alias(f"_e_{f.name}") for f in table_schema.fields],
             F.coalesce(F.col(_TOMB), F.lit(False)).alias(f"_e_{_TOMB}"),
             *([F.col(_DV_FILE).alias(f"_e_{_DV_FILE}"),
-               F.col(_DV_POS).alias(f"_e_{_DV_POS}")] if dv else []))
+               F.col(_DV_POS).alias(f"_e_{_DV_POS}")] if dv else []),
+            *([F.col(_ROW_ID).alias("_e__rid"),
+               F.col(_LUV).alias("_e__luv")] if lineage else []))
         join_cond = reduce(
             lambda a, b: a & b,
             [F.col(f"_e_{k}") == F.col(f"_n_{k}") for k in key_cols])
@@ -2423,6 +2494,27 @@ class LakeTable(TableIO):
                 F.struct(*[F.col(f"_e_{f.name}").alias(f.name)
                            for f in table_schema.fields]).alias("_pre"),
                 cdf_type.alias("_cdf")]
+        lineage_cols = []
+        if lineage:
+            # stable row identity (Iceberg v3): a matched key — alive OR
+            # tombstoned (a revived key is the same row) — keeps its
+            # stored id; brand-new keys leave it null and take their id
+            # lazily from the new file's first_row_id + position.
+            # _last_updated_version moves only when the row actually
+            # changes (an idempotent re-apply of the same (seq, commit)
+            # is NOT a change — same rule the change feed uses).
+            lin_moved = ~F.col(f"_n_{seq_col}").eqNullSafe(
+                F.col(f"_e_{seq_col}"))
+            if "commit" in {f.name for f in table_schema.fields}:
+                lin_moved = lin_moved | ~F.col("_n_commit").eqNullSafe(
+                    F.col("_e_commit"))
+            lineage_cols = [
+                F.col("_e__rid").alias(_ROW_ID),
+                F.when(has_e & ~(use_new & lin_moved),
+                       F.coalesce(F.col("_e__luv"),
+                                  F.lit(snap["version"] + 1)))
+                 .otherwise(F.lit(snap["version"] + 1))
+                 .cast("long").alias(_LUV)]
         dead_cols = []
         if dv:
             # the superseded existing row's physical address — only a
@@ -2438,7 +2530,7 @@ class LakeTable(TableIO):
         merged = j.select(*picked, is_delete.alias(_TOMB),
                           use_new.alias("_is_new"),
                           (use_new & del_now).alias("_is_del"),
-                          *dead_cols, *cdf_cols)
+                          *lineage_cols, *dead_cols, *cdf_cols)
         if dv:
             # dv writes ONLY the changed rows; several actions consume
             # this small (O(batch)) frame — data-file write, dv write,
@@ -2473,6 +2565,7 @@ class LakeTable(TableIO):
         # no lower-seq event can still arrive)
         out = observed.select(
             *[f.name for f in table_schema.fields], _TOMB,
+            *([_ROW_ID, _LUV] if lineage else []),
             routed_bucket_expr(snap).alias(_BUCKET))
 
         # 6. write new files for touched buckets (repartition by bucket so
@@ -2486,6 +2579,7 @@ class LakeTable(TableIO):
                                           stats_cols=snap.get("stats_cols"),
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0),
                                           sketch_cols=snap.get("sketch_cols"))
+        self._assign_row_ranges(snap, staged)
         if obs is not None:
             got = obs.get
             metrics.update({
@@ -3252,6 +3346,28 @@ class LakeTable(TableIO):
             self._write_sketch_sidecar(out_dir, sketch_cols)
         return staged
 
+    @staticmethod
+    def _assign_row_ranges(snap: dict, staged: dict[int, list[dict]]) -> None:
+        """Row lineage (Iceberg v3): give every new data file a
+        ``first_row_id`` range from the snapshot's monotone
+        ``next_row_id`` counter — deterministic (sorted bucket + file
+        order), zero data IO, no global ordering. A file's range covers
+        ALL its rows; rows carrying a materialized ``_row_id`` simply
+        waste their slot (Iceberg's documented sparse-id behavior). No-op
+        on tables without the flag. The counter moves in the SAME
+        snapshot commit as the files, so a losing/crashed commit never
+        burns ids and concurrent writers can't collide (``next_row_id``
+        is deliberately NOT rebase-able — a lineage table's CAS loss
+        falls back to the full re-merge)."""
+        if not snap.get("row_lineage"):
+            return
+        nxt = int(snap.get("next_row_id", 0))
+        for b in sorted(staged, key=int):
+            for e in staged[b]:
+                e["first_row_id"] = nxt
+                nxt += int(e.get("rows") or 0)
+        snap["next_row_id"] = nxt
+
     def _write_sketch_sidecar(self, out_dir: str,
                               sketch_cols: list[str]) -> None:
         """One HLL sketch per (new data file, sketch column), written as a
@@ -3657,6 +3773,12 @@ class LakeTable(TableIO):
             return {"batch_id": bid, "skipped": True,
                     **led["metrics"].get(_ledger_key(ledger_scope, bid), {})}
         t0 = time.time()
+        if snap.get("row_lineage"):
+            raise ValueError(
+                "append_batch (merge-on-read) is unsupported on a "
+                "row_lineage table: a read-time LWW winner from a newer "
+                "generation cannot inherit its predecessor's _row_id "
+                "without the merge join; use merge_batch (cow or dv)")
         key_cols, seq_col = snap["key_cols"], snap["seq_col"]
         n_buckets = snap["n_buckets"]
         missing_keys = [k for k in key_cols if k not in batch.columns]
@@ -3825,12 +3947,17 @@ class LakeTable(TableIO):
             .withColumn(_TOMB, F.lit(False)) \
             .withColumn(_BUCKET, bucket_expr(key_cols, n_buckets))
         version = snap["version"] + 1
+        if snap.get("row_lineage"):
+            # a full replace is all-new rows: ids assign lazily from the
+            # new files' ranges; the update stamp is this commit
+            out = out.withColumn(_LUV, F.lit(version).cast("long"))
         token = uuid.uuid4().hex[:12]
         staged = self._write_bucket_files(out, version, schema_v, n_buckets,
                                           key_cols=key_cols, token=token,
                                           stats_cols=snap.get("stats_cols"),
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0),
                                           sketch_cols=snap.get("sketch_cols"))
+        self._assign_row_ranges(snap, staged)
         snap["buckets"] = {str(b): fs for b, fs in staged.items()}
         snap["mor_buckets"] = []
         # full replace under the plain spec cancels any in-progress
@@ -3990,7 +4117,9 @@ class LakeTable(TableIO):
                 victims.append(int(b))
         if not victims:
             return {"compacted_buckets": 0}
-        df = self.read(victims, snapshot=snap, with_tombstones=True)
+        lineage = bool(snap.get("row_lineage"))
+        df = self.read(victims, snapshot=snap, with_tombstones=True,
+                       with_row_ids=lineage)
         if tombstone_horizon_seq is not None:
             df = df.where(~(F.coalesce(F.col(_TOMB), F.lit(False)) &
                             (F.col(snap["seq_col"]) <= tombstone_horizon_seq)))
@@ -4015,6 +4144,7 @@ class LakeTable(TableIO):
                                           bloom_bpk=snap.get("bloom_bits_per_key", 0),
                                           sketch_cols=snap.get("sketch_cols"),
                                           max_records_per_file=target_rows_per_file)
+        self._assign_row_ranges(snap, staged)
         for b in victims:
             snap["buckets"][str(b)] = staged.get(b, [])
         snap["mor_buckets"] = sorted(mor - {str(b) for b in victims}, key=int)

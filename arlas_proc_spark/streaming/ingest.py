@@ -51,7 +51,8 @@ class StreamingIngest:
                  state_partitions: int | None = None,
                  patch_cols: list[str] | None = None,
                  migrate_per_batch: int | None = None,
-                 catalog=None, branch: str | None = None):
+                 catalog=None, branch: str | None = None,
+                 row_lineage: bool = False):
         """``event_schema`` lets a redeployed tail read a WIDENED feed
         schema (new columns added upstream): the file source reads older
         segments missing those columns as nulls, and the merge evolves the
@@ -135,13 +136,15 @@ class StreamingIngest:
         self.bloom_bits_per_key = bloom_bits_per_key
         self.patch_cols = list(patch_cols) if patch_cols else None
         self.branch = branch
+        self.row_lineage = row_lineage
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
                                 collect_metrics=collect_metrics,
                                 write_mode=write_mode,
                                 quarantine_dir=quarantine_dir,
                                 changefeed=changefeed,
                                 bloom_bits_per_key=bloom_bits_per_key,
-                                patch_cols=patch_cols, branch=branch)
+                                patch_cols=patch_cols, branch=branch,
+                                row_lineage=row_lineage)
         self.watermark = watermark
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
@@ -250,7 +253,8 @@ class StreamingIngest:
                 quarantine_dir=self.quarantine_dir,
                 changefeed=self.changefeed,
                 bloom_bits_per_key=self.bloom_bits_per_key,
-                patch_cols=self.patch_cols, branch=self.branch)
+                patch_cols=self.patch_cols, branch=self.branch,
+                row_lineage=self.row_lineage)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             # state_partitions: batch 0's stateful planning (which pinned

@@ -70,7 +70,13 @@ def test_driver_window_holds_all_graded_queries():
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_query_matches_oracle(spark, ddb, name):
     spark_df = ALL[name](spark, SF_DIR).toPandas()
-    oracle_df = ddb.execute(ORACLES[name]).fetchdf()
+    try:
+        oracle_df = ddb.execute(ORACLES[name]).fetchdf()
+    except duckdb.OutOfMemoryException:
+        # this host sporadically fails tiny (2MB) allocations with >100GB
+        # free (see conftest.py for the related static-TLS quirk); one
+        # retry on a fresh cursor of the shared instance clears it
+        oracle_df = conftest.duck_cursor().execute(ORACLES[name]).fetchdf()
     scols, srows = _normalize(spark_df)
     ocols, orows = _normalize(oracle_df)
     assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
