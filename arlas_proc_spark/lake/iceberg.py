@@ -78,6 +78,23 @@ def merge_sql(identifier: str, source_view: str, key_cols: list[str],
         f"THEN INSERT *")
 
 
+def create_branch_ddl(identifier: str, name: str) -> str:
+    """Iceberg branch ref DDL (the bundled backend's analog —
+    LakeTable.create_branch, lake/table.py branches section)."""
+    return f"ALTER TABLE {identifier} CREATE BRANCH `{name}`"
+
+
+def drop_branch_ddl(identifier: str, name: str) -> str:
+    return f"ALTER TABLE {identifier} DROP BRANCH `{name}`"
+
+
+def fast_forward_call(catalog: str, identifier: str, name: str) -> str:
+    """Iceberg's fast_forward procedure: advance main to the branch head
+    (the WAP publish — the bundled backend's LakeTable.fast_forward)."""
+    return (f"CALL {catalog}.system.fast_forward("
+            f"table => '{identifier}', branch => 'main', to => '{name}')")
+
+
 def ledger_property(scope: str) -> str:
     return f"cdc.ledger.watermark.{scope}"
 
@@ -124,17 +141,34 @@ class IcebergTableIO(TableIO):
                     batch_compacted: bool = False,
                     touched_buckets: list[int] | None = None,
                     ledger_scope: str = "default",
+                    branch: str | None = None,
                     extra_metrics: dict | None = None) -> dict:
+        """``branch``: route the MERGE's writes onto an Iceberg branch
+        via the ``spark.wap.branch`` session conf (Iceberg's own WAP
+        mechanism) — main stays frozen until ``fast_forward``. Caveat vs
+        the bundled backend: Iceberg table properties (this ledger) are
+        TABLE-global, not branch-scoped, so a branch merge advances the
+        shared watermark — after ``drop_branch`` a re-merge of the same
+        batch ids onto main would be skipped; re-merge under fresh ids
+        (the bundled LakeTable carries the ledger inside each branch
+        snapshot and has no such caveat)."""
         if self._committed(batch_id, ledger_scope):
             return {"batch_id": str(batch_id), "skipped": True}
         view = f"_cdc_batch_{abs(hash(str(batch_id))) % 10**9}"
         batch.createOrReplaceTempView(view)
-        self.spark.sql(merge_sql(
-            self.identifier, view, self.key_cols, self.seq_col,
-            op_col=op_col, delete_value=delete_value,
-            has_commit="commit" in batch.columns))
+        if branch is not None:
+            self.spark.conf.set("spark.wap.branch", branch)
+        try:
+            self.spark.sql(merge_sql(
+                self.identifier, view, self.key_cols, self.seq_col,
+                op_col=op_col, delete_value=delete_value,
+                has_commit="commit" in batch.columns))
+        finally:
+            if branch is not None:
+                self.spark.conf.unset("spark.wap.branch")
         self._advance(batch_id, ledger_scope)
         return {"batch_id": str(batch_id),
+                **({"branch": branch} if branch else {}),
                 **(extra_metrics or {})}
 
     def append_batch(self, batch: DataFrame, batch_id: int | str, *,
@@ -211,6 +245,31 @@ class IcebergTableIO(TableIO):
         self.spark.sql(
             f"ALTER TABLE {self.identifier} DROP COLUMN {name}")
         return {"dropped": name}
+
+    # --- branches (Iceberg branch refs; bundled analog: LakeTable
+    # create_branch / read_branch / fast_forward / drop_branch) ---------
+    def create_branch(self, name: str,
+                      version: int | None = None) -> dict:
+        ddl = create_branch_ddl(self.identifier, name)
+        if version is not None:
+            ddl += f" AS OF VERSION {int(version)}"
+        self.spark.sql(ddl)
+        return {"branch": name, "parent": version}
+
+    def read_branch(self, name: str) -> DataFrame:
+        # Iceberg serves branch heads through VERSION AS OF by ref name
+        return self.spark.sql(
+            f"SELECT * FROM {self.identifier} VERSION AS OF '{name}'")
+
+    def fast_forward(self, name: str) -> dict:
+        catalog = self.identifier.split(".", 1)[0] \
+            if "." in self.identifier else "spark_catalog"
+        self.spark.sql(fast_forward_call(catalog, self.identifier, name))
+        self.spark.sql(drop_branch_ddl(self.identifier, name))
+        return {"branch": name, "published": True}
+
+    def drop_branch(self, name: str) -> None:
+        self.spark.sql(drop_branch_ddl(self.identifier, name))
 
     def lineage(self) -> list[dict]:
         rows = self.spark.sql(

@@ -4162,7 +4162,9 @@ class LakeTable(TableIO):
 
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(self, *, keep_last: int = 2,
-                         orphan_grace_s: float = 3600.0) -> dict:
+                         orphan_grace_s: float = 3600.0,
+                         older_than_s: float | None = None,
+                         dry_run: bool = False) -> dict:
         """Iceberg ``expire_snapshots`` + ``remove_orphan_files``: drop all
         but the newest ``keep_last`` snapshot manifests and delete data
         files referenced by no retained snapshot (including orphans staged
@@ -4178,7 +4180,18 @@ class LakeTable(TableIO):
         are referenced by no snapshot — a concurrent GC without the grace
         would delete them and the writer would then commit a snapshot
         pointing at missing files (permanent corruption). Only pass 0 when
-        no writer can possibly be running."""
+        no writer can possibly be running.
+
+        ``older_than_s``: AGE-based retention on top of the count — every
+        snapshot committed within the last ``older_than_s`` seconds is
+        ALSO retained (Iceberg's ``expire_snapshots(older_than=...,
+        retain_last=keep_last)`` shape), so "keep 7 days of time travel"
+        composes with "always keep the newest N". Ages come from each
+        snapshot's ``committed_at`` stamp (file mtime for legacy
+        snapshots that predate it).
+
+        ``dry_run=True``: report exactly what a real run would remove —
+        same counts, zero deletions (Delta VACUUM DRY RUN)."""
         now = time.time()
 
         def _expired(path: str) -> bool:
@@ -4186,10 +4199,35 @@ class LakeTable(TableIO):
                 return now - os.path.getmtime(path) >= orphan_grace_s
             except OSError:
                 return False  # vanished mid-walk (concurrent GC/writer)
+
+        def _rm_file(path: str) -> None:
+            if not dry_run:
+                os.remove(path)
+
+        def _rm_tree(path: str) -> None:
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
         names = sorted(f for f in os.listdir(self.meta_dir)
                        if f.startswith("v") and f.endswith(".json"))
         current = self._current_name()
         keep = set(names[-keep_last:]) | {current}
+        if older_than_s is not None:
+            cutoff = now - float(older_than_s)
+            for name in names:
+                full = os.path.join(self.meta_dir, name)
+                stamp = None
+                try:
+                    with open(full) as f:
+                        stamp = json.load(f).get("committed_at")
+                except (OSError, ValueError):
+                    pass
+                if stamp is None:
+                    try:
+                        stamp = os.path.getmtime(full)
+                    except OSError:
+                        continue
+                if float(stamp) > cutoff:
+                    keep.add(name)
         # tagged snapshots are pinned: their manifests (and therefore
         # every file they reference, below) survive until the tag drops
         keep |= {f"v{int(v):010d}.json"
@@ -4244,7 +4282,7 @@ class LakeTable(TableIO):
         dropped_snaps = 0
         for name in names:
             if name not in keep:
-                os.remove(os.path.join(self.meta_dir, name))
+                _rm_file(os.path.join(self.meta_dir, name))
                 dropped_snaps += 1
         # sharded-manifest GC: a manifest referenced by no retained
         # snapshot (expired versions, or a commit loser's orphan) is
@@ -4254,17 +4292,17 @@ class LakeTable(TableIO):
             full = os.path.join(self.meta_dir, fname)
             if fname.startswith("m-") and fname.endswith(".json"):
                 if fname not in referenced_manifests and _expired(full):
-                    os.remove(full)
+                    _rm_file(full)
                     dropped_manifests += 1
             elif fname.startswith(".m-") and ".tmp." in fname \
                     and _expired(full):
-                os.remove(full)
+                _rm_file(full)
                 dropped_manifests += 1
             elif (fname.startswith("wap-") or fname.startswith("branch-")) \
                     and ".json.tmp-" in fname and _expired(full):
                 # crash mid-_stage_wap / mid-_branch_append: the fully-
                 # written-then-linked protocol leaves only this orphan tmp
-                os.remove(full)
+                _rm_file(full)
                 dropped_manifests += 1
         dropped_files = 0
         # data files live under per-commit directories (relative paths in
@@ -4277,12 +4315,13 @@ class LakeTable(TableIO):
                 rel = os.path.relpath(full, self.data_dir)
                 if (rel not in referenced and fname not in referenced
                         and _expired(full)):
-                    os.remove(full)
+                    _rm_file(full)
                     dropped_files += 1
-        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
-            if root != self.data_dir and not os.listdir(root) \
-                    and _expired(root):
-                os.rmdir(root)
+        if not dry_run:
+            for root, _dirs, files in os.walk(self.data_dir, topdown=False):
+                if root != self.data_dir and not os.listdir(root) \
+                        and _expired(root):
+                    os.rmdir(root)
         # lineage GC: files referenced by no retained snapshot (rotated out
         # of the bounded lineage_files list, written by a crashed commit, or
         # staged by a concurrency-losing writer) are orphans — without this
@@ -4293,7 +4332,7 @@ class LakeTable(TableIO):
             for fname in os.listdir(self.lineage_dir):
                 full = os.path.join(self.lineage_dir, fname)
                 if fname not in referenced_lineage and _expired(full):
-                    os.remove(full)
+                    _rm_file(full)
                     dropped_lineage += 1
         # change-feed retention mirrors snapshot retention: each snapshot
         # references exactly its own commit's change files, so expiring a
@@ -4307,7 +4346,7 @@ class LakeTable(TableIO):
                 if fname == ".staged":
                     continue  # staged WAP/branch feeds, swept below
                 if fname not in referenced_changes and _expired(full):
-                    os.remove(full)
+                    _rm_file(full)
                     dropped_changes += 1
         # staged change-file dirs (changes/.staged/<token>/ — WAP stages
         # and branch commits, hidden from raw tailers until publish):
@@ -4318,7 +4357,7 @@ class LakeTable(TableIO):
             for tok in os.listdir(staged_root):
                 full = os.path.join(staged_root, tok)
                 if tok not in referenced_staged and _expired(full):
-                    shutil.rmtree(full, ignore_errors=True)
+                    _rm_tree(full)
                     dropped_changes += 1
         # sketch-sidecar GC: a sidecar whose referenced data files are ALL
         # unreferenced by every retained snapshot is dead metadata (its
@@ -4339,9 +4378,10 @@ class LakeTable(TableIO):
                     refs = None  # unreadable partial write — age out
                 if (refs is None or not (refs & referenced)) \
                         and _expired(d):
-                    shutil.rmtree(d, ignore_errors=True)
+                    _rm_tree(d)
                     dropped_sketches += 1
         return {"snapshots_expired": dropped_snaps,
+                "dry_run": bool(dry_run),
                 "orphan_files_removed": dropped_files,
                 "orphan_manifests_removed": dropped_manifests,
                 "orphan_lineage_removed": dropped_lineage,

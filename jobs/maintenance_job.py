@@ -42,6 +42,15 @@ def main() -> None:
     ap.add_argument("--keep-snapshots", type=int, default=None,
                     help="expire all but the newest K snapshots and "
                          "remove orphan data/lineage/change files")
+    ap.add_argument("--expire-older-than", type=float, default=None,
+                    metavar="SECONDS",
+                    help="age-based retention on top of --keep-snapshots:"
+                         " snapshots committed within this window are "
+                         "also retained (Iceberg expire_snapshots "
+                         "older_than)")
+    ap.add_argument("--expire-dry-run", action="store_true",
+                    help="report what snapshot expiry would remove "
+                         "without deleting anything (VACUUM DRY RUN)")
     ap.add_argument("--orphan-grace", type=float, default=3600.0,
                     help="spare unreferenced files younger than this many "
                          "seconds (an in-flight writer's staged files are "
@@ -225,7 +234,9 @@ def main() -> None:
     if args.keep_snapshots is not None:
         report["expire"] = t.expire_snapshots(
             keep_last=args.keep_snapshots,
-            orphan_grace_s=args.orphan_grace)
+            orphan_grace_s=args.orphan_grace,
+            older_than_s=args.expire_older_than,
+            dry_run=args.expire_dry_run)
     report["version_after"] = t.snapshot()["version"]
     stats = t.bucket_stats()
     rows = [s["rows"] for s in stats] or [0]

@@ -195,6 +195,46 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert t.read(snapshot=old).count() in (3, 4)
 
 
+def test_expire_age_retention_and_dry_run(spark, tmp_path):
+    """older_than_s keeps young snapshots past keep_last (Iceberg's
+    expire_snapshots(older_than, retain_last)); dry_run reports a real
+    run's exact counts without deleting anything (VACUUM DRY RUN)."""
+    import json as _json
+    import time as _time
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2)
+    for i in range(4):
+        t.merge_batch(_batch(spark, [
+            _ev(i, "insert", "r", f"f{i}", f"c{i}", f"v{i}")]), i)
+    meta = t.meta_dir
+    # age the first three snapshots (v0..v2) a day back
+    for v in range(3):
+        p = os.path.join(meta, f"v{v:010d}.json")
+        with open(p) as f:
+            d = _json.load(f)
+        d["committed_at"] = _time.time() - 86400
+        with open(p, "w") as f:
+            _json.dump(d, f)
+    before = sorted(f for f in os.listdir(meta) if f.startswith("v"))
+    dry = t.expire_snapshots(keep_last=1, orphan_grace_s=0,
+                             older_than_s=3600, dry_run=True)
+    assert dry["dry_run"] and dry["snapshots_expired"] == 3  # v0..v2
+    # dry run deleted nothing
+    assert sorted(f for f in os.listdir(meta)
+                  if f.startswith("v")) == before
+    real = t.expire_snapshots(keep_last=1, orphan_grace_s=0,
+                              older_than_s=3600)
+    assert not real["dry_run"]
+    for k in ("snapshots_expired", "orphan_files_removed",
+              "orphan_manifests_removed", "orphan_changes_removed"):
+        assert real[k] == dry[k], k
+    # young v3 survived beyond keep_last=1 and still time-travels
+    assert t.read_version(3).count() == 3
+    with pytest.raises(ValueError, match="not found|expired"):
+        t.snapshot_at(1)
+    assert t.read().count() == 4
+
+
 def test_per_partition_lineage(spark, tmp_path):
     """Every commit records per-bucket lineage (rows + bytes from parquet
     footers) queryable as a DataFrame; totals reconcile with the table and
@@ -413,6 +453,17 @@ def test_tableio_seam(spark, tmp_path):
                           ["repo", "path"], 32)
     assert "PARTITIONED BY (bucket(32, repo, path))" in ddl
     assert "'format-version'='2'" in ddl
+    # branch surface (Iceberg branch refs / WAP publish procedure)
+    from arlas_proc_spark.lake.iceberg import (create_branch_ddl,
+                                               drop_branch_ddl,
+                                               fast_forward_call)
+    assert create_branch_ddl("cat.db.t", "audit") \
+        == "ALTER TABLE cat.db.t CREATE BRANCH `audit`"
+    assert drop_branch_ddl("cat.db.t", "audit") \
+        == "ALTER TABLE cat.db.t DROP BRANCH `audit`"
+    call = fast_forward_call("cat", "cat.db.t", "audit")
+    assert call == ("CALL cat.system.fast_forward(table => 'cat.db.t', "
+                    "branch => 'main', to => 'audit')")
 
 
 def test_engine_accepts_injected_tableio(spark, tmp_path):
