@@ -1275,6 +1275,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "id_a", "id_b")
 
 
+def q_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained quantized-IVF ANN index
+    (cdc/ann_index.py) under the value gate: replay an embedding change
+    feed — bootstrap inserts, a vector-shift update wave, deletes, a
+    stale update that must LOSE the LWW, and a replayed batch id —
+    through ``AnnIndex.update``, then run a top-k query from the STORED
+    index. Must equal ``cosine_topk_ivf_q8`` recomputed from scratch on
+    the corpus's FINAL state with the same frozen centroids (the DuckDB
+    oracle replicates that recompute): the index converges while only
+    ever paying batch-sized assignment+quantization work per update —
+    the corpus-sized float scan and matmul never recur."""
+    from arlas_proc_spark.cdc.ann_index import AnnIndex
+    tmp = _scratch_dir("arlas_annidx_")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.where(F.col("vec_id") % 25 == 0)
+    idx = AnnIndex.create(spark, f"{tmp}/idx", cents, id_col="vec_id",
+                          n_buckets=8)
+
+    def b(df: DataFrame, seq0: int, op: str) -> DataFrame:
+        return df.select(
+            "vec_id", "embedding",
+            (F.col("vec_id") + F.lit(seq0)).cast("long").alias("seq"),
+            F.lit(op).alias("op"))
+
+    idx.update(b(e, 0, "insert"), 0)
+    moved = e.where(F.col("vec_id") % 7 == 0).select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x + F.lit(0.05)).alias("embedding"))
+    idx.update(b(moved, 1_000_000, "update"), 1)
+    dels = e.where(F.col("vec_id") % 11 == 3)
+    idx.update(b(dels, 2_000_000, "delete"), 2)
+    stale = e.where(F.col("vec_id") % 7 == 0).select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x * F.lit(0.0)).alias("embedding"))
+    idx.update(b(stale, -1_000_000, "update"), 3)  # loses LWW everywhere
+    idx.update(b(dels, 2_000_000, "delete"), 2)    # replay: ledger no-op
+    queries = (e.where((F.col("vec_id") < 20) & (F.col("vec_id") % 11 != 3))
+               .select("vec_id", F.when(
+                   F.col("vec_id") % 7 == 0,
+                   F.transform("embedding", lambda x: x + F.lit(0.05)))
+                   .otherwise(F.transform("embedding",
+                                          lambda x: x.cast("double")))
+                   .alias("embedding")))
+    return idx.query(queries, k=3, n_probe=4)
+
+
 def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained MinHash-LSH index (cdc/dedup_index.py)
     under the value gate: replay a 3-batch document change feed —
@@ -1725,6 +1771,11 @@ _EXTRA_QUERIES = [
     "time_partition_counts", "course_summary", "gap_sessions",
     "canonical_docs", "embedding_topk_ivf_q8", "packed_sequences",
     "incremental_contamination",
+    # r4: incremental quantized-IVF ANN index (cdc/ann_index.py) — the
+    # DedupIndex consumer shape applied to vector search; the stored
+    # index's top-k must equal the from-scratch ivf_q8 on the final
+    # state after updates/deletes/stale/replayed batches
+    "incremental_ann_topk",
     # r4: incremental_dedup_pairs SUBSUMES the one-shot minhash_lsh_pairs
     # (same pairs over the final state, PLUS the index maintenance under
     # LWW/delete/replay) — the one-shot moves here, the incremental takes
@@ -1864,6 +1915,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_q8": q_embedding_topk_q8,
         "embedding_topk_ivf_q8": q_embedding_topk_ivf_q8,
+        "incremental_ann_topk": q_incremental_ann_topk,
         "packed_sequences": q_packed_sequences,
         "embedding_ann_bucketed": q_embedding_ann_bucketed,
         "embedding_topk_lsh": q_embedding_topk_lsh,
@@ -3164,6 +3216,60 @@ FROM ({final}) fs JOIN luv l USING (repo, path)
             s AS (SELECT vec_id, ve,
                          list_max(list_transform(ve, x -> abs(x))) AS mx
                   FROM v),
+            qz AS (SELECT vec_id,
+                          CASE WHEN mx > 0 THEN
+                            list_transform(ve, x -> CAST(floor(
+                                x / (mx / 127.0) + 0.5) AS TINYINT))
+                          ELSE list_transform(ve, x -> CAST(0 AS TINYINT))
+                          END AS qv,
+                          CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS qs,
+                          sqrt(list_reduce(list_transform(ve, x -> x * x),
+                                           (a, b) -> a + b)) AS qn
+                   FROM s),
+            clists AS (SELECT nid, cid FROM (
+                         SELECT *, row_number() OVER (PARTITION BY nid
+                             ORDER BY ac DESC, cid ASC) AS r FROM ca) x
+                       WHERE r <= 1),
+            qprobe AS (SELECT nid AS query_id, cid FROM (
+                         SELECT *, row_number() OVER (PARTITION BY nid
+                             ORDER BY ac DESC, cid ASC) AS r
+                         FROM ca WHERE nid < 20) x
+                       WHERE r <= 4),
+            sims AS (SELECT query_id, c.nid AS neighbor_id,
+                            max(round(CASE WHEN qq.qn * cc.qn > 0 THEN
+                                (CAST(list_sum(list_transform(
+                                    generate_series(1, len(qq.qv)),
+                                    i -> CAST(qq.qv[i] AS BIGINT)
+                                         * CAST(cc.qv[i] AS BIGINT)))
+                                    AS DOUBLE) * qq.qs) * cc.qs
+                                / (qq.qn * cc.qn)
+                                ELSE 0.0 END, 3)) AS score
+                     FROM clists c JOIN qprobe q ON c.cid = q.cid
+                     JOIN qz cc ON cc.vec_id = c.nid
+                     JOIN qz qq ON qq.vec_id = q.query_id
+                     WHERE c.nid <> q.query_id
+                     GROUP BY query_id, c.nid)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id ASC) AS rank
+                  FROM sims) x
+            WHERE rank <= 3""",
+        "incremental_ann_topk": """
+            WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                           FROM embeddings WHERE vec_id % 25 = 0),
+            base AS (SELECT vec_id,
+                            CASE WHEN vec_id % 7 = 0 THEN
+                              list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> x + 0.05)
+                            ELSE CAST(embedding AS DOUBLE[]) END AS ve
+                     FROM embeddings WHERE NOT (vec_id % 11 = 3)),
+            ca AS (SELECT b.vec_id AS nid, cid,
+                          round(list_cosine_similarity(
+                              b.ve, CAST(cv AS DOUBLE[])), 6) AS ac
+                   FROM base b CROSS JOIN cents),
+            s AS (SELECT vec_id, ve,
+                         list_max(list_transform(ve, x -> abs(x))) AS mx
+                  FROM base),
             qz AS (SELECT vec_id,
                           CASE WHEN mx > 0 THEN
                             list_transform(ve, x -> CAST(floor(

@@ -1,0 +1,219 @@
+"""AnnIndex — an incrementally-maintained quantized-IVF ANN index over a
+CDC'd embedding corpus.
+
+The one-shot operators (``operators.ann.cosine_topk_ivf_q8``) re-assign
+and re-quantize the ENTIRE corpus on every run — at 100-TB embedding
+sizes the assignment matmul plus the float-vector scan IS the dominant
+cost, and it is pure waste when a batch changes 0.01% of the documents.
+This class keeps the expensive per-document artifacts — the IVF centroid
+assignment and the int8-quantized vector (plus scale and original norm)
+— in a keyed lake table maintained by the same exactly-once MERGE the
+main CDC tables use, so each batch pays:
+
+- the assignment matmul + quantization for the CHANGED vectors only
+  (map-only Arrow kernel, ``operators.ann._ivf_assign_kernel``);
+- one keyed MERGE into the index table (int8 payload: ~1/4 of the float
+  corpus bytes);
+- nothing else — queries then scan the STORED assignments and int8
+  payloads (one narrow column-pruned pass, 4x less IO than the float
+  corpus) and join the broadcast probed query side; the corpus-sized
+  float read and the corpus-sized matmul are gone from the steady state.
+
+Centroids are FROZEN at create time (trained offline via
+``train_ivf_centroids``, or any deterministic sample) and persisted
+beside the table — signatures are only comparable under one centroid
+set, so reopening adopts the stored centroids and parameters, never a
+caller-supplied mismatch (same adoption rule as DedupIndex). Re-training
+is a new index (build it, then swap paths — or publish the rebuild
+through a branch/catalog for atomic cutover).
+
+Deletes retract the document's entry (tombstone), so a deleted doc stops
+appearing in results immediately; updates replace assignment + payload
+via LWW on the batch sequence; replayed batch ids are ledgered no-ops.
+
+Correctness contract (pinned by tests/test_ann_index.py and the
+``incremental_ann_topk`` driver query): after replaying any batch
+sequence, ``query(...)`` equals ``cosine_topk_ivf_q8`` recomputed from
+scratch on the corpus's final state with the same frozen centroids.
+
+Reference analog: the keyed idempotent sink that makes replays converge
+(``/root/reference/src/main/scala/io/arlas/data/sql/WritableDataFrame.scala:83-86``)
+applied to a derived SEARCH artifact — like cdc/dedup_index.py, the
+index is itself a CDC consumer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from arlas_proc_spark.lake.table import LakeTable
+from arlas_proc_spark.operators.ann import (
+    _ivf_assign_kernel,
+    q8_score,
+    quantize_embeddings,
+)
+from arlas_proc_spark.operators.base import require_columns
+
+
+class AnnIndex:
+    """Quantized-IVF index over (id_col, vec_col) embeddings, maintained
+    incrementally from change batches."""
+
+    LEDGER_SCOPE = "ann-index"
+    _PARAMS = "ann_params.json"
+    _CENTROIDS = "ann_centroids.parquet"
+
+    def __init__(self, spark: SparkSession, path: str):
+        params_path = os.path.join(path, self._PARAMS)
+        if not os.path.exists(params_path):
+            raise ValueError(f"no AnnIndex at {path}: create() it first")
+        with open(params_path) as f:
+            p = json.load(f)
+        self.spark = spark
+        self.path = path
+        self.id_col = p["id_col"]
+        self.vec_col = p["vec_col"]
+        self.assign_round = int(p["assign_round"])
+        self.table = LakeTable(spark, os.path.join(path, "table"))
+        crows = sorted(
+            (int(r["cid"]), [float(x) for x in r["cv"]])
+            for r in spark.read.parquet(
+                os.path.join(path, self._CENTROIDS)).collect())
+        if not crows:
+            raise ValueError(f"AnnIndex at {path} has no centroids")
+        self._cids = np.array([c for c, _ in crows], dtype=np.int64)
+        self._cent_mat = np.array([v for _, v in crows], dtype=np.float64)
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str,
+               centroids: DataFrame, *,
+               id_col: str = "doc_id", vec_col: str = "embedding",
+               n_buckets: int = 16, assign_round: int = 6) -> "AnnIndex":
+        """``centroids``: (id_col, vec_col) rows — a
+        ``train_ivf_centroids`` result or any deterministic sample. They
+        are frozen here; the index is only valid under this exact set."""
+        require_columns(centroids, id_col, vec_col)
+        os.makedirs(path, exist_ok=True)
+        # centroids first, then params (the open() gate) — a crash
+        # between the steps leaves no openable half-index; a retried
+        # create overwrites both consistently
+        (centroids.select(F.col(id_col).cast("long").alias("cid"),
+                          F.transform(F.col(vec_col),
+                                      lambda x: x.cast("double"))
+                          .alias("cv"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(path, cls._CENTROIDS)))
+        schema = T.StructType([
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("_cid", T.LongType(), True),
+            T.StructField("q_vec", T.ArrayType(T.ByteType()), True),
+            T.StructField("q_scale", T.DoubleType(), True),
+            T.StructField("q_norm", T.DoubleType(), True),
+            T.StructField("seq", T.LongType(), True),
+        ])
+        LakeTable.create(spark, os.path.join(path, "table"), schema,
+                         [id_col], "seq", n_buckets=n_buckets)
+        params_path = os.path.join(path, cls._PARAMS)
+        tmp = params_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"id_col": id_col, "vec_col": vec_col,
+                       "assign_round": int(assign_round)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, params_path)
+        return cls(spark, path)
+
+    # ------------------------------------------------------------- maintain
+    def update(self, batch: DataFrame, batch_id: int | str, *,
+               op_col: str = "op", seq_col: str = "seq",
+               delete_value: str = "delete",
+               set_properties: dict | None = None) -> dict:
+        """Fold one change batch (id, vec, seq, op — dup delivery and
+        out-of-order allowed) into the index. Cost shape at scale: the
+        assignment matmul + quantization over the BATCH only (map-only
+        Arrow kernel), then one keyed MERGE of an int8 payload. A
+        replayed ``batch_id`` is a ledgered no-op. A null vector on an
+        upsert fails loudly (an unindexable doc must be an explicit
+        delete, never a silent drop)."""
+        require_columns(batch, self.id_col, self.vec_col, seq_col, op_col)
+        idc = self.id_col
+        w = Window.partitionBy(idc).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc(),
+            F.col(self.vec_col).desc_nulls_last())
+        winners = (batch.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1).drop("_rn"))
+        guard = F.when(
+            F.col(self.vec_col).isNotNull(), F.col(idc).cast("long")) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit("null embedding in AnnIndex upsert for id "),
+                F.col(idc).cast("string"))))
+        assign = _ivf_assign_kernel(self._cids, self._cent_mat, 1,
+                                    self.assign_round)
+        ups = (quantize_embeddings(
+                   winners.where(F.col(op_col) != delete_value),
+                   self.vec_col)
+               .select(guard.alias(idc),
+                       F.get(assign(F.col(self.vec_col)), 0).alias("_cid"),
+                       "q_vec", "q_scale", "q_norm", F.col(seq_col),
+                       F.lit("upsert").alias("_op")))
+        dels = winners.where(F.col(op_col) == delete_value).select(
+            F.col(idc).cast("long"),
+            F.lit(None).cast("long").alias("_cid"),
+            F.lit(None).cast("array<byte>").alias("q_vec"),
+            F.lit(None).cast("double").alias("q_scale"),
+            F.lit(None).cast("double").alias("q_norm"),
+            F.col(seq_col), F.lit(delete_value).alias("_op"))
+        return self.table.merge_batch(
+            ups.unionByName(dels), batch_id, op_col="_op",
+            delete_value=delete_value, batch_compacted=True,
+            ledger_scope=self.LEDGER_SCOPE,
+            set_properties=set_properties)
+
+    # --------------------------------------------------------------- query
+    def entries(self) -> DataFrame:
+        """Current live index rows (id, _cid, q_vec, q_scale, q_norm) —
+        equals assign+quantize of the corpus's current state."""
+        return self.table.read().select(self.id_col, "_cid", "q_vec",
+                                        "q_scale", "q_norm")
+
+    def query(self, queries: DataFrame, *, k: int = 3, n_probe: int = 2,
+              round_to: int = 3) -> DataFrame:
+        """Top-k approximate-cosine neighbors from the STORED index:
+        queries are assigned to their ``n_probe`` nearest centroids and
+        quantized (batch-sized work), then joined broadcast against the
+        index scan — the corpus-sized float read and matmul of the
+        one-shot operator never happen. Output equals
+        ``cosine_topk_ivf_q8(final_state, queries, frozen centroids)``
+        (same columns: query_id, rank, neighbor_id, score)."""
+        require_columns(queries, self.id_col, self.vec_col)
+        assign = _ivf_assign_kernel(self._cids, self._cent_mat, n_probe,
+                                    self.assign_round)
+        q = (quantize_embeddings(queries, self.vec_col,
+                                 out_col="_qv", scale_col="_qs",
+                                 norm_col="_qn")
+             .select(F.col(self.id_col).cast("long").alias("query_id"),
+                     "_qv", "_qs", "_qn",
+                     F.explode(assign(F.col(self.vec_col))).alias("_cid")))
+        c = self.entries().select(
+            F.col(self.id_col).alias("neighbor_id"), F.col("_cid"),
+            F.col("q_vec").alias("_cv"), F.col("q_scale").alias("_cs"),
+            F.col("q_norm").alias("_cn"))
+        sims = (c.join(F.broadcast(q), "_cid")
+                .where(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id",
+                        q8_score(round_to).alias("score"))
+                .groupBy("query_id", "neighbor_id")
+                .agg(F.max("score").alias("score")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc())
+        return (sims.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id", "score"))

@@ -152,6 +152,25 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
               .withColumn(norm_col, norm))
 
 
+def q8_score(round_to: int = 3) -> Column:
+    """The quantized cosine score over prefixed columns _qv/_cv (int8
+    vectors), _qs/_cs (scales), _qn/_cn (original norms): the EXACT
+    integer dot (int8 x int8 summed in long) dequantized by both scales
+    and normalized by the carried norms — one expression shared by
+    cosine_topk_quantized, cosine_topk_ivf_q8 and cdc.AnnIndex so the
+    oracle-pinned arithmetic can never drift between them."""
+    int_dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"),
+                   lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    denom = F.col("_qn") * F.col("_cn")
+    return F.round(
+        F.when(denom > 0,
+               (int_dot.cast("double") * F.col("_qs")) * F.col("_cs")
+               / denom).otherwise(F.lit(0.0)),
+        round_to)
+
+
 def cosine_topk_quantized(corpus_q: DataFrame, queries_q: DataFrame,
                           id_col: str, k: int = 3,
                           q_col: str = "q_vec", scale_col: str = "q_scale",
@@ -177,16 +196,7 @@ def cosine_topk_quantized(corpus_q: DataFrame, queries_q: DataFrame,
                         F.col(q_col).alias("_cv"),
                         F.col(scale_col).alias("_cs"),
                         F.col(norm_col).alias("_cn"))
-    int_dot = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_cv"),
-                   lambda a, b: a.cast("long") * b.cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    denom = F.col("_qn") * F.col("_cn")
-    score = F.round(
-        F.when(denom > 0,
-               (int_dot.cast("double") * F.col("_qs")) * F.col("_cs")
-               / denom).otherwise(F.lit(0.0)),
-        round_to)
+    score = q8_score(round_to)
     sims = (c.crossJoin(F.broadcast(q))
             .where(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", score.alias("score")))
@@ -509,16 +519,7 @@ def cosine_topk_ivf_q8(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     c = _prep(corpus, "neighbor_id", "c", 1)
     q = _prep(queries, "query_id", "q", n_probe)
-    int_dot = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_cv"),
-                   lambda a, b: a.cast("long") * b.cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    denom = F.col("_qn") * F.col("_cn")
-    score = F.round(
-        F.when(denom > 0,
-               (int_dot.cast("double") * F.col("_qs")) * F.col("_cs")
-               / denom).otherwise(F.lit(0.0)),
-        round_to)
+    score = q8_score(round_to)
     sims = (c.join(F.broadcast(q), "_cid")
             .where(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", score.alias("score"))
