@@ -5,7 +5,10 @@ from arlas_proc_spark.cdc.engine import (  # noqa: F401
     lww_resolve,
     prepare_events,
 )
-from arlas_proc_spark.cdc.ann_index import AnnIndex  # noqa: F401
+from arlas_proc_spark.cdc.ann_index import (  # noqa: F401
+    AnnIndex,
+    AnnIndexRefresher,
+)
 from arlas_proc_spark.cdc.contamination_monitor import (  # noqa: F401
     ContaminationMonitor,
 )

@@ -80,6 +80,7 @@ class AnnIndex:
         self.spark = spark
         self.path = path
         self.id_col = p["id_col"]
+        self.id_type = p.get("id_type", "long")
         self.vec_col = p["vec_col"]
         self.assign_round = int(p["assign_round"])
         self.table = LakeTable(spark, os.path.join(path, "table"))
@@ -92,15 +93,27 @@ class AnnIndex:
         self._cids = np.array([c for c, _ in crows], dtype=np.int64)
         self._cent_mat = np.array([v for _, v in crows], dtype=np.float64)
 
+    _ID_TYPES = {"long": T.LongType(), "int": T.IntegerType(),
+                 "string": T.StringType()}
+
     @classmethod
     def create(cls, spark: SparkSession, path: str,
                centroids: DataFrame, *,
-               id_col: str = "doc_id", vec_col: str = "embedding",
+               id_col: str = "doc_id", id_type: str = "long",
+               vec_col: str = "embedding",
                n_buckets: int = 16, assign_round: int = 6) -> "AnnIndex":
         """``centroids``: (id_col, vec_col) rows — a
         ``train_ivf_centroids`` result or any deterministic sample. They
         are frozen here; the index is only valid under this exact set."""
         require_columns(centroids, id_col, vec_col)
+        if id_type not in cls._ID_TYPES:
+            raise ValueError(f"id_type must be one of "
+                             f"{sorted(cls._ID_TYPES)}")
+        if centroids.where(F.col(id_col).cast("long").isNull()) \
+                .limit(1).count():
+            raise ValueError(
+                "centroid ids must cast to long — they are internal "
+                "inverted-list labels, independent of the corpus id type")
         os.makedirs(path, exist_ok=True)
         # centroids first, then params (the open() gate) — a crash
         # between the steps leaves no openable half-index; a retried
@@ -112,7 +125,7 @@ class AnnIndex:
          .coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(path, cls._CENTROIDS)))
         schema = T.StructType([
-            T.StructField(id_col, T.LongType(), False),
+            T.StructField(id_col, cls._ID_TYPES[id_type], False),
             T.StructField("_cid", T.LongType(), True),
             T.StructField("q_vec", T.ArrayType(T.ByteType()), True),
             T.StructField("q_scale", T.DoubleType(), True),
@@ -124,7 +137,8 @@ class AnnIndex:
         params_path = os.path.join(path, cls._PARAMS)
         tmp = params_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"id_col": id_col, "vec_col": vec_col,
+            json.dump({"id_col": id_col, "id_type": id_type,
+                       "vec_col": vec_col,
                        "assign_round": int(assign_round)}, f)
             f.flush()
             os.fsync(f.fileno())
@@ -150,8 +164,9 @@ class AnnIndex:
             F.col(self.vec_col).desc_nulls_last())
         winners = (batch.withColumn("_rn", F.row_number().over(w))
                    .where(F.col("_rn") == 1).drop("_rn"))
+        idt = self._ID_TYPES[self.id_type].simpleString()
         guard = F.when(
-            F.col(self.vec_col).isNotNull(), F.col(idc).cast("long")) \
+            F.col(self.vec_col).isNotNull(), F.col(idc).cast(idt)) \
             .otherwise(F.raise_error(F.concat(
                 F.lit("null embedding in AnnIndex upsert for id "),
                 F.col(idc).cast("string"))))
@@ -165,7 +180,7 @@ class AnnIndex:
                        "q_vec", "q_scale", "q_norm", F.col(seq_col),
                        F.lit("upsert").alias("_op")))
         dels = winners.where(F.col(op_col) == delete_value).select(
-            F.col(idc).cast("long"),
+            F.col(idc).cast(idt),
             F.lit(None).cast("long").alias("_cid"),
             F.lit(None).cast("array<byte>").alias("q_vec"),
             F.lit(None).cast("double").alias("q_scale"),
@@ -199,7 +214,7 @@ class AnnIndex:
         q = (quantize_embeddings(queries, self.vec_col,
                                  out_col="_qv", scale_col="_qs",
                                  norm_col="_qn")
-             .select(F.col(self.id_col).cast("long").alias("query_id"),
+             .select(F.col(self.id_col).alias("query_id"),
                      "_qv", "_qs", "_qn",
                      F.explode(assign(F.col(self.vec_col))).alias("_cid")))
         c = self.entries().select(
@@ -217,3 +232,119 @@ class AnnIndex:
         return (sims.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", "rank", "neighbor_id", "score"))
+
+
+class AnnIndexRefresher:
+    """Downstream CDC consumer keeping an :class:`AnnIndex` in sync with
+    a keyed ``LakeTable`` carrying an embedding column — the same
+    consumer shape as ``DedupIndexRefresher``: per refresh it folds the
+    source's NET changes since its cursor (snapshot diff, quiet buckets
+    pruned driver-side) into the index, and the cursor commits
+    ATOMICALLY with the index merge (snapshot property — the IVM
+    pattern), so no crash window can separate "folded" from "advanced".
+    Rides the streaming loop via ``StreamingIngest(views=[...])`` (it
+    exposes the same ``refresh()`` / ``lake_tables()`` duck-type).
+
+    An expired cursor snapshot (refresh lag beyond the source's
+    retention, or a fresh index against a GC'd table) RESEEDS instead of
+    wedging: the live state folds as upserts and index ids absent from
+    it fold as deletes — strictly a full-corpus batch, exactly-once like
+    any other."""
+
+    _CURSOR_PROP = "ann_index_cursor"
+
+    def __init__(self, spark: SparkSession, path: str, source, *,
+                 centroids: DataFrame | None = None,
+                 vec_col: str = "embedding", id_expr: str | None = None,
+                 n_buckets: int = 16, assign_round: int = 6):
+        """``centroids`` is required on FIRST build (it is frozen into
+        the index); reopening adopts the stored set and ignores the
+        argument. ``id_expr``: SQL expression deriving the index doc id
+        from source columns (default: the source key columns joined with
+        '|' — a string id)."""
+        self.spark = spark
+        self.path = path
+        self.source = source
+        self.vec_col = vec_col
+        key_cols = source.snapshot()["key_cols"]
+        self.id_expr = id_expr or \
+            "concat_ws('|', " + ", ".join(key_cols) + ")"
+        self.cursor_path = os.path.join(path, "cursor.json")
+        idx_path = os.path.join(path, "index")
+        if os.path.exists(os.path.join(idx_path, AnnIndex._PARAMS)):
+            self.index = AnnIndex(spark, idx_path)
+        else:
+            if centroids is None:
+                raise ValueError(
+                    "first build needs centroids= (they are frozen into "
+                    "the index; train offline via train_ivf_centroids)")
+            os.makedirs(path, exist_ok=True)
+            # centroid ids are internal list labels — relabel whatever
+            # id column the trainer produced onto the index's own id name
+            cid_col = [c for c in centroids.columns if c != vec_col][0]
+            cent = centroids.select(
+                F.col(cid_col).alias("doc_key"),
+                F.col(vec_col).alias(vec_col))
+            self.index = AnnIndex.create(
+                spark, idx_path, cent, id_col="doc_key",
+                id_type="string", vec_col=vec_col, n_buckets=n_buckets,
+                assign_round=assign_round)
+
+    def cursor(self) -> int:
+        prop = int(self.index.table.snapshot().get("properties", {})
+                   .get(self._CURSOR_PROP, 0))
+        if not os.path.exists(self.cursor_path):
+            return prop
+        with open(self.cursor_path) as f:
+            return max(prop, int(json.load(f)["version"]))
+
+    def _advance_cursor(self, version: int) -> None:
+        tmp = os.path.join(self.path, f".cursor.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self.cursor_path)
+
+    def _cursor_snapshot_available(self, version: int) -> bool:
+        try:
+            self.source.snapshot_at(version)
+            return True
+        except ValueError:
+            return False
+
+    def lake_tables(self) -> list[LakeTable]:
+        """For the streaming loop's catalog publisher."""
+        return [self.index.table]
+
+    def refresh(self) -> dict:
+        src_v = self.source.snapshot()["version"]
+        last = self.cursor()
+        if src_v <= last:
+            return {"skipped": True, "source_version": last}
+        reseed = not self._cursor_snapshot_available(last)
+        vc = self.vec_col
+        if reseed:
+            live = self.source.read().select(
+                F.expr(self.id_expr).alias("doc_key"),
+                F.col(vc).alias(vc),
+                F.lit(src_v).cast("long").alias("seq"),
+                F.lit("upsert").alias("op"))
+            stale = (self.index.entries()
+                     .select(F.col(self.index.id_col).alias("doc_key"))
+                     .join(live.select("doc_key"), "doc_key", "left_anti")
+                     .select(F.col("doc_key"),
+                             F.lit(None).cast("array<float>").alias(vc),
+                             F.lit(src_v).cast("long").alias("seq"),
+                             F.lit("delete").alias("op")))
+            batch = live.unionByName(stale)
+        else:
+            ch = self.source.read_changes(last, src_v)
+            batch = ch.select(
+                F.expr(self.id_expr).alias("doc_key"),
+                F.col(vc).alias(vc),
+                F.lit(src_v).cast("long").alias("seq"),
+                F.when(F.col("change_type") == "delete", F.lit("delete"))
+                 .otherwise(F.lit("upsert")).alias("op"))
+        m = self.index.update(batch, f"src-{src_v}",
+                              set_properties={self._CURSOR_PROP: src_v})
+        self._advance_cursor(src_v)
+        return {"source_version": src_v, "merge": m, "reseeded": reseed}

@@ -115,3 +115,75 @@ def test_null_embedding_upsert_fails_loudly(spark, tmp_path):
 def test_open_missing_index_fails(spark, tmp_path):
     with pytest.raises(ValueError, match="create"):
         AnnIndex(spark, str(tmp_path / "nope"))
+
+
+def test_refresher_tracks_source_and_reseeds(spark, tmp_path):
+    """AnnIndexRefresher: net snapshot-diff folds per refresh, cursor
+    atomic with the merge, replayed refresh no-ops, expired cursor
+    reseeds instead of wedging — and the index always converges to the
+    from-scratch recompute on the source's live state."""
+    from pyspark.sql import types as T
+
+    from arlas_proc_spark.cdc.ann_index import AnnIndexRefresher
+    from arlas_proc_spark.lake.table import LakeTable
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ])
+    src = LakeTable.create(spark, str(tmp_path / "src"), schema,
+                           ["repo", "path"], "seq", n_buckets=2)
+    e = _emb(spark).limit(60)
+
+    def batch(df, seq0, op="insert"):
+        return df.select(
+            F.concat(F.lit("r"), (F.col("vec_id") % 3).cast("string"))
+            .alias("repo"),
+            F.concat(F.lit("f"), F.col("vec_id").cast("string"))
+            .alias("path"),
+            (F.col("vec_id") + F.lit(seq0)).cast("long").alias("seq"),
+            F.col("embedding"), F.lit(op).alias("op"))
+
+    src.merge_batch(batch(e, 0), 0)
+    ref = AnnIndexRefresher(spark, str(tmp_path / "annref"), src,
+                            centroids=_cents(spark), n_buckets=2)
+    got = ref.refresh()
+    assert not got["reseeded"]
+    assert ref.refresh()["skipped"]  # quiet source: no-op
+    # source evolves: delete a slice, move a slice
+    src.merge_batch(batch(e.where(F.col("vec_id") % 5 == 2),
+                          1_000_000, "delete"), 1)
+    moved = e.where(F.col("vec_id") % 4 == 1).select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: (x + F.lit(0.1)).cast("float"))
+        .alias("embedding"))
+    src.merge_batch(batch(moved, 2_000_000, "update"), 2)
+    ref.refresh()
+    # converges to from-scratch on the live source state
+    live = src.read().select(
+        F.concat("repo", F.lit("|"), "path").alias("doc_key"), "embedding")
+    queries = live.limit(8)
+    want = cosine_topk_ivf_q8(
+        live, queries, "doc_key", "embedding",
+        centroids=_cents(spark).select(
+            F.col("vec_id").cast("string").alias("doc_key"), "embedding"),
+        k=3, n_probe=3)
+    got_df = ref.index.query(queries.withColumnRenamed("doc_key", "doc_key"),
+                             k=3, n_probe=3)
+    assert _rows(got_df) == _rows(want)
+    # reseed path: expire the cursor snapshot out from under the refresher
+    src.merge_batch(batch(e.limit(5), 3_000_000, "update"), 3)
+    src.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    out = ref.refresh()
+    assert out["reseeded"]
+    live2 = src.read().select(
+        F.concat("repo", F.lit("|"), "path").alias("doc_key"), "embedding")
+    want2 = cosine_topk_ivf_q8(
+        live2, live2.limit(8), "doc_key", "embedding",
+        centroids=_cents(spark).select(
+            F.col("vec_id").cast("string").alias("doc_key"), "embedding"),
+        k=3, n_probe=3)
+    assert _rows(ref.index.query(live2.limit(8), k=3, n_probe=3)) \
+        == _rows(want2)
