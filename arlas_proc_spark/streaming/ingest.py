@@ -125,7 +125,17 @@ class StreamingIngest:
         setup is registering the tables once; entries for OTHER pipelines
         sharing the catalog are never touched. The txn id is scoped by
         (checkpoint, batch_id) — a replayed micro-batch's flip no-ops via
-        the catalog's own ledger, extending exactly-once to visibility."""
+        the catalog's own ledger, extending exactly-once to visibility.
+        ``branch``: commit every micro-batch (and empty-drain ledger
+        entry) onto this named branch — main's CURRENT never moves until
+        ``fast_forward`` publishes the whole drained ingest atomically
+        (the audit-branch / multi-commit-WAP workflow); incompatible
+        with the main-acting options (mor, compact_every, views,
+        catalog, migrate_per_batch).
+        ``row_lineage``: create the table with Iceberg-v3 row lineage
+        (stable ``_row_id`` + ``_last_updated_version`` per row,
+        ``read(with_row_ids=True)``); ignored for pre-existing tables
+        (the table's own flag governs)."""
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
