@@ -177,7 +177,8 @@ class AnnIndex:
                    self.vec_col)
                .select(guard.alias(idc),
                        F.get(assign(F.col(self.vec_col)), 0).alias("_cid"),
-                       "q_vec", "q_scale", "q_norm", F.col(seq_col),
+                       "q_vec", "q_scale", "q_norm",
+                       F.col(seq_col).cast("long").alias("seq"),
                        F.lit("upsert").alias("_op")))
         dels = winners.where(F.col(op_col) == delete_value).select(
             F.col(idc).cast(idt),
@@ -185,7 +186,8 @@ class AnnIndex:
             F.lit(None).cast("array<byte>").alias("q_vec"),
             F.lit(None).cast("double").alias("q_scale"),
             F.lit(None).cast("double").alias("q_norm"),
-            F.col(seq_col), F.lit(delete_value).alias("_op"))
+            F.col(seq_col).cast("long").alias("seq"),
+            F.lit(delete_value).alias("_op"))
         return self.table.merge_batch(
             ups.unionByName(dels), batch_id, op_col="_op",
             delete_value=delete_value, batch_compacted=True,
@@ -327,7 +329,13 @@ class AnnIndexRefresher:
                 F.expr(self.id_expr).alias("doc_key"),
                 F.col(vc).alias(vc),
                 F.lit(src_v).cast("long").alias("seq"),
-                F.lit("upsert").alias("op"))
+                # a live source row WITHOUT an embedding (not yet
+                # embedded / scrubbed) cannot be indexed: fold it as a
+                # delete — feeding it as an upsert would trip the
+                # index's null-vector guard and wedge every refresh on
+                # the same failing batch id
+                F.when(F.col(vc).isNull(), F.lit("delete"))
+                 .otherwise(F.lit("upsert")).alias("op"))
             stale = (self.index.entries()
                      .select(F.col(self.index.id_col).alias("doc_key"))
                      .join(live.select("doc_key"), "doc_key", "left_anti")
@@ -342,7 +350,9 @@ class AnnIndexRefresher:
                 F.expr(self.id_expr).alias("doc_key"),
                 F.col(vc).alias(vc),
                 F.lit(src_v).cast("long").alias("seq"),
-                F.when(F.col("change_type") == "delete", F.lit("delete"))
+                # null-embedding upserts fold as deletes (see reseed)
+                F.when((F.col("change_type") == "delete")
+                       | F.col(vc).isNull(), F.lit("delete"))
                  .otherwise(F.lit("upsert")).alias("op"))
         m = self.index.update(batch, f"src-{src_v}",
                               set_properties={self._CURSOR_PROP: src_v})

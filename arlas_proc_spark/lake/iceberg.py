@@ -156,7 +156,13 @@ class IcebergTableIO(TableIO):
             return {"batch_id": str(batch_id), "skipped": True}
         view = f"_cdc_batch_{abs(hash(str(batch_id))) % 10**9}"
         batch.createOrReplaceTempView(view)
+        prior = None
         if branch is not None:
+            # save-and-restore, never unset: a user may run Iceberg's
+            # documented session-wide WAP routing (spark.wap.branch set
+            # for the whole session) — blowing it away here would
+            # silently redirect their later writes to main
+            prior = self.spark.conf.get("spark.wap.branch", None)
             self.spark.conf.set("spark.wap.branch", branch)
         try:
             self.spark.sql(merge_sql(
@@ -165,7 +171,10 @@ class IcebergTableIO(TableIO):
                 has_commit="commit" in batch.columns))
         finally:
             if branch is not None:
-                self.spark.conf.unset("spark.wap.branch")
+                if prior is None:
+                    self.spark.conf.unset("spark.wap.branch")
+                else:
+                    self.spark.conf.set("spark.wap.branch", prior)
         self._advance(batch_id, ledger_scope)
         return {"batch_id": str(batch_id),
                 **({"branch": branch} if branch else {}),
@@ -187,11 +196,18 @@ class IcebergTableIO(TableIO):
 
     def commit_empty_batch(self, batch_id: int | str,
                            scope: str = "default",
-                           extra_metrics: dict | None = None) -> dict:
+                           extra_metrics: dict | None = None,
+                           branch: str | None = None) -> dict:
+        # the property ledger is table-global (see merge_batch's branch
+        # caveat), so an empty drain on a branch ingest just advances it
+        # — accepted here so CdcEngine(branch=...) over this backend
+        # survives the empty micro-batch every availableNow drain ends
+        # with, instead of dying on an unexpected kwarg
         if self._committed(batch_id, scope):
             return {"batch_id": str(batch_id), "skipped": True}
         self._advance(batch_id, scope)
         return {"batch_id": str(batch_id), "empty": True,
+                **({"branch": branch} if branch else {}),
                 **(extra_metrics or {})}
 
     def read(self, buckets: list[int] | None = None, *args,

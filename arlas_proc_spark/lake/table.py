@@ -1940,6 +1940,16 @@ class LakeTable(TableIO):
             return {"batch_id": bid, "skipped": True,
                     **cur["ledger"]["metrics"].get(
                         _ledger_key(scope, bid), {})}
+        if cur.get("row_lineage"):
+            # the unknown-key refusal below is NOT enough here: a
+            # metadata-only rival (empty batch, set_tag) leaves
+            # next_row_id untouched, so base == cur passes — but this
+            # rebase would attach files whose first_row_id ranges were
+            # allocated from that counter WITHOUT advancing it, and the
+            # next commit would re-issue the same ids (duplicate
+            # _row_id = broken stable identity). Lineage tables always
+            # repay the full re-merge, which re-reads the counter.
+            return None
         try:
             base = self.snapshot_at(ctx["base_version"])
         except ValueError:
@@ -2937,18 +2947,26 @@ class LakeTable(TableIO):
                     names.append(stem)
         out = {}
         for n in sorted(names):
-            docs = self._load_branch_docs(n)
+            raw = self._load_branch_docs(n)
+            docs = self._data_docs(raw)
             out[n] = {"parent": int(docs[0]["parent"]),
                       "commits": len(docs) - 1,
                       "head_version": int(docs[-1]["version"])
-                      if len(docs) > 1 else int(docs[0]["parent"])}
+                      if len(docs) > 1 else int(docs[0]["parent"]),
+                      **({"sealed": True} if len(raw) > len(docs)
+                         else {})}
         return out
+
+    @staticmethod
+    def _data_docs(docs: list[dict]) -> list[dict]:
+        """Chain docs minus a trailing publish seal (see fast_forward)."""
+        return docs[:-1] if docs and docs[-1].get("sealed") else docs
 
     def _branch_head(self, name: str) -> dict:
         """The branch head as a wrapped in-memory snapshot — the base a
         branch merge computes against (chain head, or the fork base for
-        a commit-less branch)."""
-        docs = self._load_branch_docs(name)
+        a commit-less branch). A publish seal is transparent to reads."""
+        docs = self._data_docs(self._load_branch_docs(name))
         if len(docs) == 1:
             return self.snapshot_at(int(docs[0]["parent"]))
         raw = {k: v for k, v in docs[-1].items() if k != "branch"}
@@ -2958,6 +2976,15 @@ class LakeTable(TableIO):
         """Commit one snapshot onto a branch chain. Appending chain file
         k with an O_EXCL hard-link IS the CAS (see section comment)."""
         docs = self._load_branch_docs(name)
+        if docs and docs[-1].get("sealed"):
+            # fast_forward sealed the chain: the publish is in flight (or
+            # crashed pre-commit — re-running fast_forward resumes it).
+            # Even without this check the link below would lose the race
+            # — the seal occupies the next index — but say why.
+            raise ConcurrentCommitError(
+                f"branch {name!r} is sealed for fast-forward; no further "
+                f"commits can land on it (re-merge onto main after the "
+                f"publish, or onto a new branch)")
         head_v = int(docs[-1]["version"]) if len(docs) > 1 \
             else int(docs[0]["parent"])
         if head_v != base_version:
@@ -3025,17 +3052,49 @@ class LakeTable(TableIO):
         ``read_change_log`` snapshot-diffs the step (NET transitions,
         labeled with the published version), raw change-file tailers
         re-seed."""
-        docs = self._load_branch_docs(name)
+        raw_docs = self._load_branch_docs(name)
+        sealed = bool(raw_docs and raw_docs[-1].get("sealed"))
+        docs = self._data_docs(raw_docs)
         parent = int(docs[0]["parent"])
         if len(docs) == 1:
             self.drop_branch(name)
             return {"branch": name, "published_version": None, "commits": 0}
         cur = self.snapshot()["version"]
         if cur != parent:
+            if sealed and cur == parent + 1 and \
+                    self.snapshot().get("ledger") == docs[-1].get("ledger"):
+                # a previous fast_forward crashed between its successful
+                # publish CAS and the chain drop — finish idempotently
+                self.drop_branch(name)
+                return {"branch": name, "published_version": cur,
+                        "commits": len(docs) - 1}
             raise ConcurrentCommitError(
                 f"branch {name!r} forked at v{parent} but the table is at "
                 f"v{cur}: a commit landed on main since; re-merge the "
                 f"branch's batches or drop the branch")
+        if not sealed:
+            # SEAL the chain before publishing: the O_EXCL link claims
+            # the next chain index, so a concurrent merge_batch(branch=)
+            # that would land AFTER our chain read loses its own link
+            # race — without this, an acknowledged branch commit could
+            # slip in between the read and drop_branch and be silently
+            # deleted with the chain (data loss). A crash after sealing
+            # is recoverable: re-running fast_forward resumes it.
+            target = os.path.join(self.meta_dir,
+                                  self._branch_file(name, len(raw_docs)))
+            tmp = target + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"branch": name, "sealed": True}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"branch {name!r}: a writer appended while the "
+                    f"publish was starting; re-run fast_forward") from None
+            finally:
+                os.unlink(tmp)
         new = {k: v for k, v in docs[-1].items()
                if k not in ("branch", "committed_at")}
         newv = parent + 1
@@ -4247,7 +4306,7 @@ class LakeTable(TableIO):
                     doc = json.load(f)
                 if "version" in doc:
                     branch_snaps.add(fname)
-                else:
+                elif "parent" in doc:  # fork marker (seals carry neither)
                     keep.add(f"v{int(doc['parent']):010d}.json")
         referenced: set[str] = set()
         referenced_lineage: set[str] = set()

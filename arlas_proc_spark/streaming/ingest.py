@@ -145,6 +145,20 @@ class StreamingIngest:
         self.changefeed = changefeed
         self.bloom_bits_per_key = bloom_bits_per_key
         self.patch_cols = list(patch_cols) if patch_cols else None
+        if branch is not None and (compact_every or views or catalog
+                                   or migrate_per_batch):
+            # all four operate on MAIN's committed state — running them
+            # against a stream whose merges land on an unpublished branch
+            # would split-brain the pipeline (compact/migrate would churn
+            # main, views/catalog would publish state main does not have).
+            # Checked BEFORE the engine constructs so a refused
+            # combination leaves no freshly created table behind (the
+            # codebase-wide create-validation rule, see cdc/engine.py)
+            raise ValueError(
+                "branch ingest cannot be combined with compact_every, "
+                "views, catalog or migrate_per_batch — they act on main, "
+                "which a branch ingest never advances; fast_forward the "
+                "branch first")
         self.branch = branch
         self.row_lineage = row_lineage
         self.engine = CdcEngine(spark, table_path, n_buckets=n_buckets,
@@ -159,17 +173,6 @@ class StreamingIngest:
         self.stream_dedup = stream_dedup
         self.event_schema = event_schema or EVENT_SCHEMA
         self.wal_format = wal_format
-        if branch is not None and (compact_every or views or catalog
-                                   or migrate_per_batch):
-            # all four operate on MAIN's committed state — running them
-            # against a stream whose merges land on an unpublished branch
-            # would split-brain the pipeline (compact/migrate would churn
-            # main, views/catalog would publish state main does not have)
-            raise ValueError(
-                "branch ingest cannot be combined with compact_every, "
-                "views, catalog or migrate_per_batch — they act on main, "
-                "which a branch ingest never advances; fast_forward the "
-                "branch first")
         self.compact_every = compact_every
         self.views = list(views or [])
         self.state_partitions = state_partitions

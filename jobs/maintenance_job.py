@@ -231,9 +231,15 @@ def main() -> None:
         report["set_tag"] = t.set_tag(name, int(v) if v else None)
     if args.drop_tag is not None:
         report["drop_tag"] = t.drop_tag(args.drop_tag)
-    if args.keep_snapshots is not None:
+    if args.keep_snapshots is not None \
+            or args.expire_older_than is not None or args.expire_dry_run:
+        # any expiry flag triggers the run — silently ignoring
+        # --expire-older-than / --expire-dry-run without --keep-snapshots
+        # would leave an operator believing snapshots were expired (or a
+        # dry-run report produced) when nothing happened
         report["expire"] = t.expire_snapshots(
-            keep_last=args.keep_snapshots,
+            keep_last=args.keep_snapshots
+            if args.keep_snapshots is not None else 2,
             orphan_grace_s=args.orphan_grace,
             older_than_s=args.expire_older_than,
             dry_run=args.expire_dry_run)

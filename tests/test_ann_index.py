@@ -187,3 +187,55 @@ def test_refresher_tracks_source_and_reseeds(spark, tmp_path):
         k=3, n_probe=3)
     assert _rows(ref.index.query(live2.limit(8), k=3, n_probe=3)) \
         == _rows(want2)
+
+
+def test_update_with_custom_seq_col(spark, tmp_path):
+    idx = _make(spark, tmp_path)
+    batch = _emb(spark).limit(10).select(
+        "vec_id", "embedding",
+        (F.col("vec_id") * 2).cast("long").alias("event_seq"),
+        F.lit("insert").alias("op"))
+    idx.update(batch, 0, seq_col="event_seq")
+    assert idx.entries().count() == 10
+
+
+def test_refresher_folds_null_embeddings_as_deletes(spark, tmp_path):
+    """A source row without an embedding must LEAVE the index (delete),
+    not wedge every refresh on the index's null-vector guard."""
+    from pyspark.sql import types as T
+
+    from arlas_proc_spark.cdc.ann_index import AnnIndexRefresher
+    from arlas_proc_spark.lake.table import LakeTable
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ])
+    src = LakeTable.create(spark, str(tmp_path / "src"), schema,
+                           ["repo", "path"], "seq", n_buckets=2)
+    e = _emb(spark).limit(20)
+    rows = e.select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("f"), F.col("vec_id").cast("string")).alias("path"),
+        F.col("vec_id").cast("long").alias("seq"),
+        "embedding", F.lit("insert").alias("op"))
+    src.merge_batch(rows, 0)
+    ref = AnnIndexRefresher(spark, str(tmp_path / "ref"), src,
+                            centroids=_cents(spark), n_buckets=2)
+    ref.refresh()
+    n0 = ref.index.entries().count()
+    # one doc loses its embedding (scrubbed), another is brand-new
+    # WITHOUT one — neither may wedge the refresh
+    upd = spark.createDataFrame(
+        [("r", "f0", 10_000, None, "update"),
+         ("r", "brand_new", 10_001, None, "insert")],
+        "repo string, path string, seq long,"
+        " embedding array<float>, op string")
+    src.merge_batch(upd, 1)
+    out = ref.refresh()
+    assert not out.get("skipped")
+    keys = {r[0] for r in ref.index.entries()
+            .select(ref.index.id_col).collect()}
+    assert "r|f0" not in keys and "r|brand_new" not in keys
+    assert ref.index.entries().count() == n0 - 1

@@ -356,3 +356,111 @@ def test_branch_from_older_version(spark, tmp_path):
     assert t.read_branch("old").count() == 13
     with pytest.raises(ValueError, match="not found"):
         t.create_branch("ghost", version=v0 + 99)
+
+
+def test_sealed_branch_refuses_appends_and_publish_resumes(spark, tmp_path):
+    """fast_forward seals the chain (O_EXCL sentinel at the next index)
+    before publishing, so an acknowledged branch commit can never slip
+    in between the publish's chain read and the chain drop and be
+    silently deleted. A seal left by a crashed publish is resumable."""
+    import json as _json
+    t = _make(spark, tmp_path)
+    t.create_branch("b")
+    t.merge_batch(_batch(spark, [
+        (100, "insert", "r9", "new.py", "x")]), 1, branch="b")
+    # simulate a crashed publish: the seal exists, CURRENT unmoved
+    seal = os.path.join(t.meta_dir, "branch-b-2.json")
+    with open(seal, "w") as f:
+        _json.dump({"branch": "b", "sealed": True}, f)
+    # reads stay transparent; listing reports the seal
+    assert t.read_branch("b").where("repo = 'r9'").count() == 1
+    assert t.branches()["b"]["sealed"] is True
+    # appends refuse loudly
+    with pytest.raises(ConcurrentCommitError, match="sealed"):
+        t.merge_batch(_batch(spark, [
+            (101, "insert", "r8", "other.py", "y")]), 2, branch="b")
+    # re-running fast_forward resumes the crashed publish
+    got = t.fast_forward("b")
+    assert got["commits"] == 1
+    assert t.read().where("repo = 'r9'").count() == 1
+    assert t.branches() == {}
+
+
+def test_publish_loses_race_to_concurrent_append(spark, tmp_path):
+    """A writer whose append lands BETWEEN the publish's chain read and
+    its seal makes the seal's O_EXCL link fail — fast_forward refuses,
+    the acknowledged append survives, and the retry publishes BOTH
+    commits (without the seal that append would have been silently
+    deleted with the chain)."""
+    import json as _json
+    t = _make(spark, tmp_path)
+    t.create_branch("b")
+    t.merge_batch(_batch(spark, [
+        (100, "insert", "r9", "new.py", "x")]), 1, branch="b")
+    head = t._branch_head("b")
+    rival = dict(t._serialized(head))
+    rival["version"] = head["version"] + 1
+    rival["branch"] = "b"
+    real = t._load_branch_docs
+    fired = {"n": 0}
+
+    def race_once(name):
+        docs = real(name)
+        if name == "b" and fired["n"] == 0:
+            fired["n"] += 1
+            # the rival's append lands right AFTER this read — exactly
+            # the window the seal exists to fence
+            with open(os.path.join(
+                    t.meta_dir, f"branch-b-{len(docs)}.json"), "w") as f:
+                _json.dump(rival, f)
+        return docs
+
+    t._load_branch_docs = race_once
+    try:
+        with pytest.raises(ConcurrentCommitError, match="appended while"):
+            t.fast_forward("b")
+    finally:
+        del t._load_branch_docs
+    # the rival's commit is intact; a retry publishes BOTH
+    assert t.branches()["b"]["commits"] == 2
+    got = t.fast_forward("b")
+    assert got["commits"] == 2
+
+
+def test_rebase_refused_on_row_lineage_tables(spark, tmp_path):
+    """A metadata-only rival (empty batch) leaves next_row_id untouched,
+    so the unknown-key refusal alone would let a rebase attach files
+    whose id ranges were never accounted — lineage tables must always
+    repay the full re-merge."""
+    t = LakeTable.create(spark, str(tmp_path / "lin"), SCHEMA,
+                         ["repo", "path"], "seq", n_buckets=2,
+                         row_lineage=True)
+    t.merge_batch(_batch(spark, [
+        (1, "insert", "r0", "a.py", "v")]), 0)
+    t.commit_empty_batch("rival-empty")
+    # the lineage guard fires before any ctx internals are consulted
+    assert t._try_rebase({"bid": "never-committed",
+                          "ledger_scope": "default"}) is None
+
+
+def test_branch_ingest_refusal_leaves_no_table_behind(spark, tmp_path):
+    """The branch/main-side-effect incompatibility check runs BEFORE the
+    engine constructs, so a refused combination cannot leave a freshly
+    created (flag-frozen) table on disk."""
+    from arlas_proc_spark.streaming.ingest import StreamingIngest
+    path = str(tmp_path / "never")
+    with pytest.raises(ValueError, match="act on main"):
+        StreamingIngest(spark, path, branch="b", compact_every=4)
+    assert not os.path.exists(path)
+
+
+def test_iceberg_backend_accepts_branch_kwargs(spark):
+    """CdcEngine(branch=...) passes branch= to merge_batch AND
+    commit_empty_batch (every availableNow drain ends with an empty
+    batch) — the Iceberg seam must accept both or branch ingest dies on
+    the first empty micro-batch."""
+    import inspect
+
+    from arlas_proc_spark.lake.iceberg import IcebergTableIO
+    for m in (IcebergTableIO.merge_batch, IcebergTableIO.commit_empty_batch):
+        assert "branch" in inspect.signature(m).parameters, m.__name__
