@@ -15,10 +15,14 @@ from __future__ import annotations
 import duckdb
 
 _DUCK = duckdb.connect()
-# force the pools into existence while TLS is still available — both the
-# shared instance's and the module-global default one behind duckdb.sql()
-_DUCK.execute("select sum(range) from range(1000000)").fetchall()
-duckdb.sql("select sum(range) from range(1000000)").fetchall()
+# force the FULL worker pools into existence while TLS is still
+# available — both the shared instance's and the module-global default
+# one behind duckdb.sql(). The range must be big enough to engage every
+# worker thread (a tiny warmup leaves threads unspawned, and a later
+# heavy oracle then tries to spawn them after the heavy native stack
+# has eaten the TLS surplus — the exact failure this file prevents).
+_DUCK.execute("select sum(range) from range(200000000)").fetchall()
+duckdb.sql("select sum(range) from range(200000000)").fetchall()
 
 import pytest  # noqa: E402
 

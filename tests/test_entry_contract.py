@@ -73,10 +73,17 @@ def test_query_matches_oracle(spark, ddb, name):
     try:
         oracle_df = ddb.execute(ORACLES[name]).fetchdf()
     except duckdb.OutOfMemoryException:
-        # this host sporadically fails tiny (2MB) allocations with >100GB
-        # free (see conftest.py for the related static-TLS quirk); one
-        # retry on a fresh cursor of the shared instance clears it
-        oracle_df = conftest.duck_cursor().execute(ORACLES[name]).fetchdf()
+        # this host sporadically fails tiny allocations with >100GB free
+        # (thread-TLS exhaustion, see conftest.py) and the failure sticks
+        # to the shared instance's pool — retry on an ISOLATED
+        # single-threaded connection, which never spawns a worker thread
+        # and so cannot hit the TLS wall
+        con = duckdb.connect(config={"threads": 1})
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        oracle_df = con.execute(ORACLES[name]).fetchdf()
+        con.close()
     scols, srows = _normalize(spark_df)
     ocols, orows = _normalize(oracle_df)
     assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
