@@ -3759,6 +3759,24 @@ class LakeTable(TableIO):
                          "merge_on_read boolean, has_bloom boolean, "
                          "dv_dead long, dv_parts int, external_root string")
 
+    def refs_df(self) -> DataFrame:
+        """Every named ref as a DataFrame (Iceberg's ``table.refs``):
+        main (CURRENT), each tag (name → pinned version), and each
+        branch (fork parent, head version, staged commit count, whether
+        a publish seal is in place). Metadata-only — O(refs) small JSON
+        reads, no data IO."""
+        rows = [("main", "branch", int(self.snapshot()["version"]),
+                 None, None, None)]
+        for name, v in sorted((self.tags() or {}).items()):
+            rows.append((name, "tag", int(v), None, None, None))
+        for name, info in self.branches().items():
+            rows.append((name, "branch", int(info["head_version"]),
+                         int(info["parent"]), int(info["commits"]),
+                         bool(info.get("sealed", False))))
+        return self.spark.createDataFrame(
+            rows, "name string, type string, version long, "
+                  "fork_parent long, staged_commits long, sealed boolean")
+
     def snapshots_df(self) -> DataFrame:
         """Retained snapshot versions as a DataFrame (Iceberg's
         ``table.snapshots`` / ``history``): version, physical totals,

@@ -464,3 +464,22 @@ def test_iceberg_backend_accepts_branch_kwargs(spark):
     from arlas_proc_spark.lake.iceberg import IcebergTableIO
     for m in (IcebergTableIO.merge_batch, IcebergTableIO.commit_empty_batch):
         assert "branch" in inspect.signature(m).parameters, m.__name__
+
+
+def test_refs_df_lists_main_tags_and_branches(spark, tmp_path):
+    """Iceberg's table.refs: one frame over main + tags + branches,
+    metadata-only."""
+    t = _make(spark, tmp_path)
+    pinned = t.snapshot()["version"]
+    t.set_tag("release-1")      # the pin commit itself advances main
+    v0 = t.snapshot()["version"]
+    t.create_branch("b")
+    t.merge_batch(_batch(spark, [
+        (100, "insert", "r9", "new.py", "x")]), 1, branch="b")
+    refs = {r.name: r for r in t.refs_df().collect()}
+    assert refs["main"].type == "branch" and refs["main"].version == v0
+    assert refs["release-1"].type == "tag" \
+        and refs["release-1"].version == pinned
+    b = refs["b"]
+    assert (b.type, b.version, b.fork_parent, b.staged_commits,
+            b.sealed) == ("branch", v0 + 1, v0, 1, False)
