@@ -159,6 +159,15 @@ class AnnIndex:
         delete, never a silent drop)."""
         require_columns(batch, self.id_col, self.vec_col, seq_col, op_col)
         idc = self.id_col
+        # fail-loudly contract: a NULL op would satisfy NEITHER split
+        # predicate below (op != delete and op == delete both evaluate
+        # to NULL) and the row would vanish silently — guard it the same
+        # way the null-vector guard does
+        batch = batch.withColumn(op_col, F.when(
+            F.col(op_col).isNotNull(), F.col(op_col)).otherwise(
+            F.raise_error(F.concat(
+                F.lit("null op in AnnIndex batch for id "),
+                F.col(idc).cast("string")))))
         w = Window.partitionBy(idc).orderBy(
             F.col(seq_col).desc(), F.col(op_col).desc(),
             F.col(self.vec_col).desc_nulls_last())

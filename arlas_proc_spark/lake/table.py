@@ -410,6 +410,18 @@ class LakeTable(TableIO):
         join this mode exists to avoid."""
         if stats_cols is None:
             stats_cols = list(dict.fromkeys(list(key_cols) + [seq_col]))
+        if row_lineage:
+            # same reserved-name guard read() applies to _dv_file/_dv_pos:
+            # a user column named _row_id/_last_updated_version would
+            # collide with the materialized lineage columns at every
+            # merge and with_row_ids read
+            clash = [f.name for f in schema.fields
+                     if f.name in (_ROW_ID, _LUV)]
+            if clash:
+                raise ValueError(
+                    f"schema contains reserved row-lineage column(s) "
+                    f"{clash}: rename them or create without "
+                    f"row_lineage=True")
         t = cls(spark, path)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -770,6 +782,11 @@ class LakeTable(TableIO):
                 raise ValueError(
                     "with_row_ids requires a table created with "
                     "row_lineage=True")
+            clash = [c for c in (_ROW_ID, _LUV)
+                     if c in {f.name for f in table_schema.fields}]
+            if clash:
+                raise ValueError(f"table schema contains reserved "
+                                 f"row-lineage column(s) {clash}")
             out_schema = StructType(list(out_schema.fields) + [
                 StructField(_ROW_ID, LongType(), True),
                 StructField(_LUV, LongType(), True)])
@@ -814,10 +831,13 @@ class LakeTable(TableIO):
             pos_map = self.spark.createDataFrame(
                 [(os.path.abspath(_entry_path(self.data_dir, roots, e)),
                   e["file"],
-                  *((int(e["first_row_id"]),) if with_row_ids else ()))
+                  *((int(e["first_row_id"]),
+                     *(e.get("luv_clamp") or (None, None)))
+                    if with_row_ids else ()))
                  for e in cow_entries + mor_entries],
                 f"_abs string, {_DV_FILE} string"
-                + (", _frid long" if with_row_ids else ""))
+                + (", _frid long, _luv_a long, _luv_t long"
+                   if with_row_ids else ""))
         pos_schema = StructType(list(tomb_schema.fields) + [
             StructField(_DV_FILE, StringType(), True),
             StructField(_DV_POS, LongType(), True)] + ([
@@ -865,10 +885,18 @@ class LakeTable(TableIO):
                                   F.col("_abs")))))
                           .drop("_abs"))
                     if with_row_ids:
+                        # luv_clamp (set by a multi-commit branch squash):
+                        # stamps above the fork base are branch-local
+                        # version numbers — rewrite them to the published
+                        # version so they never alias later main commits
                         df = (df.withColumn(_ROW_ID, F.coalesce(
                                   F.col(_ROW_ID),
                                   F.col("_frid") + F.col(_DV_POS)))
-                              .drop("_frid"))
+                              .withColumn(_LUV, F.when(
+                                  F.col("_luv_a").isNotNull()
+                                  & (F.col(_LUV) > F.col("_luv_a")),
+                                  F.col("_luv_t")).otherwise(F.col(_LUV)))
+                              .drop("_frid", "_luv_a", "_luv_t"))
                 df = _apply_renames(df, int(sv),
                                     snap.get("rename_log", []),
                                     snap.get("drop_log", []))
@@ -1369,6 +1397,16 @@ class LakeTable(TableIO):
             old = self.snapshot_at(version)
             new = dict(old)
             new["version"] = int(cur["version"]) + 1
+            if new.get("row_lineage"):
+                # the id counter must stay MONOTONE across a rollback
+                # (Iceberg v3 keeps next-row-id in table metadata for
+                # exactly this): restoring the old counter would make
+                # post-restore writes re-issue _row_id ranges already
+                # assigned by the undone — but retained and taggable —
+                # versions, so two different rows would share a "stable"
+                # id on the same history line
+                new["next_row_id"] = max(int(old.get("next_row_id", 0)),
+                                         int(cur.get("next_row_id", 0)))
             if cur.get("tags"):
                 new["tags"] = cur["tags"]
             else:
@@ -3098,6 +3136,36 @@ class LakeTable(TableIO):
         new = {k: v for k, v in docs[-1].items()
                if k not in ("branch", "committed_at")}
         newv = parent + 1
+        if len(docs) > 2 and new.get("row_lineage"):
+            # multi-commit squash on a row-lineage table: files written by
+            # chain commits 2..k carry materialized _last_updated_version
+            # stamps at BRANCH-LOCAL versions (parent+2..parent+k), which
+            # future MAIN commits will reuse — an incremental consumer
+            # filtering on _LUV would silently alias them. Same stamp-
+            # collision class log_gap_version handles for the change feed;
+            # the lineage analog is a per-file clamp: tag every
+            # branch-written entry so the lineage read path rewrites any
+            # stamp above the fork base to the published version (a row
+            # updated anywhere on the branch was, from main's history,
+            # updated AT the squash). Rewrites (compaction, later merges)
+            # materialize the clamped value and drop the tag. IO is
+            # O(branch-touched buckets): content addressing means an
+            # untouched bucket's manifest ref equals the fork base's.
+            parent_buckets = self.snapshot()["buckets"]
+            parent_listing = getattr(parent_buckets, "_listing", {})
+            ml = new.get("manifest_list", {})
+            head = _LazyBuckets(self.meta_dir, ml)
+            for b, ref in list(ml.items()):
+                pref = parent_listing.get(b) or {}
+                if ref.get("manifest") and \
+                        ref["manifest"] == pref.get("manifest"):
+                    continue  # bucket untouched by the branch
+                pfiles = {e["file"] for e in parent_buckets.get(b, [])}
+                entries = [dict(e, luv_clamp=[parent, newv])
+                           if e["file"] not in pfiles else e
+                           for e in head[b]]
+                mname, summary = self._manifest_for(entries)
+                ml[b] = {"manifest": mname, **summary}
         new["version"] = newv
         moved: list = []
         if new.get("changefeed"):
@@ -4320,8 +4388,14 @@ class LakeTable(TableIO):
         for fname in os.listdir(self.meta_dir):
             if fname.startswith("branch-") and fname.endswith(".json") \
                     and ".tmp-" not in fname:
-                with open(os.path.join(self.meta_dir, fname)) as f:
-                    doc = json.load(f)
+                try:
+                    with open(os.path.join(self.meta_dir, fname)) as f:
+                        doc = json.load(f)
+                except (OSError, ValueError):
+                    # a concurrent drop_branch removed it mid-listing
+                    # (explicitly supported — _branch_chain_names
+                    # anticipates mid-flight drops); nothing to pin
+                    continue
                 if "version" in doc:
                     branch_snaps.add(fname)
                 elif "parent" in doc:  # fork marker (seals carry neither)
@@ -4332,8 +4406,17 @@ class LakeTable(TableIO):
         referenced_staged: set[str] = set()
         referenced_manifests: set[str] = set()
         for name in keep | waps | branch_snaps:
-            with open(os.path.join(self.meta_dir, name)) as f:
-                snap = self._wrap_snap(json.load(f))
+            try:
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    snap = self._wrap_snap(json.load(f))
+            except OSError:
+                if name in waps or name in branch_snaps:
+                    # publish/abandon/drop_branch raced the GC; its files
+                    # are either committed (pinned via keep) or orphaned
+                    # (collected by a LATER run — this one listed data
+                    # files before the racer's commit landed)
+                    continue
+                raise
             referenced_manifests.update(
                 ref["manifest"] for ref in getattr(
                     snap["buckets"], "_listing", {}).values()

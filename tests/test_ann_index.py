@@ -239,3 +239,14 @@ def test_refresher_folds_null_embeddings_as_deletes(spark, tmp_path):
             .select(ref.index.id_col).collect()}
     assert "r|f0" not in keys and "r|brand_new" not in keys
     assert ref.index.entries().count() == n0 - 1
+
+
+def test_null_op_fails_loudly(spark, tmp_path):
+    """ADVICE r5 (low): a NULL op satisfies neither split predicate and
+    would silently vanish — the documented fail-loudly contract (a null
+    vector raises) demands the same for op."""
+    idx = _make(spark, tmp_path)
+    bad = _as_batch(_emb(spark).limit(3)).withColumn(
+        "op", F.when(F.col("vec_id") == 0, F.lit(None)).otherwise("insert"))
+    with pytest.raises(Exception, match="null op in AnnIndex"):
+        idx.update(bad, 0)

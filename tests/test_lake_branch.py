@@ -483,3 +483,27 @@ def test_refs_df_lists_main_tags_and_branches(spark, tmp_path):
     b = refs["b"]
     assert (b.type, b.version, b.fork_parent, b.staged_commits,
             b.sealed) == ("branch", v0 + 1, v0, 1, False)
+
+
+def test_expire_snapshots_tolerates_concurrent_drop_branch(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r5 (low): a drop_branch racing expire_snapshots removes
+    chain files between the GC's listdir and its open — maintenance must
+    skip the vanished file, not crash mid-run."""
+    t = _make(spark, tmp_path)
+    t.merge_batch(_batch(spark, [
+        (100, "update", "r0", "f0.py", "u")]), 1)
+    import arlas_proc_spark.lake.table as table_mod
+    real_listdir = os.listdir
+
+    def ghost_listdir(p):
+        names = real_listdir(p)
+        if os.path.abspath(p) == os.path.abspath(t.meta_dir):
+            # a branch the racer dropped after our listing
+            names = list(names) + ["branch-ghost-0000000000.json"]
+        return names
+
+    monkeypatch.setattr(table_mod.os, "listdir", ghost_listdir)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_expired"] >= 0
+    assert t.read().count() == 12

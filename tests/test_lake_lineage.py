@@ -170,3 +170,86 @@ def test_time_travel_sees_historic_lineage(spark, tmp_path):
     old = {(r.repo, r.path): (r._row_id, r._last_updated_version)
            for r in t.read(snapshot=snap1, with_row_ids=True).collect()}
     assert old[("r0", "f0.py")][1] == 1  # the historic stamp, not 2
+
+
+def test_multi_commit_squash_clamps_branch_local_stamps(spark, tmp_path):
+    """ADVICE r5 (high): a multi-commit branch squash publishes at
+    parent+1, but files written by chain commits 2..k carry materialized
+    _LUV stamps at branch-local versions parent+2..parent+k — without the
+    squash-time clamp those stamps exceed the table version and alias
+    unrelated FUTURE main commits for incremental consumers filtering on
+    _last_updated_version."""
+    t = _make(spark, tmp_path)
+    before = _lin(t)
+    parent = t.snapshot()["version"]
+    t.create_branch("b")
+    t.merge_batch(_batch(spark, [
+        (100, "update", "r0", "f0.py", "c1")]), 1, branch="b")
+    t.merge_batch(_batch(spark, [
+        (101, "update", "r1", "f1.py", "c2"),
+        (102, "insert", "r9", "new.py", "n")]), 2, branch="b")
+    t.merge_batch(_batch(spark, [
+        (103, "update", "r2", "f2.py", "c3")]), 3, branch="b")
+    res = t.fast_forward("b")
+    pub = res["published_version"]
+    assert pub == parent + 1
+    after = _lin(t)
+    # no stamp may exceed the table version (the bug's signature)
+    assert max(luv for _, luv in after.values()) <= pub
+    # every row the branch touched — in ANY chain commit — stamps at the
+    # published version; untouched rows keep their pre-fork stamp
+    touched = {("r0", "f0.py"), ("r1", "f1.py"), ("r2", "f2.py"),
+               ("r9", "new.py")}
+    for k, (rid, luv) in after.items():
+        assert luv == (pub if k in touched else before[k][1]), (k, luv)
+        if k in before:
+            assert rid == before[k][0], k  # identity still rides through
+    # the NEXT main commit's stamp (parent+2 — a number the branch used
+    # internally) must select exactly its own rows, none of the branch's
+    t.merge_batch(_batch(spark, [
+        (200, "update", "r0", "f3.py", "main")]), 9)
+    v2 = t.snapshot()["version"]
+    incr = {(r.repo, r.path)
+            for r in t.read(with_row_ids=True)
+            .where(F.col("_last_updated_version") == v2).collect()}
+    assert incr == {("r0", "f3.py")}
+    # compaction materializes the clamped values (tag dropped with the
+    # rewrite) — stamps must not change
+    expect = _lin(t)
+    t.compact(max_files_per_bucket=0)
+    assert _lin(t) == expect
+
+
+def test_restore_keeps_row_id_counter_monotone(spark, tmp_path):
+    """ADVICE r5 (medium): restore() must carry next_row_id FORWARD
+    (Iceberg v3 keeps it monotone in table metadata) — rolling it back
+    re-issues _row_id ranges already assigned by the undone-but-retained
+    versions, so two different rows would share a 'stable' id."""
+    t = _make(spark, tmp_path)
+    v1 = t.snapshot()["version"]
+    t.merge_batch(_batch(spark, [
+        (100 + i, "insert", "rx", f"g{i}.py", "x") for i in range(5)]), 1)
+    burned = t.snapshot()["next_row_id"]
+    undone = _lin(t)
+    t.restore(version=v1)
+    assert t.snapshot()["next_row_id"] >= burned
+    t.merge_batch(_batch(spark, [
+        (300, "insert", "ry", "h.py", "y")]), 2)
+    new_id = _lin(t)[("ry", "h.py")][0]
+    # the undone rows are STILL readable via time travel — the new row's
+    # id must not collide with any id they hold
+    assert new_id not in {rid for rid, _ in undone.values()}
+
+
+def test_create_refuses_reserved_lineage_columns(spark, tmp_path):
+    """ADVICE r5 (low): create(row_lineage=True) refuses a user schema
+    already holding _row_id/_last_updated_version (same clash guard
+    read() applies to the dv position columns)."""
+    bad = T.StructType(list(SCHEMA.fields) +
+                       [T.StructField("_row_id", T.LongType(), True)])
+    with pytest.raises(ValueError, match="reserved row-lineage"):
+        LakeTable.create(spark, str(tmp_path / "bad"), bad,
+                         ["repo", "path"], "seq", row_lineage=True)
+    # without lineage the name is just a column — allowed
+    LakeTable.create(spark, str(tmp_path / "ok"), bad,
+                     ["repo", "path"], "seq")
