@@ -3,3 +3,4 @@ from arlas_proc_spark.lake.schema_evolution import SchemaEvolutionError  # noqa:
 from arlas_proc_spark.lake.table import ConcurrentCommitError, LakeTable  # noqa: F401
 from arlas_proc_spark.lake.ivm import IncrementalAggView  # noqa: F401
 from arlas_proc_spark.lake.catalog import Catalog  # noqa: F401
+from arlas_proc_spark.lake.cas import CasConflict, CommitCAS, PosixCAS  # noqa: F401

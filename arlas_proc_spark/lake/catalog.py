@@ -45,10 +45,10 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from arlas_proc_spark.lake.cas import DEFAULT_CAS, CasConflict, CommitCAS
 from arlas_proc_spark.lake.table import ConcurrentCommitError, LakeTable
 
 _LEDGER_KEEP = 256
@@ -57,17 +57,21 @@ _LEDGER_KEEP = 256
 class Catalog:
     """See module docstring. All mutating calls are CAS commits; callers
     hitting ``ConcurrentCommitError`` re-read and retry (same contract
-    as ``LakeTable``)."""
+    as ``LakeTable``). The commit primitive is the injectable
+    ``CommitCAS`` seam (lake/cas.py) — same as the tables'."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 cas: CommitCAS | None = None):
         self.spark = spark
         self.path = path
         self.meta_dir = os.path.join(path, "meta")
+        self.cas = cas if cas is not None else DEFAULT_CAS
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
-    def create(cls, spark: SparkSession, path: str) -> "Catalog":
-        c = cls(spark, path)
+    def create(cls, spark: SparkSession, path: str,
+               cas: CommitCAS | None = None) -> "Catalog":
+        c = cls(spark, path, cas=cas)
         os.makedirs(c.meta_dir, exist_ok=True)
         c._commit({"version": 0, "tables": {},
                    "ledger": {"recent": []}}, expected_version=None)
@@ -79,8 +83,7 @@ class Catalog:
 
     # ------------------------------------------------------------- snapshot
     def _current_name(self) -> str:
-        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
-            return f.read().strip()
+        return self.cas.read_pointer(os.path.join(self.meta_dir, "CURRENT"))
 
     def snapshot(self) -> dict:
         with open(os.path.join(self.meta_dir, self._current_name())) as f:
@@ -102,33 +105,21 @@ class Catalog:
         name = f"c{snap['version']:010d}.json"
         target = os.path.join(self.meta_dir, name)
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+            self.cas.create_exclusive(target, json.dumps(snap))
+        except CasConflict:
             raise ConcurrentCommitError(
                 f"catalog snapshot {name} already exists: another writer "
                 f"committed this version; re-read and retry") from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        if expected_version is not None:
-            cur = self._current_name()
-            if cur != f"c{expected_version:010d}.json":
-                os.remove(target)
-                raise ConcurrentCommitError(
-                    f"expected CURRENT=c{expected_version}, found {cur}: "
-                    f"another writer committed; re-read and retry")
-        tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))
-        dfd = os.open(self.meta_dir, os.O_RDONLY)
         try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+            self.cas.swing_pointer(
+                os.path.join(self.meta_dir, "CURRENT"), name,
+                expected=(f"c{expected_version:010d}.json"
+                          if expected_version is not None else None))
+        except CasConflict as e:
+            self.cas.remove(target)
+            raise ConcurrentCommitError(
+                f"expected CURRENT=c{expected_version}, found {e.found}: "
+                f"another writer committed; re-read and retry") from None
 
     # ------------------------------------------------------------- registry
     def register(self, name: str, table_path: str,

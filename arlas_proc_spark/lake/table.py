@@ -57,6 +57,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from arlas_proc_spark.lake.cas import DEFAULT_CAS, CasConflict, CommitCAS
 from arlas_proc_spark.lake.io import TableIO
 from arlas_proc_spark.lake.schema_evolution import align_to_schema, evolve_schema
 
@@ -325,7 +326,8 @@ class LakeTable(TableIO):
     ``TableIO`` backend (Plan B; ``lake/iceberg.py`` is the real-runtime
     Plan A). All reads are lazy DataFrames."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 cas: "CommitCAS | None" = None):
         self.spark = spark
         self.path = path
         self.meta_dir = os.path.join(path, "meta")
@@ -333,6 +335,12 @@ class LakeTable(TableIO):
         self.lineage_dir = os.path.join(path, "lineage")
         self.changes_dir = os.path.join(path, "changes")
         self.stats_dir = os.path.join(path, "stats")
+        # the injectable commit primitive (lake/cas.py): every atomicity
+        # decision — snapshot CAS, WAP stage/publish, branch chain, seal
+        # — routes through it. Default = posix; an object-store
+        # deployment injects conditional-PUT semantics here. All handles
+        # on one table must share an equivalent implementation.
+        self.cas = cas if cas is not None else DEFAULT_CAS
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -342,7 +350,8 @@ class LakeTable(TableIO):
                stats_cols: list[str] | None = None,
                bloom_bits_per_key: int = 0,
                sketch_cols: list[str] | None = None,
-               row_lineage: bool = False) -> "LakeTable":
+               row_lineage: bool = False,
+               cas: "CommitCAS | None" = None) -> "LakeTable":
         """``changefeed=True`` (Delta's delta.enableChangeDataFeed): every
         ``merge_batch`` ALSO writes its change rows (insert /
         update_preimage / update_postimage / delete) as a per-commit file,
@@ -422,7 +431,7 @@ class LakeTable(TableIO):
                     f"schema contains reserved row-lineage column(s) "
                     f"{clash}: rename them or create without "
                     f"row_lineage=True")
-        t = cls(spark, path)
+        t = cls(spark, path, cas=cas)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         snap = {
@@ -563,8 +572,7 @@ class LakeTable(TableIO):
 
     # ------------------------------------------------------------- snapshots
     def _current_name(self) -> str:
-        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
-            return f.read().strip()
+        return self.cas.read_pointer(os.path.join(self.meta_dir, "CURRENT"))
 
     def snapshot(self) -> dict:
         with open(os.path.join(self.meta_dir, self._current_name())) as f:
@@ -663,36 +671,24 @@ class LakeTable(TableIO):
         name = f"v{snap['version']:010d}.json"
         target = os.path.join(self.meta_dir, name)
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+            self.cas.create_exclusive(target, json.dumps(snap))
+        except CasConflict:
             # the common conflict ordering: a competitor FULLY committed this
             # version before we got here — same retryable situation as the
             # CURRENT-moved check below, so surface it as the same error
             raise ConcurrentCommitError(
                 f"snapshot {name} already exists: another writer committed "
                 f"this version; re-read and retry") from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        if expected_version is not None:
-            cur = self._current_name()
-            if cur != f"v{expected_version:010d}.json":
-                os.remove(target)
-                raise ConcurrentCommitError(
-                    f"expected CURRENT=v{expected_version}, found {cur}: "
-                    f"another writer committed; re-read and retry")
-        tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))
-        dfd = os.open(self.meta_dir, os.O_RDONLY)
         try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+            self.cas.swing_pointer(
+                os.path.join(self.meta_dir, "CURRENT"), name,
+                expected=(f"v{expected_version:010d}.json"
+                          if expected_version is not None else None))
+        except CasConflict as e:
+            self.cas.remove(target)
+            raise ConcurrentCommitError(
+                f"expected CURRENT=v{expected_version}, found {e.found}: "
+                f"another writer committed; re-read and retry") from None
 
     @property
     def schema(self) -> StructType:
@@ -2810,24 +2806,16 @@ class LakeTable(TableIO):
         raw = self._serialized(snap)
         raw["wap_parent"] = int(parent)
         target = os.path.join(self.meta_dir, self._wap_name(wap_id))
-        # fully write + fsync a tmp file, then hard-link it into place:
-        # link is atomic AND exclusive (EEXIST if the id is already
-        # staged), so a crash mid-write leaves only an orphan tmp — never
-        # a truncated wap-<id>.json that would wedge expire_snapshots'
-        # staged-snapshot scan and block restaging the id
-        tmp = target + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(raw, f)
-            f.flush()
-            os.fsync(f.fileno())
+        # exclusive create (CommitCAS): the id can only be staged once,
+        # and a crash mid-write can never leave a truncated wap-<id>.json
+        # that would wedge expire_snapshots' staged-snapshot scan and
+        # block restaging the id
         try:
-            os.link(tmp, target)
-        except FileExistsError:
+            self.cas.create_exclusive(target, json.dumps(raw))
+        except CasConflict:
             raise ConcurrentCommitError(
                 f"wap id {wap_id!r} is already staged; publish or abandon "
                 f"it first") from None
-        finally:
-            os.unlink(tmp)
 
     def _load_wap(self, wap_id: str) -> dict:
         p = os.path.join(self.meta_dir, self._wap_name(wap_id))
@@ -2960,17 +2948,10 @@ class LakeTable(TableIO):
         doc = {"branch": name, "parent": int(v),
                "created_at": round(time.time(), 6)}
         target = os.path.join(self.meta_dir, self._branch_file(name, 0))
-        tmp = target + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, target)
-        except FileExistsError:
+            self.cas.create_exclusive(target, json.dumps(doc))
+        except CasConflict:
             raise ValueError(f"branch {name!r} already exists") from None
-        finally:
-            os.unlink(tmp)
         return {"branch": name, "parent": int(v)}
 
     def branches(self) -> dict[str, dict]:
@@ -3035,19 +3016,12 @@ class LakeTable(TableIO):
         raw["committed_at"] = round(time.time(), 6)
         target = os.path.join(self.meta_dir,
                               self._branch_file(name, len(docs)))
-        tmp = target + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(raw, f)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, target)
-        except FileExistsError:
+            self.cas.create_exclusive(target, json.dumps(raw))
+        except CasConflict:
             raise ConcurrentCommitError(
                 f"branch {name!r}: a concurrent writer appended chain "
                 f"entry {len(docs)}; re-read and retry") from None
-        finally:
-            os.unlink(tmp)
 
     def read_branch(self, name: str, **kwargs) -> DataFrame:
         """The branch head's table state — same read path as the
@@ -3120,19 +3094,13 @@ class LakeTable(TableIO):
             # is recoverable: re-running fast_forward resumes it.
             target = os.path.join(self.meta_dir,
                                   self._branch_file(name, len(raw_docs)))
-            tmp = target + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump({"branch": name, "sealed": True}, f)
-                f.flush()
-                os.fsync(f.fileno())
             try:
-                os.link(tmp, target)
-            except FileExistsError:
+                self.cas.create_exclusive(
+                    target, json.dumps({"branch": name, "sealed": True}))
+            except CasConflict:
                 raise ConcurrentCommitError(
                     f"branch {name!r}: a writer appended while the "
                     f"publish was starting; re-run fast_forward") from None
-            finally:
-                os.unlink(tmp)
         new = {k: v for k, v in docs[-1].items()
                if k not in ("branch", "committed_at")}
         newv = parent + 1
