@@ -336,6 +336,37 @@ def q_cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_last_updated_version").alias("last_changed_v")))
 
 
+def q_cdc_branch_lineage_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch ingest × row lineage COMPOSED into one graded row (r5
+    window promotion): batch 0 lands on main (v1) of a
+    row_lineage=True table; batches 1 and 2 land on a named branch —
+    a MULTI-commit chain, so the squash must clamp the branch-local
+    _last_updated_version stamps to the published version (v2) or
+    they would alias the later main commit; fast_forward publishes
+    atomically (chain ledger travels, redelivered branch batch
+    no-ops); batch 3 lands on main (v3). Returns the final state with
+    each key's _last_updated_version, which the DuckDB oracle
+    recomputes as the last PUBLISHED version whose events moved the
+    stored winner — batches 1 and 2 both map to the squash's v2."""
+    tmp = _scratch_dir("arlas_brlin_")
+    engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                       collect_metrics=False, row_lineage=True)
+    feed = changefeed_df(spark, N_FEED)
+    engine.apply_batch(feed.where(feed.seq % 4 == 0), 0)
+    t = engine.table
+    t.create_branch("audit")
+    branch_eng = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
+                           collect_metrics=False, branch="audit")
+    branch_eng.apply_batch(feed.where(feed.seq % 4 == 1), 1)
+    branch_eng.apply_batch(feed.where(feed.seq % 4 == 2), 2)
+    t.fast_forward("audit")
+    engine.apply_batch(feed.where(feed.seq % 4 == 1), 1)  # ledger no-op
+    engine.apply_batch(feed.where(feed.seq % 4 == 3), 3)
+    return (t.read(with_row_ids=True)
+            .select("repo", "path", "seq", "content_sha256",
+                    F.col("_last_updated_version").alias("last_changed_v")))
+
+
 def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-rebucket path under the graded contract: replay the
     feed in three cow batches while a bucket-count migration (8 → 5,
@@ -587,6 +618,42 @@ def q_cdc_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "lang", "content")
 
 
+def q_cdc_dv_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors × sparse updates COMPOSED into one graded row
+    (r5 window promotion): the same null-cadence sparse feed as
+    cdc_patch_replay replayed through merge_batch(patch_cols=...,
+    dv=True) — per-column inheritance resolves in the merge while only
+    the CHANGED rows are written and superseded rows are masked by
+    (file, position) — with a mid-replay compact() folding the masks
+    back to clean files. The final state must equal the SAME global
+    event-level patch fold as the cow patch replay: the physical
+    layout (dv masks, compaction) is invisible to the value gate."""
+    from arlas_proc_spark.lake.table import LakeTable
+    tmp = _scratch_dir("arlas_dvpatch_")
+    feed = changefeed_df(spark, N_FEED)
+    sparse = (feed
+              .withColumn("lang", F.when(
+                  (F.col("op") == "update") & (F.col("seq") % 3 == 0),
+                  F.lit(None).cast("string")).otherwise(F.col("lang")))
+              .withColumn("content", F.when(
+                  (F.col("op") == "update") & (F.col("seq") % 5 == 0),
+                  F.lit(None).cast("string")).otherwise(F.col("content"))))
+    t = LakeTable.create(spark, f"{tmp}/table",
+                         sparse.drop("op").schema, ["repo", "path"],
+                         "seq", n_buckets=8)
+    q = N_FEED // 4
+    for i in range(4):
+        lo, hi = i * q, (i + 1) * q if i < 3 else N_FEED
+        t.merge_batch(
+            sparse.where((F.col("seq") >= lo) & (F.col("seq") < hi)),
+            i, patch_cols=["lang", "content"], collect_metrics=False,
+            dv=True)
+        if i == 1:
+            t.compact(dv_dead_ratio=0.0001)
+    return t.read().select("repo", "path", "commit", "seq", "ts_s",
+                           "lang", "content")
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change feed OUT of the lake (the downstream half of the
     CDC loop): apply the feed in two batches, then read the
@@ -806,6 +873,26 @@ def q_duration_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dur.groupBy("user_id").agg(
         F.round(weighted_avg("value", "dur"), 6).alias("w_avg_value"),
         F.sum("dur").alias("total_dur"))
+
+
+def q_user_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4/A8 composed into ONE grouped frame (r5 window
+    consolidation): per user the deterministic mode event type
+    (top-1-by-count, A8) plus the duration-weighted mean value and
+    total duration over positive inter-event gaps (A3/A4) — the two
+    same-shaped graded rows folded into one; the originals stay
+    oracle-checked in extras. Users without a positive gap keep their
+    mode with null weighted stats (left join)."""
+    ev = _events(spark, sf_dir)
+    mode = top1_by_count(ev, "user_id", "event_type",
+                         out_col="mode_event_type")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    dur = ev.withColumn("dur", F.col("es") - F.lag("es", 1).over(w)) \
+            .where(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    wavg = dur.groupBy("user_id").agg(
+        F.round(weighted_avg("value", "dur"), 6).alias("w_avg_value"),
+        F.sum("dur").alias("total_dur"))
+    return mode.join(wavg, "user_id", "left")
 
 
 def q_time_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1756,7 +1843,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # text_stats; time_partition_counts' day-part derivation is graded in
 # period_filter and its agg in salted_event_stats; course_summary's
 # pipeline is graded via course_states; gap_sessions' window ops are
-# graded via session_spans/span_stats) moved here — still oracle-checked
+# graded via span_stats) moved here — still oracle-checked
 # every run — freeing graded slots for cdc_point_lookup, asof_enrich,
 # scd2_history, contamination, pretrain_corpus, sample_stratified_docs.
 _EXTRA_QUERIES = [
@@ -1805,10 +1892,16 @@ _EXTRA_QUERIES = [
     # r4: shallow clone + retention delete_where on the clone, vs the
     # converged oracle minus the predicate's victims
     "cdc_clone_retention",
-    # r4: raw Debezium envelope boundary — decode (map-only from_json) +
-    # dead-letter classification + replay of the decoded rows; DuckDB
-    # re-parses the identical envelope corpus with its JSON functions
-    "cdc_debezium_replay", "debezium_dlq",
+    # r5: cdc_debezium_replay PROMOTED to the graded window (the inbound
+    # decode half); the dead-letter rollup stays here
+    "debezium_dlq",
+    # r5 window consolidation: mode_event_type + duration_weighted_value
+    # (same grouped shape) fold into the graded user_event_rollup;
+    # session_spans ⊂ span_stats (same sessionize window, W5/A9 stay
+    # graded there); support_values' tempo layer keeps its graded
+    # representative in tempo_summary. All four stay oracle-checked here.
+    "mode_event_type", "duration_weighted_value", "session_spans",
+    "support_values",
     # r4: outbound Debezium relay — the lake as CDC producer: change feed
     # rendered as envelopes, decoded back, compacted by source.txid, and
     # merged into a replica whose state must equal the converged oracle
@@ -1846,6 +1939,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_branch_replay": q_cdc_branch_replay,
         "cdc_row_lineage": q_cdc_row_lineage,
+        "cdc_branch_lineage_replay": q_cdc_branch_lineage_replay,
+        "cdc_dv_patch_replay": q_cdc_dv_patch_replay,
         "cdc_rebucket_replay": q_cdc_rebucket_replay,
         "cdc_clone_retention": q_cdc_clone_retention,
         "zorder_scan": q_zorder_scan,
@@ -1871,6 +1966,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fragment_summary": q_fragment_summary,
         "mode_event_type": q_mode_event_type,
         "duration_weighted_value": q_duration_weighted_value,
+        "user_event_rollup": q_user_event_rollup,
         "time_partition_counts": q_time_partition_counts,
         "salted_event_stats": q_salted_event_stats,
         "resample_buckets": q_resample_buckets,
@@ -2347,6 +2443,30 @@ SELECT fs.repo, fs.path, fs.seq, fs.content_sha256,
        CAST(l.last_changed_v AS BIGINT) AS last_changed_v
 FROM ({final}) fs JOIN luv l USING (repo, path)
 """,
+        "cdc_branch_lineage_replay": f"""
+WITH f AS ({feed}),
+e AS (SELECT *, CASE WHEN seq % 4 = 0 THEN 1
+                     WHEN seq % 4 IN (1, 2) THEN 2
+                     ELSE 3 END AS bv FROM f),
+x AS (SELECT u.upto, e.* FROM (VALUES (1), (2), (3)) u(upto)
+      JOIN e ON e.bv <= u.upto),
+w AS (SELECT upto, repo, path, max(ROW(seq, commit)) AS r
+      FROM x GROUP BY upto, repo, path),
+p AS (SELECT repo, path,
+             max(CASE WHEN upto = 1 THEN r END) AS r1,
+             max(CASE WHEN upto = 2 THEN r END) AS r2,
+             max(CASE WHEN upto = 3 THEN r END) AS r3
+      FROM w GROUP BY repo, path),
+luv AS (SELECT repo, path,
+               CASE WHEN r2 IS NULL OR r3 <> r2 THEN 3
+                    WHEN r1 IS NULL OR r2 <> r1 THEN 2
+                    ELSE 1 END AS last_changed_v
+        FROM p)
+SELECT fs.repo, fs.path, fs.seq, fs.content_sha256,
+       CAST(l.last_changed_v AS BIGINT) AS last_changed_v
+FROM ({final}) fs JOIN luv l USING (repo, path)
+""",
+        "cdc_dv_patch_replay": _patch_replay_oracle_sql(),
         "cdc_rebucket_replay": final,
         "cdc_clone_retention": (
             f"SELECT repo, path, commit, seq, ts_s, lang, content, "
@@ -2515,6 +2635,27 @@ FROM ({final}) fs JOIN luv l USING (repo, path)
             SELECT user_id, round(SUM(value * dur) / SUM(dur), 6) AS w_avg_value,
                    CAST(SUM(dur) AS BIGINT) AS total_dur
             FROM d WHERE dur IS NOT NULL AND dur > 0 GROUP BY user_id""",
+        "user_event_rollup": f"""
+            WITH ev AS (SELECT * FROM {_EV}),
+            m AS (SELECT user_id, event_type AS mode_event_type
+                  FROM (SELECT user_id, event_type,
+                               row_number() OVER (PARTITION BY user_id
+                                   ORDER BY COUNT(*) DESC, event_type DESC)
+                                   AS rn
+                        FROM ev GROUP BY user_id, event_type) x
+                  WHERE rn = 1),
+            d AS (SELECT user_id, value,
+                         es - lag(es) OVER (PARTITION BY user_id
+                                            ORDER BY es, event_id) AS dur
+                  FROM ev),
+            wv AS (SELECT user_id,
+                          round(SUM(value * dur) / SUM(dur), 6)
+                              AS w_avg_value,
+                          CAST(SUM(dur) AS BIGINT) AS total_dur
+                   FROM d WHERE dur IS NOT NULL AND dur > 0
+                   GROUP BY user_id)
+            SELECT m.user_id, mode_event_type, w_avg_value, total_dur
+            FROM m LEFT JOIN wv USING (user_id)""",
         "time_partition_counts": """
             SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS partition_day,
                    COUNT(*) AS n, round(SUM(value), 4) AS sum_value
