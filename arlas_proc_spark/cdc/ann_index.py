@@ -156,7 +156,22 @@ class AnnIndex:
         Arrow kernel), then one keyed MERGE of an int8 payload. A
         replayed ``batch_id`` is a ledgered no-op. A null vector on an
         upsert fails loudly (an unindexable doc must be an explicit
-        delete, never a silent drop)."""
+        delete, never a silent drop).
+
+        DRIFT MONITOR: frozen centroids decay silently on a drifting
+        corpus — recall drops with no error anywhere. Each update also
+        measures the batch's mean TOP-1 assignment cosine (how well the
+        frozen set still covers the incoming vectors; one extra
+        batch-sized map+agg, O(batch) never O(corpus)) and commits it
+        ATOMICALLY with the merge into the index table's properties:
+        ``ann_drift_baseline_sim`` (first upsert batch — the training-
+        era coverage), ``ann_drift_last_sim`` / ``ann_drift_last_n``
+        (this batch). ``drift()`` reads them back and trips when
+        coverage fell more than a threshold below baseline; the
+        remediation is a REBUILD with re-trained centroids published
+        atomically via a catalog re-pin (the cutover drill in
+        tests/test_ann_index.py::test_drift_monitor_trips_and_rebuild
+        _cutover, recall-vs-drift numbers in its docstring)."""
         require_columns(batch, self.id_col, self.vec_col, seq_col, op_col)
         idc = self.id_col
         # fail-loudly contract: a NULL op would satisfy NEITHER split
@@ -181,9 +196,23 @@ class AnnIndex:
                 F.col(idc).cast("string"))))
         assign = _ivf_assign_kernel(self._cids, self._cent_mat, 1,
                                     self.assign_round)
-        ups = (quantize_embeddings(
-                   winners.where(F.col(op_col) != delete_value),
-                   self.vec_col)
+        upserts = winners.where(F.col(op_col) != delete_value)
+        props = dict(set_properties or {})
+        sim_kernel = _ivf_assign_kernel(self._cids, self._cent_mat, 1,
+                                        self.assign_round, with_sim=True)
+        stat = (upserts
+                .select(sim_kernel(F.col(self.vec_col))["sim"]
+                        .alias("_asim"))
+                .agg(F.avg("_asim").alias("s"),
+                     F.count(F.lit(1)).alias("n")).collect()[0])
+        if stat["n"]:
+            props["ann_drift_last_sim"] = round(float(stat["s"]), 6)
+            props["ann_drift_last_n"] = int(stat["n"])
+            if "ann_drift_baseline_sim" not in \
+                    self.table.snapshot().get("properties", {}):
+                props["ann_drift_baseline_sim"] = \
+                    round(float(stat["s"]), 6)
+        ups = (quantize_embeddings(upserts, self.vec_col)
                .select(guard.alias(idc),
                        F.get(assign(F.col(self.vec_col)), 0).alias("_cid"),
                        "q_vec", "q_scale", "q_norm",
@@ -201,7 +230,43 @@ class AnnIndex:
             ups.unionByName(dels), batch_id, op_col="_op",
             delete_value=delete_value, batch_compacted=True,
             ledger_scope=self.LEDGER_SCOPE,
-            set_properties=set_properties)
+            set_properties=props or None)
+
+    def drift(self, *, threshold: float = 0.05) -> dict:
+        """Centroid-drift signal from the stats ``update`` maintains:
+        ``drift`` = baseline mean assignment cosine minus the LAST
+        batch's (positive = the frozen centroids cover new vectors
+        worse than the training-era corpus), ``tripped`` when it
+        exceeds ``threshold``. Tripped = schedule a rebuild: train new
+        centroids on the current corpus, build a NEW index beside this
+        one, and re-pin the serving name through a Catalog (one CAS —
+        readers flip atomically, the old index stays for rollback)."""
+        p = self.table.snapshot().get("properties", {})
+        base = p.get("ann_drift_baseline_sim")
+        last = p.get("ann_drift_last_sim")
+        if base is None or last is None:
+            return {"baseline_sim": base, "last_sim": last,
+                    "drift": None, "tripped": False}
+        d = round(float(base) - float(last), 6)
+        return {"baseline_sim": float(base), "last_sim": float(last),
+                "last_n": int(p.get("ann_drift_last_n", 0)),
+                "drift": d, "tripped": d > threshold}
+
+    def list_occupancy(self) -> dict:
+        """The second drift lens (complements ``drift()``): inverted-list
+        occupancy. A drifted corpus that scores ~0 against every frozen
+        centroid COLLAPSES into one list (rounded ties pick the lowest
+        cid) — recall can survive that degenerately, but every probe then
+        scans the hot list: query cost decays to O(corpus) with no error
+        anywhere. ``max_share`` near 1/n_lists is healthy; near 1.0 means
+        the partitioning no longer partitions. O(n_centroids) driver rows
+        — metadata-sized, same collect policy as bucket stats."""
+        rows = (self.entries().groupBy("_cid")
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        total = sum(r["n"] for r in rows)
+        mx = max((r["n"] for r in rows), default=0)
+        return {"n_lists": len(rows), "rows": int(total),
+                "max_share": round(mx / total, 6) if total else 0.0}
 
     # --------------------------------------------------------------- query
     def entries(self) -> DataFrame:

@@ -363,20 +363,25 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 
 def _ivf_assign_kernel(cids: "np.ndarray", cent_mat: "np.ndarray",
-                       top: int, assign_round: int):
+                       top: int, assign_round: int,
+                       with_sim: bool = False):
     """Pandas UDF: vec → array<long> of the ``top`` nearest centroid ids
     by rounded cosine, descending, rounded ties to the LOWER centroid id
     (``cids`` is sorted ascending and the argsort is stable, so ties keep
     ascending-cid order). Invalid vectors (null / wrong dim / zero norm)
     score 0.0 against every centroid — same as cosine_sim — so they land
-    deterministically in the lowest-cid lists."""
+    deterministically in the lowest-cid lists.
+
+    ``with_sim=True``: return struct{ids, sim} where ``sim`` is the
+    TOP-1 assignment cosine — the per-vector drift signal (how well the
+    frozen centroid set still covers this vector), free from the same
+    matmul the assignment already runs."""
     d = cent_mat.shape[1]
     cnorm = np.sqrt(np.einsum("ij,ij->i", cent_mat, cent_mat))
     cunit = cent_mat / np.where(cnorm > 0, cnorm, 1.0)[:, None]
     cunit[cnorm <= 0] = 0.0
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def _assign(vecs: pd.Series) -> pd.Series:
+    def _cos_matrix(vecs: pd.Series):
         m = len(vecs)
         cos = np.zeros((m, len(cids)), dtype=np.float64)
         ok = np.fromiter((v is not None and len(v) == d for v in vecs),
@@ -388,6 +393,25 @@ def _ivf_assign_kernel(cids: "np.ndarray", cent_mat: "np.ndarray",
             raw = (V @ cunit.T) / np.where(vn > 0, vn, 1.0)[:, None]
             raw[vn <= 0] = 0.0
             cos[ok] = np.round(raw, assign_round)
+        return cos
+
+    if with_sim:
+        @pandas_udf(T.StructType([
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("sim", T.DoubleType())]))
+        def _assign_sim(vecs: pd.Series) -> pd.DataFrame:
+            cos = _cos_matrix(vecs)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :top]
+            return pd.DataFrame({
+                "ids": list(cids[order]),
+                "sim": cos[np.arange(len(vecs)), order[:, 0]]
+                if len(vecs) else np.zeros(0)})
+
+        return _assign_sim
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        cos = _cos_matrix(vecs)
         order = np.argsort(-cos, axis=1, kind="stable")[:, :top]
         return pd.Series(list(cids[order]))
 

