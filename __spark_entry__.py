@@ -398,10 +398,14 @@ def q_cdc_clone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy sandbox + predicate delete under the graded contract:
     replay the feed, shallow-clone the table (one metadata commit — the
     clone reads the source's files through external roots), run a
-    retention delete_where on the CLONE, and return the clone's state:
-    the converged oracle minus the predicate's victims. The source is
-    untouched (pinned by the clone tag); tests/test_lake_clone.py pins
-    that side."""
+    retention delete_where on the CLONE in the EQUALITY-DELETE shape
+    (dv=True: tombstones + a position mask, O(victims) writes — a cow
+    predicate delete would rewrite every touched bucket, and on a
+    clone that means copying the source's bytes just to drop rows),
+    fold the mask with compact(), and return the clone's state: the
+    converged oracle minus the predicate's victims. The source is
+    untouched (pinned by the clone tag); tests/test_lake_clone.py and
+    tests/test_lake_delete_where.py pin those sides."""
     tmp = _scratch_dir("arlas_clone_")
     engine = CdcEngine(spark, f"{tmp}/table", n_buckets=8,
                        collect_metrics=False)
@@ -409,7 +413,8 @@ def q_cdc_clone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arlas_proc_spark.lake.table import LakeTable
     clone = LakeTable.shallow_clone(spark, f"{tmp}/table",
                                     f"{tmp}/sandbox")
-    clone.delete_where("lang = 'python'", "retention-1")
+    clone.delete_where("lang = 'python'", "retention-1", dv=True)
+    clone.compact(dv_dead_ratio=0.0001)
     return clone.read().select(
         "repo", "path", "commit", "seq", "ts_s", "lang", "content",
         "content_sha256")
