@@ -111,6 +111,42 @@ _EV_REG = ("(SELECT event_id, user_id, event_type, value, es FROM "
            "(SELECT *, row_number() OVER (PARTITION BY user_id, es "
            f"ORDER BY event_id) AS _rn FROM {_EV} ev0) x WHERE _rn = 1)")
 
+# Bounded deterministic subset for the two RECURSIVE-CTE oracles
+# (viterbi_states, mission_summary) — r5 VERDICT Next #6. BOTH
+# dimensions are capped, because sf1 scales rows-PER-USER (same 1,500
+# users, ~670-990 rows each — the recursion depth, which is what makes
+# the CTE impractical), not user count: the lowest 1,500 user ids AND
+# each user's first 250 regularized rows by es. A NO-OP at every
+# driver/bench SF (sf0.01: 150 users × ~67 rows; sf0.1: 1,500 × ~67),
+# so graded/bench results are byte-identical; at sf1 it bounds the
+# DuckDB recursion to depth 250 over ≤375k rows instead of skipping
+# the check entirely. Applied identically in BOTH engines, so the
+# compared frames stay equal by construction (user_id is BIGINT and
+# (user_id, es) is unique after regularization — min-N-by-order is
+# engine-invariant).
+_SEQ_ORACLE_USER_CAP = 1500
+_SEQ_ORACLE_ROW_CAP = 250
+_EV_REG_CAPPED = (
+    f"(SELECT event_id, user_id, event_type, value, es FROM "
+    f"(SELECT q.*, row_number() OVER (PARTITION BY user_id "
+    f"ORDER BY es) AS _rr FROM {_EV_REG} q WHERE user_id IN "
+    f"(SELECT user_id FROM (SELECT DISTINCT user_id FROM events "
+    f"ORDER BY user_id LIMIT {_SEQ_ORACLE_USER_CAP}) u)) z "
+    f"WHERE _rr <= {_SEQ_ORACLE_ROW_CAP})")
+
+
+def _events_regular_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_events_regular restricted to the _SEQ_ORACLE_USER_CAP lowest
+    user ids and each user's first _SEQ_ORACLE_ROW_CAP rows by es —
+    the Spark half of the bounded-subset contract above."""
+    ev = _events_regular(spark, sf_dir)
+    keys = (ev.select("user_id").distinct()
+            .orderBy("user_id").limit(_SEQ_ORACLE_USER_CAP))
+    w = Window.partitionBy("user_id").orderBy("es")
+    return (ev.join(F.broadcast(keys), "user_id")
+            .withColumn("_rr", F.row_number().over(w))
+            .where(F.col("_rr") <= _SEQ_ORACLE_ROW_CAP).drop("_rr"))
+
 
 def _lang_canon_sql() -> str:
     """CASE expression mirroring functions.content._LANG_CANON exactly."""
@@ -1773,7 +1809,8 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_regular(spark, sf_dir)
+    # capped (no-op ≤ sf0.1): see _SEQ_ORACLE_USER_CAP
+    ev = _events_regular_capped(spark, sf_dir)
     states = with_hmm_states(ev, "user_id", "es", "value", chunk_size=2000)
     return states.groupBy("user_id", "hmm_state").agg(
         F.count(F.lit(1)).alias("n")).orderBy("user_id", "hmm_state")
@@ -1782,8 +1819,9 @@ def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mission_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traversing-mission segmentation (per-key sequential kernel via
     applyInPandas — state resets depend on the segmentation itself, so
-    this is genuinely not window/SQL-expressible)."""
-    ev = _events_regular(spark, sf_dir)
+    this is genuinely not window/SQL-expressible).
+    Capped (no-op ≤ sf0.1): see _SEQ_ORACLE_USER_CAP."""
+    ev = _events_regular_capped(spark, sf_dir)
     return mission_summary(ev, "user_id", "es", "value")
 
 
@@ -2075,11 +2113,11 @@ def _viterbi_oracle_sql() -> str:
     e0 = f"((-0.5) * (((value - 0.5) / 1.0) * ((value - 0.5) / 1.0)) - {c0})"
     e1 = f"((-0.5) * (((value - 10.0) / 5.0) * ((value - 10.0) / 5.0)) - {c1})"
     return f"""
-            WITH RECURSIVE ev AS (
+            WITH RECURSIVE ev AS MATERIALIZED (
               SELECT user_id, es, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY es)
                          AS rn
-              FROM {_EV_REG}),
+              FROM {_EV_REG_CAPPED}),
             walk AS (
               SELECT user_id, rn,
                      {ls} + {e0} AS d0, {ls} + {e1} AS d1,
@@ -2124,11 +2162,11 @@ def _mission_oracle_sql() -> str:
     progress) advances row by row; NaN/NULL measures ride the current
     run without updating state, mirroring operators/missions.py."""
     return f"""
-            WITH RECURSIVE ev AS (
+            WITH RECURSIVE ev AS MATERIALIZED (
               SELECT user_id, es, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY es)
                          AS rn
-              FROM {_EV_REG}),
+              FROM {_EV_REG_CAPPED}),
             walk AS (
               SELECT user_id, es, value, rn,
                      CAST(COALESCE(value, 0.0) AS DOUBLE) AS rsm,
