@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from arlas_proc_spark.lake.table import LakeTable
+from arlas_proc_spark.lake.table import LakeTable, _ledger_contains
 from arlas_proc_spark.operators.ann import (
     _ivf_assign_kernel,
     q8_score,
@@ -198,20 +198,31 @@ class AnnIndex:
                                     self.assign_round)
         upserts = winners.where(F.col(op_col) != delete_value)
         props = dict(set_properties or {})
-        sim_kernel = _ivf_assign_kernel(self._cids, self._cent_mat, 1,
-                                        self.assign_round, with_sim=True)
-        stat = (upserts
-                .select(sim_kernel(F.col(self.vec_col))["sim"]
-                        .alias("_asim"))
-                .agg(F.avg("_asim").alias("s"),
-                     F.count(F.lit(1)).alias("n")).collect()[0])
-        if stat["n"]:
-            props["ann_drift_last_sim"] = round(float(stat["s"]), 6)
-            props["ann_drift_last_n"] = int(stat["n"])
-            if "ann_drift_baseline_sim" not in \
-                    self.table.snapshot().get("properties", {}):
-                props["ann_drift_baseline_sim"] = \
-                    round(float(stat["s"]), 6)
+        # drift stat: only when this batch id is NOT already ledgered —
+        # a replayed batch must stay a cheap no-op (the merge would skip
+        # before running any job, so paying a batch-sized stat action
+        # first would break the replay cost contract). Measured over the
+        # RAW batch's upsert rows (no LWW window pass — duplicate
+        # deliveries are deterministic for a given batch and barely move
+        # a monitoring mean; the ledgered merge alone decides state).
+        snap = self.table.snapshot()
+        if not _ledger_contains(snap["ledger"], str(batch_id),
+                                self.LEDGER_SCOPE):
+            sim_kernel = _ivf_assign_kernel(self._cids, self._cent_mat, 1,
+                                            self.assign_round,
+                                            with_sim=True)
+            stat = (batch.where(F.col(op_col) != delete_value)
+                    .select(sim_kernel(F.col(self.vec_col))["sim"]
+                            .alias("_asim"))
+                    .agg(F.avg("_asim").alias("s"),
+                         F.count(F.lit(1)).alias("n")).collect()[0])
+            if stat["n"]:
+                props["ann_drift_last_sim"] = round(float(stat["s"]), 6)
+                props["ann_drift_last_n"] = int(stat["n"])
+                if "ann_drift_baseline_sim" not in \
+                        snap.get("properties", {}):
+                    props["ann_drift_baseline_sim"] = \
+                        round(float(stat["s"]), 6)
         ups = (quantize_embeddings(upserts, self.vec_col)
                .select(guard.alias(idc),
                        F.get(assign(F.col(self.vec_col)), 0).alias("_cid"),

@@ -148,6 +148,16 @@ class PosixCAS(CommitCAS):
             raise CasConflict(f"{path} already exists") from None
         finally:
             os.unlink(tmp)
+        # directory fsync: the link's dirent must be durable BEFORE the
+        # caller acknowledges (branch appends, WAP stages and publish
+        # seals have no later pointer swing to piggyback on — without
+        # this a power loss could erase an acknowledged branch commit,
+        # breaking exactly-once for its producer)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def remove(self, path: str) -> None:
         try:

@@ -4320,93 +4320,119 @@ class LakeTable(TableIO):
         def _rm_tree(path: str) -> None:
             if not dry_run:
                 shutil.rmtree(path, ignore_errors=True)
-        names = sorted(f for f in os.listdir(self.meta_dir)
-                       if f.startswith("v") and f.endswith(".json"))
-        current = self._current_name()
-        keep = set(names[-keep_last:]) | {current}
-        if older_than_s is not None:
-            cutoff = now - float(older_than_s)
-            for name in names:
-                full = os.path.join(self.meta_dir, name)
-                stamp = None
-                try:
-                    with open(full) as f:
-                        stamp = json.load(f).get("committed_at")
-                except (OSError, ValueError):
-                    pass
-                if stamp is None:
+        class _VanishedMidScan(Exception):
+            # a wap/branch metadata file disappeared between listing and
+            # open: either a drop/abandon (its files became orphans) or a
+            # publish/fast_forward (its files are now referenced by a NEW
+            # snapshot the scan's keep set predates). Both resolve by
+            # RE-SCANNING from a fresh listing — continuing with the
+            # stale sets could let a just-published long-staged file slip
+            # into the deletion sweep (published snapshot → missing data)
+            pass
+
+        def _scan():
+            names = sorted(f for f in os.listdir(self.meta_dir)
+                           if f.startswith("v") and f.endswith(".json"))
+            current = self._current_name()
+            keep = set(names[-keep_last:]) | {current}
+            if older_than_s is not None:
+                cutoff = now - float(older_than_s)
+                for name in names:
+                    full = os.path.join(self.meta_dir, name)
+                    stamp = None
                     try:
-                        stamp = os.path.getmtime(full)
-                    except OSError:
-                        continue
-                if float(stamp) > cutoff:
-                    keep.add(name)
-        # tagged snapshots are pinned: their manifests (and therefore
-        # every file they reference, below) survive until the tag drops
-        keep |= {f"v{int(v):010d}.json"
-                 for v in self.snapshot().get("tags", {}).values()}
-        # staged write-audit-publish snapshots pin their files until
-        # published or abandoned — an audit may outlast any grace window
-        waps = {f for f in os.listdir(self.meta_dir)
-                if f.startswith("wap-") and f.endswith(".json")}
-        # branch chains pin their staged snapshots' files the same way;
-        # fork markers (no "version") additionally pin the fork-base
-        # snapshot — a commit-less branch resolves its head through it
-        branch_snaps: set[str] = set()
-        for fname in os.listdir(self.meta_dir):
-            if fname.startswith("branch-") and fname.endswith(".json") \
-                    and ".tmp-" not in fname:
+                        with open(full) as f:
+                            stamp = json.load(f).get("committed_at")
+                    except (OSError, ValueError):
+                        pass
+                    if stamp is None:
+                        try:
+                            stamp = os.path.getmtime(full)
+                        except OSError:
+                            continue
+                    if float(stamp) > cutoff:
+                        keep.add(name)
+            # tagged snapshots are pinned: their manifests (and therefore
+            # every file they reference, below) survive until the tag
+            # drops
+            keep |= {f"v{int(v):010d}.json"
+                     for v in self.snapshot().get("tags", {}).values()}
+            # staged write-audit-publish snapshots pin their files until
+            # published or abandoned — an audit may outlast any grace
+            # window
+            waps = {f for f in os.listdir(self.meta_dir)
+                    if f.startswith("wap-") and f.endswith(".json")}
+            # branch chains pin their staged snapshots' files the same
+            # way; fork markers (no "version") additionally pin the
+            # fork-base snapshot — a commit-less branch resolves its head
+            # through it
+            branch_snaps: set[str] = set()
+            for fname in os.listdir(self.meta_dir):
+                if fname.startswith("branch-") and fname.endswith(".json") \
+                        and ".tmp-" not in fname:
+                    try:
+                        with open(os.path.join(self.meta_dir, fname)) as f:
+                            doc = json.load(f)
+                    except (OSError, ValueError):
+                        raise _VanishedMidScan(fname)
+                    if "version" in doc:
+                        branch_snaps.add(fname)
+                    elif "parent" in doc:  # fork marker (seals: neither)
+                        keep.add(f"v{int(doc['parent']):010d}.json")
+            refs = {"files": set(), "lineage": set(), "changes": set(),
+                    "staged": set(), "manifests": set()}
+            for name in keep | waps | branch_snaps:
                 try:
-                    with open(os.path.join(self.meta_dir, fname)) as f:
-                        doc = json.load(f)
-                except (OSError, ValueError):
-                    # a concurrent drop_branch removed it mid-listing
-                    # (explicitly supported — _branch_chain_names
-                    # anticipates mid-flight drops); nothing to pin
-                    continue
-                if "version" in doc:
-                    branch_snaps.add(fname)
-                elif "parent" in doc:  # fork marker (seals carry neither)
-                    keep.add(f"v{int(doc['parent']):010d}.json")
-        referenced: set[str] = set()
-        referenced_lineage: set[str] = set()
-        referenced_changes: set[str] = set()
-        referenced_staged: set[str] = set()
-        referenced_manifests: set[str] = set()
-        for name in keep | waps | branch_snaps:
+                    with open(os.path.join(self.meta_dir, name)) as f:
+                        snap = self._wrap_snap(json.load(f))
+                except OSError:
+                    if name in waps or name in branch_snaps:
+                        raise _VanishedMidScan(name)
+                    raise
+                refs["manifests"].update(
+                    ref["manifest"] for ref in getattr(
+                        snap["buckets"], "_listing", {}).values()
+                    if ref.get("manifest"))
+                for files in snap["buckets"].values():
+                    refs["files"].update(e["file"] for e in files)
+                    refs["files"].update(e["bloom"]["file"] for e in files
+                                         if "bloom" in e)
+                    for e in files:
+                        # deletion-vector parts are data-dir files too;
+                        # external-rooted parts (clones) live outside
+                        # this table's walk and need no protection here
+                        for part in (e.get("dv") or {}).get("files", []):
+                            if isinstance(part, str):
+                                refs["files"].add(part)
+                            elif part.get("root") is None:
+                                refs["files"].add(part["file"])
+                refs["lineage"].update(snap.get("lineage_files", []))
+                ch_entry = snap.get("changes") or {}
+                refs["changes"].update(ch_entry.get("files", []))
+                if ch_entry.get("staged"):
+                    refs["staged"].add(ch_entry["staged"])
+            return names, keep, refs
+
+        last_race: Exception | None = None
+        for _attempt in range(4):
             try:
-                with open(os.path.join(self.meta_dir, name)) as f:
-                    snap = self._wrap_snap(json.load(f))
-            except OSError:
-                if name in waps or name in branch_snaps:
-                    # publish/abandon/drop_branch raced the GC; its files
-                    # are either committed (pinned via keep) or orphaned
-                    # (collected by a LATER run — this one listed data
-                    # files before the racer's commit landed)
-                    continue
-                raise
-            referenced_manifests.update(
-                ref["manifest"] for ref in getattr(
-                    snap["buckets"], "_listing", {}).values()
-                if ref.get("manifest"))
-            for files in snap["buckets"].values():
-                referenced.update(e["file"] for e in files)
-                referenced.update(e["bloom"]["file"] for e in files
-                                  if "bloom" in e)
-                for e in files:
-                    # deletion-vector parts are data-dir files too;
-                    # external-rooted parts (clones) live outside this
-                    # table's walk and need no protection here
-                    for part in (e.get("dv") or {}).get("files", []):
-                        if isinstance(part, str):
-                            referenced.add(part)
-                        elif part.get("root") is None:
-                            referenced.add(part["file"])
-            referenced_lineage.update(snap.get("lineage_files", []))
-            ch_entry = snap.get("changes") or {}
-            referenced_changes.update(ch_entry.get("files", []))
-            if ch_entry.get("staged"):
-                referenced_staged.add(ch_entry["staged"])
+                names, keep, refs = _scan()
+                break
+            except _VanishedMidScan as e:
+                last_race = e
+        else:
+            # racers on every attempt: fail the maintenance run safely
+            # (nothing deleted) rather than risk sweeping a racer's files
+            raise OSError(
+                f"expire_snapshots: staged metadata kept vanishing "
+                f"mid-scan across retries (last: {last_race}); a writer "
+                f"is publishing/dropping concurrently — re-run "
+                f"maintenance") from last_race
+        referenced = refs["files"]
+        referenced_lineage = refs["lineage"]
+        referenced_changes = refs["changes"]
+        referenced_staged = refs["staged"]
+        referenced_manifests = refs["manifests"]
         dropped_snaps = 0
         for name in names:
             if name not in keep:

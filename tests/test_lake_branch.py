@@ -487,23 +487,45 @@ def test_refs_df_lists_main_tags_and_branches(spark, tmp_path):
 
 def test_expire_snapshots_tolerates_concurrent_drop_branch(
         spark, tmp_path, monkeypatch):
-    """ADVICE r5 (low): a drop_branch racing expire_snapshots removes
-    chain files between the GC's listdir and its open — maintenance must
-    skip the vanished file, not crash mid-run."""
+    """ADVICE r5 (low), hardened by the r5 self-review: a drop_branch /
+    publish racing expire_snapshots removes staged metadata between the
+    GC's listdir and its open. The GC must RE-SCAN from a fresh listing
+    (continuing with the stale keep set could sweep a just-published
+    long-staged file) and converge once the racer is done; if racers
+    never stop, it fails safely with nothing deleted."""
     t = _make(spark, tmp_path)
     t.merge_batch(_batch(spark, [
         (100, "update", "r0", "f0.py", "u")]), 1)
     import arlas_proc_spark.lake.table as table_mod
     real_listdir = os.listdir
+    raced = {"n": 0}
 
     def ghost_listdir(p):
         names = real_listdir(p)
-        if os.path.abspath(p) == os.path.abspath(t.meta_dir):
-            # a branch the racer dropped after our listing
+        if os.path.abspath(p) == os.path.abspath(t.meta_dir) \
+                and raced["n"] < 3:
+            # the ghost rides every meta listing of the FIRST scan
+            # attempt (names, waps, branches = 3 listdir calls) and is
+            # gone by the re-scan — the normal one-shot race
+            raced["n"] += 1
             names = list(names) + ["branch-ghost-0000000000.json"]
         return names
 
     monkeypatch.setattr(table_mod.os, "listdir", ghost_listdir)
     res = t.expire_snapshots(keep_last=1)
+    assert raced["n"] > 0          # the race actually fired
     assert res["snapshots_expired"] >= 0
     assert t.read().count() == 12
+
+    # endless racing (metadata vanishing on EVERY attempt) fails safely
+    def always_ghost(p):
+        names = real_listdir(p)
+        if os.path.abspath(p) == os.path.abspath(t.meta_dir):
+            names = list(names) + ["branch-ghost2-0000000000.json"]
+        return names
+
+    monkeypatch.setattr(table_mod.os, "listdir", always_ghost)
+    n_files = sum(len(fs) for _, _, fs in os.walk(t.data_dir))
+    with pytest.raises(OSError, match="vanishing mid-scan"):
+        t.expire_snapshots(keep_last=1)
+    assert sum(len(fs) for _, _, fs in os.walk(t.data_dir)) == n_files
