@@ -253,3 +253,32 @@ def test_create_refuses_reserved_lineage_columns(spark, tmp_path):
     # without lineage the name is just a column — allowed
     LakeTable.create(spark, str(tmp_path / "ok"), bad,
                      ["repo", "path"], "seq")
+
+
+def test_multi_commit_squash_clamp_with_dv_branch_merges(spark, tmp_path):
+    """The clamp × deletion vectors: dv merges on the branch write ONLY
+    the changed rows to new files (clamped at squash) while untouched
+    pre-fork files gain mask refs but keep their materialized stamps
+    (file name unchanged → not clamped). Stamps must still land exactly
+    as the published-version rule says."""
+    t = _make(spark, tmp_path)
+    before = _lin(t)
+    parent = t.snapshot()["version"]
+    t.create_branch("b")
+    t.merge_batch(_batch(spark, [
+        (100, "update", "r0", "f0.py", "c1")]), 1, branch="b", dv=True)
+    t.merge_batch(_batch(spark, [
+        (101, "update", "r1", "f1.py", "c2")]), 2, branch="b", dv=True)
+    res = t.fast_forward("b")
+    pub = res["published_version"]
+    assert pub == parent + 1
+    after = _lin(t)
+    assert max(luv for _, luv in after.values()) <= pub
+    touched = {("r0", "f0.py"), ("r1", "f1.py")}
+    for k, (rid, luv) in after.items():
+        assert luv == (pub if k in touched else before[k][1]), (k, luv)
+        assert rid == before[k][0], k
+    # folding the masks (compaction) materializes the clamped stamps
+    expect = _lin(t)
+    t.compact(dv_dead_ratio=0.0001)
+    assert _lin(t) == expect
